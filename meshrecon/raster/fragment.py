@@ -1,0 +1,133 @@
+"""Fragment stage: shadow-mapped projective texturing and background mixing.
+
+The reference renders its prediction image with a two-pass GL pipeline
+(render_glx.cpp:261-367 + shader.frag). Because the main-camera depth map
+already determines the world position of every fragment
+(``world = main_inv @ (x, y, z, 1)``, exactly the perspective-correct
+interpolated ``pos`` the GLSL shader receives), the whole second pass
+collapses into a per-pixel map over the depth image — no rasterization
+needed. This is the TPU-first inversion: one dense elementwise kernel instead
+of a second geometry pass.
+
+Conventions replicated from shader.frag:
+
+- shadow test: ``shadow_ndc + 0.01 > z_ndc_side`` (+0.01 NDC bias,
+  shader.frag:17-18), using a 3x3 *max* dilated shadow map (the intent of the
+  acne filter at render_glx.cpp:287-314).
+- in-frustum test on side-camera NDC x, y (shader.frag:19).
+- texture coordinate ``xy/(2w) - 0.5`` with REPEAT wrapping is algebraically
+  ``(ndc+1)/2 (mod 1)`` — i.e. plain NDC-to-texture mapping (shader.frag:22).
+- the result's red channel is intensity, green/blue the visibility mask
+  (render_glx.cpp:358); we return (intensity, mask) directly.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from meshrecon import BACKGROUND_DEPTH
+
+
+def dilate3x3_max(depth):
+    """3x3 max dilation of a depth map (shadow-acne suppression)."""
+    return jax.lax.reduce_window(
+        depth,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(3, 3),
+        window_strides=(1, 1),
+        padding="SAME",
+    )
+
+
+def bilinear_sample(image, col, row):
+    """Bilinear sample image (H, W) at continuous (col, row); clamped borders."""
+    h, w = image.shape
+    col = jnp.clip(col, 0.0, w - 1.0)
+    row = jnp.clip(row, 0.0, h - 1.0)
+    c0 = jnp.floor(col).astype(jnp.int32)
+    r0 = jnp.floor(row).astype(jnp.int32)
+    c1 = jnp.minimum(c0 + 1, w - 1)
+    r1 = jnp.minimum(r0 + 1, h - 1)
+    fc = col - c0
+    fr = row - r0
+    v00 = image[r0, c0]
+    v01 = image[r0, c1]
+    v10 = image[r1, c0]
+    v11 = image[r1, c1]
+    return (
+        v00 * (1 - fr) * (1 - fc)
+        + v01 * (1 - fr) * fc
+        + v10 * fr * (1 - fc)
+        + v11 * fr * fc
+    )
+
+
+def nearest_sample(image, col, row):
+    h, w = image.shape
+    c = jnp.clip(jnp.round(col).astype(jnp.int32), 0, w - 1)
+    r = jnp.clip(jnp.round(row).astype(jnp.int32), 0, h - 1)
+    return image[r, c]
+
+
+@jax.jit
+def projected_image(camera, depth_main, frame, projector, depth_side):
+    """Reproject `frame` (seen by `projector`) into `camera`'s view.
+
+    camera, projector: (4, 4); depth_main, depth_side: (H, W) NDC depth;
+    frame: (H, W) grayscale (any float/int scale, passed through).
+    Returns (intensity (H, W) float32, mask (H, W) bool). mask False where the
+    fragment is shadowed, outside the projector frustum, or background.
+    """
+    h, w = depth_main.shape
+    depth_main = jnp.asarray(depth_main, jnp.float32)
+    frame = jnp.asarray(frame, jnp.float32)
+    shadow = dilate3x3_max(jnp.asarray(depth_side, jnp.float32))
+
+    cols = (jnp.arange(w, dtype=jnp.float32) - w / 2.0) * (2.0 / w)
+    rows = (h / 2.0 - jnp.arange(h, dtype=jnp.float32)) * (2.0 / h)
+    x = jnp.broadcast_to(cols[None, :], (h, w))
+    y = jnp.broadcast_to(rows[:, None], (h, w))
+    z = depth_main
+    valid = z != BACKGROUND_DEPTH
+
+    main_inv = jnp.linalg.inv(jnp.asarray(camera, jnp.float32))
+    side = jnp.asarray(projector, jnp.float32) @ main_inv  # NDC_main -> clip_side
+    ndc4 = jnp.stack([x, y, z, jnp.ones_like(z)], axis=-1)
+    s = jnp.einsum("ij,hwj->hwi", side, ndc4)
+    sw = s[..., 3]
+    behind = sw <= 1e-6
+    sw_safe = jnp.where(jnp.abs(sw) < 1e-6, 1e-6, sw)
+    sx = s[..., 0] / sw_safe
+    sy = s[..., 1] / sw_safe
+    sz = s[..., 2] / sw_safe
+
+    # shadow lookup (nearest, like the GL_NEAREST shadow sampler)
+    scol = (sx + 1.0) * 0.5 * w - 0.5
+    srow = (1.0 - sy) * 0.5 * h - 0.5
+    shadow_z = nearest_sample(shadow, scol, srow)
+    visible = shadow_z + 0.01 > sz
+    inframe = (sx > -1.0) & (sx < 1.0) & (sy > -1.0) & (sy < 1.0) & ~behind
+
+    intensity = bilinear_sample(frame, scol, srow)
+    mask = valid & visible & inframe
+    return jnp.where(mask, intensity, 0.0), mask
+
+
+@jax.jit
+def mix_background(intensity, mask, background, depth):
+    """Fill invalid reprojected pixels from the main frame itself.
+
+    Equivalent of util.cpp:366-387: where the raycast was undefined (mask
+    False, i.e. the reference's G channel == 0) or the depth is background,
+    take the original pixel and force depth to the background sentinel. The
+    reference mutates `depth` in place; we return the new depth.
+
+    Returns (mixed (H, W) float32, new_depth (H, W) float32).
+    """
+    background = jnp.asarray(background, jnp.float32)
+    bad = (depth == BACKGROUND_DEPTH) | ~mask
+    mixed = jnp.where(bad, background, intensity)
+    new_depth = jnp.where(bad, BACKGROUND_DEPTH, depth)
+    return mixed, new_depth

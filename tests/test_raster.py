@@ -1,0 +1,197 @@
+import numpy as np
+import jax.numpy as jnp
+
+from meshrecon.raster import (
+    clip_triangles_near,
+    render_depth,
+    depth_probe,
+    Renderer,
+    projected_image,
+    mix_background,
+    dilate3x3_max,
+)
+from meshrecon.raster.reference import render_depth_reference
+from meshrecon.io.obj import Mesh
+from tests.test_geometry import make_camera
+
+# Golden fixture data from the reference's GLX self-test
+# (render_glx.cpp:407-410): a 25-vertex / 27-face mesh exported from
+# test_glx.blend plus two MVP matrices. Used as *data* to validate our
+# rasterizer on the exact geometry the reference validates its GL path on.
+GLX_POINTS = np.array([
+    0.5127, -3.9222, -29.4300, 1.0, 0.6195, -0.2643, -27.4378, 1.0,
+    4.5767, 0.2684, -28.6282, 1.0, 4.4699, -3.3895, -30.6204, 1.0,
+    1.8125, -5.8448, -25.9695, 1.0, 1.9193, -2.1869, -23.9774, 1.0,
+    5.8765, -1.6541, -25.1678, 1.0, -3.7263, 1.9956, -20.7352, 1.0,
+    -5.1135, -5.5956, -28.2388, 1.0, -5.0067, -1.9377, -26.2467, 1.0,
+    -1.0495, -1.4050, -27.4371, 1.0, -1.1563, -5.0629, -29.4292, 1.0,
+    -3.8137, -7.5182, -24.7784, 1.0, 0.2503, -3.3276, -23.9766, 1.0,
+    0.1435, -6.9855, -25.9688, 1.0, -4.5209, -0.3826, -22.9609, 1.0,
+    -4.4455, 2.1991, -21.5549, 1.0, -1.6526, 2.5750, -22.3950, 1.0,
+    -1.7281, -0.0066, -23.8010, 1.0, -3.6036, -1.7395, -20.5186, 1.0,
+    -3.5282, 0.8422, -19.1126, 1.0, -0.7353, 1.2181, -19.9528, 1.0,
+    -0.8107, -1.3635, -21.3588, 1.0, -3.3029, 1.3693, -19.6080, 1.0,
+    -2.0139, 1.5429, -19.9957, 1.0,
+], dtype=np.float32).reshape(25, 4)
+GLX_FACES = np.array([
+    4, 5, 1, 5, 6, 1, 0, 1, 2, 13, 14, 11, 14, 12, 8, 8, 9, 10,
+    19, 20, 16, 20, 21, 16, 21, 22, 17, 22, 19, 18, 15, 16, 17,
+    22, 21, 20, 0, 4, 1, 21, 17, 16, 13, 10, 9, 3, 0, 2, 8, 12, 9,
+    22, 18, 17, 10, 13, 11, 11, 14, 8, 11, 8, 10, 15, 19, 16,
+    23, 24, 7, 6, 2, 1, 18, 15, 17, 19, 22, 20, 19, 15, 18,
+], dtype=np.int32).reshape(27, 3)
+GLX_MVP = np.array([
+    -1.195982575416565, 1.350219488143921, 1.237614393234253, 30.956573486328125,
+    -0.1888779103755951, -2.055802583694458, 2.06032657623291, 47.59274673461914,
+    -1.0203083753585815, -0.42725738883018494, -0.519854724407196, 2.6755423545837402,
+    -0.834797739982605, -0.3495742380619049, -0.42533570528030396, 7.643625259399414,
+], dtype=np.float32).reshape(4, 4)
+GLX_SIDE_MVP = np.array([
+    -1.831691861152649, -1.1502554416656494, -0.3270684480667114, -11.764444351196289,
+    1.391772985458374, -2.4397428035736084, 0.7858548760414124, 19.515047073364258,
+    0.3260231614112854, -0.188545361161232, -1.1627495288848877, -21.932016372680664,
+    0.2667462229728699, -0.1542643904685974, -0.9513405561447144, -12.489831924438477,
+], dtype=np.float32).reshape(4, 4)
+
+
+def _soup(verts, faces):
+    v3 = verts[:, :3] / verts[:, 3:4]
+    return v3[faces]
+
+
+def random_soup(rng, n=20, scale=1.0, center=(0, 0, 0)):
+    tris = rng.normal(size=(n, 3, 3)).astype(np.float32) * scale + np.asarray(
+        center, dtype=np.float32
+    )
+    return tris
+
+
+def test_clip_all_inside():
+    tri = jnp.array([[[0, 0, 0, 1.0], [1, 0, 0, 2.0], [0, 1, 0, 3.0]]])
+    out, valid = clip_triangles_near(tri)
+    assert bool(valid[0, 0]) and not bool(valid[0, 1])
+    np.testing.assert_allclose(np.asarray(out[0, 0]), np.asarray(tri[0]))
+
+
+def test_clip_all_behind():
+    tri = jnp.array([[[0, 0, 0, -1.0], [1, 0, 0, -2.0], [0, 1, 0, -3.0]]])
+    _, valid = clip_triangles_near(tri)
+    assert not bool(valid[0, 0]) and not bool(valid[0, 1])
+
+
+def test_clip_one_behind_gives_two_triangles():
+    tri = jnp.array([[[0, 0, 0, 1.0], [1, 0, 0, 1.0], [0, 1, 0, -1.0]]])
+    out, valid = clip_triangles_near(tri)
+    assert bool(valid[0, 0]) and bool(valid[0, 1])
+    # every output vertex has w >= 0
+    assert float(np.min(np.asarray(out[0, :, :, 3]))) >= 0.0
+
+
+def test_clip_two_behind_gives_one_triangle():
+    tri = jnp.array([[[0, 0, 0, 1.0], [1, 0, 0, -1.0], [0, 1, 0, -1.0]]])
+    out, valid = clip_triangles_near(tri)
+    assert bool(valid[0, 0]) and not bool(valid[0, 1])
+    assert float(np.min(np.asarray(out[0, 0, :, 3]))) >= 0.0
+
+
+def test_render_depth_matches_numpy_reference(rng):
+    cam = make_camera(eye=(0, 0, 6), near=0.5, far=50.0)
+    soup = random_soup(rng, n=15)
+    valid = np.ones(15, dtype=bool)
+    ours = np.asarray(render_depth(cam, soup, valid, 48, 64, chunk=8))
+    ref = render_depth_reference(cam, soup, 48, 64)
+    cover_ours = ours < 1.0
+    cover_ref = ref < 1.0
+    # coverage may differ on exact edges; demand near-total agreement
+    disagree = np.mean(cover_ours != cover_ref)
+    assert disagree < 0.01, f"coverage disagreement {disagree}"
+    both = cover_ours & cover_ref
+    if np.any(both):
+        # f32 edge-function cancellation vs the f64 reference; must stay well
+        # under the 0.01 NDC shadow bias
+        np.testing.assert_allclose(ours[both], ref[both], atol=5e-3)
+
+
+def test_render_depth_near_straddling(rng):
+    # camera inside the cloud of triangles: many straddle the near plane
+    cam = make_camera(eye=(0, 0, 0.2), near=0.01, far=10.0)
+    soup = random_soup(rng, n=25)
+    valid = np.ones(25, dtype=bool)
+    ours = np.asarray(render_depth(cam, soup, valid, 32, 48, chunk=8))
+    ref = render_depth_reference(cam, soup, 32, 48)
+    disagree = np.mean((ours < 1.0) != (ref < 1.0))
+    assert disagree < 0.02
+    both = (ours < 1.0) & (ref < 1.0)
+    if np.any(both):
+        # fragments adjacent to the near plane have steep z gradients; f32
+        # interpolation error grows there (worst observed ~7e-3)
+        np.testing.assert_allclose(ours[both], ref[both], atol=2e-2)
+
+
+def test_glx_golden_scene():
+    soup = _soup(GLX_POINTS, GLX_FACES)
+    valid = np.ones(len(soup), dtype=bool)
+    depth = np.asarray(render_depth(GLX_MVP, soup, valid, 60, 80, chunk=16))
+    ref = render_depth_reference(GLX_MVP, soup, 60, 80)
+    covered = depth < 1.0
+    assert covered.mean() > 0.05  # the mesh is visibly on screen
+    assert np.mean(covered != (ref < 1.0)) < 0.01
+    both = covered & (ref < 1.0)
+    np.testing.assert_allclose(depth[both], ref[both], atol=5e-3)
+    assert depth.min() >= -1.0
+
+
+def test_depth_probe_matches_full_render(rng):
+    cam = make_camera(eye=(0, 0, 6), near=0.5, far=50.0)
+    soup = random_soup(rng, n=12)
+    valid = np.ones(12, dtype=bool)
+    h, w = 40, 56
+    full = np.asarray(render_depth(cam, soup, valid, h, w, chunk=8))
+    # probe exactly at pixel sample positions
+    rr = np.array([5, 17, 33, 20])
+    cc = np.array([7, 40, 12, 28])
+    xs = (cc - w / 2.0) * (2.0 / w)
+    ys = (h / 2.0 - rr) * (2.0 / h)
+    xy = np.stack([xs, ys], axis=-1)[None].astype(np.float32)
+    probe = np.asarray(depth_probe(cam[None], soup, valid, xy, chunk=8))
+    np.testing.assert_allclose(probe[0], full[rr, cc], atol=1e-5)
+
+
+def test_projected_self_projection_identity():
+    """Projecting the main camera's own frame through itself must reproduce
+    the frame on all valid pixels (flow should then be ~zero)."""
+    cam = make_camera(eye=(0, 0, 6), near=0.5, far=50.0)
+    rng = np.random.default_rng(3)
+    soup = random_soup(rng, n=10)
+    r = Renderer(48, 36)
+    r.load_mesh(Mesh(np.concatenate([soup.reshape(-1, 3),
+                                     np.ones((30, 1), np.float32)], axis=1),
+                     np.arange(30, dtype=np.int32).reshape(-1, 3)))
+    frame = rng.uniform(0, 255, size=(36, 48)).astype(np.float32)
+    depth = np.asarray(r.depth(cam))
+    inten, mask = r.projected(cam, frame, cam, depth_main=jnp.asarray(depth))
+    inten, mask = np.asarray(inten), np.asarray(mask)
+    valid = depth < 1.0
+    # most valid pixels should be visible from the same camera
+    assert mask[valid].mean() > 0.9
+    sel = mask & valid
+    err = np.abs(inten[sel] - frame[sel])
+    assert np.median(err) < 2.0
+
+
+def test_mix_background():
+    inten = jnp.full((4, 4), 7.0)
+    mask = jnp.zeros((4, 4), bool).at[1, 1].set(True).at[2, 2].set(True)
+    bg = jnp.full((4, 4), 3.0)
+    depth = jnp.full((4, 4), 0.5).at[2, 2].set(1.0)
+    mixed, nd = mix_background(inten, mask, bg, depth)
+    mixed, nd = np.asarray(mixed), np.asarray(nd)
+    assert mixed[1, 1] == 7.0 and nd[1, 1] == 0.5
+    assert mixed[2, 2] == 3.0 and nd[2, 2] == 1.0  # background depth forces bg
+    assert mixed[0, 0] == 3.0 and nd[0, 0] == 1.0  # unmasked pixel reset
+
+
+def test_dilate3x3():
+    d = jnp.zeros((5, 5)).at[2, 2].set(9.0)
+    out = np.asarray(dilate3x3_max(d))
+    assert out[1, 1] == 9.0 and out[3, 3] == 9.0 and out[0, 0] == 0.0
