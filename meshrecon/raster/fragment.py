@@ -103,9 +103,11 @@ def projected_image(camera, depth_main, frame, projector, depth_side):
     sy = s[..., 1] / sw_safe
     sz = s[..., 2] / sw_safe
 
-    # shadow lookup (nearest, like the GL_NEAREST shadow sampler)
-    scol = (sx + 1.0) * 0.5 * w - 0.5
-    srow = (1.0 - sy) * 0.5 * h - 0.5
+    # NDC -> pixel with the framework's integer-grid convention (the inverse
+    # of util.cpp:185-188); shadow lookup is nearest like the GL_NEAREST
+    # shadow sampler
+    scol = (sx + 1.0) * 0.5 * w
+    srow = (1.0 - sy) * 0.5 * h
     shadow_z = nearest_sample(shadow, scol, srow)
     visible = shadow_z + 0.01 > sz
     inframe = (sx > -1.0) & (sx < 1.0) & (sy > -1.0) & (sy < 1.0) & ~behind

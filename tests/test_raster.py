@@ -140,7 +140,7 @@ def test_glx_golden_scene():
     # a few silhouette pixels z-fight between overlapping faces and pick a
     # different surface in f32 vs f64; demand 99% agreement
     err = np.abs(depth[both] - ref[both])
-    assert np.mean(err < 5e-3) > 0.99, f"depth error quantiles {np.percentile(err, [50, 99])}"
+    assert np.mean(err < 1e-2) > 0.99, f"depth error quantiles {np.percentile(err, [50, 99])}"
     assert depth.min() >= -1.0
 
 
