@@ -95,7 +95,7 @@ def projected_image(camera, depth_main, frame, projector, depth_side):
     main_inv = jnp.linalg.inv(jnp.asarray(camera, jnp.float32))
     side = jnp.asarray(projector, jnp.float32) @ main_inv  # NDC_main -> clip_side
     ndc4 = jnp.stack([x, y, z, jnp.ones_like(z)], axis=-1)
-    s = jnp.einsum("ij,hwj->hwi", side, ndc4)
+    s = jnp.einsum("ij,hwj->hwi", side, ndc4, precision=jax.lax.Precision.HIGHEST)
     sw = s[..., 3]
     behind = sw <= 1e-6
     sw_safe = jnp.where(jnp.abs(sw) < 1e-6, 1e-6, sw)

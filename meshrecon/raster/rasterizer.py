@@ -159,7 +159,9 @@ def render_depth(camera, soup, soup_valid, height, width, chunk=64):
     """
     camera = jnp.asarray(camera, jnp.float32)
     soup = jnp.asarray(soup, jnp.float32)
-    tri_clip = jnp.einsum("ij,tvj->tvi", camera[:, :3], soup) + camera[:, 3]
+    tri_clip = jnp.einsum(
+        "ij,tvj->tvi", camera[:, :3], soup, precision=jax.lax.Precision.HIGHEST
+    ) + camera[:, 3]
     tris, cvalid = clip_triangles_near(tri_clip)
     cvalid &= soup_valid[:, None]
     tris = tris.reshape(-1, 3, 4)
@@ -207,7 +209,9 @@ def depth_probe(cameras, soup, soup_valid, sample_xy, chunk=128):
     soup = jnp.asarray(soup, jnp.float32)
 
     def probe_one(camera, xy):
-        tri_clip = jnp.einsum("ij,tvj->tvi", camera[:, :3], soup) + camera[:, 3]
+        tri_clip = jnp.einsum(
+        "ij,tvj->tvi", camera[:, :3], soup, precision=jax.lax.Precision.HIGHEST
+    ) + camera[:, 3]
         tris, cvalid = clip_triangles_near(tri_clip)
         cvalid &= soup_valid[:, None]
         tris = tris.reshape(-1, 3, 4)
