@@ -1,0 +1,4 @@
+from meshrecon.meshing.alpha import alpha_shape_faces
+from meshrecon.meshing.poisson import poisson_surface
+
+__all__ = ["alpha_shape_faces", "poisson_surface"]

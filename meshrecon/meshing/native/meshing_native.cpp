@@ -1,0 +1,203 @@
+// Native host-side meshing kernels for meshrecon.
+//
+// The reference keeps its combinatorial meshing native (CGAL alpha shapes /
+// Poisson, alpha_shapes.cpp + cgal_poisson.cpp); these are our from-scratch
+// C++ equivalents for the inherently sequential host stages:
+//   - mt_extract: marching-tetrahedra iso-surface extraction with vertex
+//     dedup and gradient-based outward orientation (consumes the chi grid the
+//     TPU FFT Poisson solve produces; see meshrecon/meshing/poisson.py).
+//   - greedy_suppress: density-ordered greedy point suppression, the
+//     sequential tail of Heuristic::filterPoints (heuristic.cpp:145-175).
+//
+// Plain C ABI, loaded via ctypes.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <cmath>
+#include <unordered_map>
+#include <vector>
+
+extern "C" {
+
+// six tetrahedra sharing the 0-7 diagonal; cube corner c has offset bits
+// (x, y, z) = (c&1, (c>>1)&1, (c>>2)&1)  [same tables as poisson.py]
+static const int CUBE_TETS[6][4] = {
+    {0, 1, 3, 7}, {0, 3, 2, 7}, {0, 2, 6, 7},
+    {0, 6, 4, 7}, {0, 4, 5, 7}, {0, 5, 1, 7}};
+static const int TET_EDGES[6][2] = {{0, 1}, {0, 2}, {0, 3}, {1, 2}, {1, 3}, {2, 3}};
+
+static inline void unravel(int64_t lin, int64_t g, double *out) {
+    out[0] = (double)(lin / (g * g));
+    out[1] = (double)((lin / g) % g);
+    out[2] = (double)(lin % g);
+}
+
+static inline double sample_grad(const float *f, int64_t g, const double *p, int axis) {
+    // central-difference gradient of f at continuous point p, axis component,
+    // trilinear sampling with clamping
+    double q[3] = {p[0], p[1], p[2]};
+    auto tri = [&](const double *pt) -> double {
+        double x = pt[0] < 0 ? 0 : (pt[0] > g - 1.001 ? g - 1.001 : pt[0]);
+        double y = pt[1] < 0 ? 0 : (pt[1] > g - 1.001 ? g - 1.001 : pt[1]);
+        double z = pt[2] < 0 ? 0 : (pt[2] > g - 1.001 ? g - 1.001 : pt[2]);
+        int64_t i = (int64_t)x, j = (int64_t)y, k = (int64_t)z;
+        double fx = x - i, fy = y - j, fz = z - k;
+        double acc = 0;
+        for (int dx = 0; dx < 2; dx++)
+            for (int dy = 0; dy < 2; dy++)
+                for (int dz = 0; dz < 2; dz++) {
+                    double w = (dx ? fx : 1 - fx) * (dy ? fy : 1 - fy) * (dz ? fz : 1 - fz);
+                    acc += w * f[((i + dx) * g + (j + dy)) * g + (k + dz)];
+                }
+        return acc;
+    };
+    q[axis] = p[axis] + 0.5;
+    double hi = tri(q);
+    q[axis] = p[axis] - 0.5;
+    double lo = tri(q);
+    return hi - lo;
+}
+
+// Extract the iso-surface of chi (g*g*g, C order) at level `iso`.
+// Outputs deduplicated vertices (grid coordinates) and outward-oriented
+// triangles. Returns 0 on success, -1 if capacity exceeded.
+int mt_extract(const float *chi, int64_t g, float iso,
+               float *out_verts, int32_t *out_faces, int64_t max_tris,
+               int64_t *n_verts, int64_t *n_faces) {
+    std::unordered_map<uint64_t, int32_t> edge_vertex;
+    edge_vertex.reserve(1 << 16);
+    int64_t nv = 0, nf = 0;
+    const int64_t max_verts = 3 * max_tris;
+
+    int64_t corner_off[8];
+    for (int c = 0; c < 8; c++)
+        corner_off[c] = (int64_t)(c & 1) * g * g + (int64_t)((c >> 1) & 1) * g +
+                        (int64_t)((c >> 2) & 1);
+
+    auto edge_vert = [&](int64_t a, int64_t b) -> int32_t {
+        if (a > b) std::swap(a, b);
+        uint64_t key = (uint64_t)a * (uint64_t)(g * g * g) + (uint64_t)b;
+        auto it = edge_vertex.find(key);
+        if (it != edge_vertex.end()) return it->second;
+        double fa = chi[a] - iso, fb = chi[b] - iso;
+        double t = fa / (fa - fb);
+        if (!(t >= 0)) t = 0;
+        if (t > 1) t = 1;
+        double pa[3], pb[3];
+        unravel(a, g, pa);
+        unravel(b, g, pb);
+        if (nv >= max_verts) return -1;
+        out_verts[3 * nv + 0] = (float)(pa[0] + (pb[0] - pa[0]) * t);
+        out_verts[3 * nv + 1] = (float)(pa[1] + (pb[1] - pa[1]) * t);
+        out_verts[3 * nv + 2] = (float)(pa[2] + (pb[2] - pa[2]) * t);
+        int32_t id = (int32_t)nv++;
+        edge_vertex.emplace(key, id);
+        return id;
+    };
+
+    auto emit = [&](int64_t a0, int64_t b0, int64_t a1, int64_t b1,
+                    int64_t a2, int64_t b2) -> bool {
+        int32_t v0 = edge_vert(a0, b0);
+        int32_t v1 = edge_vert(a1, b1);
+        int32_t v2 = edge_vert(a2, b2);
+        if (v0 < 0 || v1 < 0 || v2 < 0) return false;
+        if (v0 == v1 || v1 == v2 || v0 == v2) return true;  // degenerate: skip
+        if (nf >= max_tris) return false;
+        // orient outward: normal must oppose the gradient of chi
+        const float *p0 = out_verts + 3 * v0;
+        const float *p1 = out_verts + 3 * v1;
+        const float *p2 = out_verts + 3 * v2;
+        double e1[3] = {p1[0] - p0[0], p1[1] - p0[1], p1[2] - p0[2]};
+        double e2[3] = {p2[0] - p0[0], p2[1] - p0[1], p2[2] - p0[2]};
+        double nx = e1[1] * e2[2] - e1[2] * e2[1];
+        double ny = e1[2] * e2[0] - e1[0] * e2[2];
+        double nz = e1[0] * e2[1] - e1[1] * e2[0];
+        double c[3] = {(p0[0] + p1[0] + p2[0]) / 3.0, (p0[1] + p1[1] + p2[1]) / 3.0,
+                       (p0[2] + p1[2] + p2[2]) / 3.0};
+        double gx = sample_grad(chi, g, c, 0);
+        double gy = sample_grad(chi, g, c, 1);
+        double gz = sample_grad(chi, g, c, 2);
+        bool flip = nx * gx + ny * gy + nz * gz > 0;
+        out_faces[3 * nf + 0] = v0;
+        out_faces[3 * nf + 1] = flip ? v2 : v1;
+        out_faces[3 * nf + 2] = flip ? v1 : v2;
+        nf++;
+        return true;
+    };
+
+    for (int64_t i = 0; i + 1 < g; i++)
+        for (int64_t j = 0; j + 1 < g; j++)
+            for (int64_t k = 0; k + 1 < g; k++) {
+                int64_t c0 = (i * g + j) * g + k;
+                int64_t gid[8];
+                float fv[8];
+                bool any_in = false, any_out = false;
+                for (int c = 0; c < 8; c++) {
+                    gid[c] = c0 + corner_off[c];
+                    fv[c] = chi[gid[c]] - iso;
+                    (fv[c] > 0 ? any_in : any_out) = true;
+                }
+                if (!any_in || !any_out) continue;
+                for (int t = 0; t < 6; t++) {
+                    int64_t tv[4];
+                    bool in[4];
+                    int mask = 0;
+                    for (int v = 0; v < 4; v++) {
+                        tv[v] = gid[CUBE_TETS[t][v]];
+                        in[v] = fv[CUBE_TETS[t][v]] > 0;
+                        if (in[v]) mask |= 1 << v;
+                    }
+                    if (mask == 0 || mask == 15) continue;
+                    int cnt = __builtin_popcount(mask);
+                    if (cnt == 1 || cnt == 3) {
+                        int a = -1;
+                        for (int v = 0; v < 4; v++)
+                            if (in[v] == (cnt == 1)) a = v;
+                        int os[3], no = 0;
+                        for (int v = 0; v < 4; v++)
+                            if (v != a) os[no++] = v;
+                        if (!emit(tv[a], tv[os[0]], tv[a], tv[os[1]], tv[a], tv[os[2]]))
+                            return -1;
+                    } else {  // two inside: quad u-x, u-y, v-y, v-x
+                        int u = -1, v2i = -1, x = -1, y = -1;
+                        for (int v = 0; v < 4; v++) {
+                            if (in[v]) { if (u < 0) u = v; else v2i = v; }
+                            else { if (x < 0) x = v; else y = v; }
+                        }
+                        if (!emit(tv[u], tv[x], tv[u], tv[y], tv[v2i], tv[y]))
+                            return -1;
+                        if (!emit(tv[u], tv[x], tv[v2i], tv[y], tv[v2i], tv[x]))
+                            return -1;
+                    }
+                }
+            }
+    *n_verts = nv;
+    *n_faces = nf;
+    return 0;
+}
+
+// Greedy density-ordered suppression (heuristic.cpp:145-163): walk points by
+// descending density; drop points whose (mutated) score fell below `limit`;
+// kept points subtract density*weight from each neighbor's score.
+// neighbors are CSR over ALL points. Returns number of kept points, written
+// (in ascending original-index order like the reference's sort at
+// heuristic.cpp:166) into out_kept.
+int64_t greedy_suppress(const int64_t *order, int64_t n,
+                        float *score, const float *density,
+                        const int64_t *nbr_ptr, const int64_t *nbr_idx,
+                        const float *nbr_w, float limit, int64_t *out_kept) {
+    int64_t nkept = 0;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t ord = order[i];
+        if (score[ord] < limit) continue;
+        double local = density[ord];
+        for (int64_t j = nbr_ptr[ord]; j < nbr_ptr[ord + 1]; j++)
+            score[nbr_idx[j]] -= (float)(local * nbr_w[j]);
+        out_kept[nkept++] = ord;
+    }
+    std::sort(out_kept, out_kept + nkept);
+    return nkept;
+}
+
+}  // extern "C"
