@@ -1,0 +1,38 @@
+"""Public flow entry point matching the reference's calculateFlow contract.
+
+calculateFlow (flow.cpp:19-42) returns a 4-channel field per pixel:
+(fx, fy, variance, 0) where variance is the pyramid-summed L1 error between
+`prev` and `next` warped by the flow. The algorithm switch mirrors the `-f`
+CLI flag (configuration.cpp:94-96): Farneback-style polynomial expansion vs
+the default variational scheme.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from meshrecon.flow.pyramid import compare
+from meshrecon.flow.remap import flow_remap
+from meshrecon.flow.variational import variational_flow
+
+
+def calculate_flow(prev, next_, use_farneback: bool = False):
+    """Dense flow + per-pixel variance. Returns (H, W, 4) float32.
+
+    prev: the real frame; next_: the reprojected prediction. Convention:
+    ``next(x + flow(x)) ~= prev(x)`` so warping `next_` by the flow
+    reconstructs `prev` (the reference's self-check, flow.cpp:133).
+    """
+    prev = jnp.asarray(prev, jnp.float32)
+    next_ = jnp.asarray(next_, jnp.float32)
+    if use_farneback:
+        from meshrecon.flow.farneback import farneback_flow
+
+        flow = farneback_flow(prev, next_)
+    else:
+        flow = variational_flow(prev, next_)
+    variance = compare(prev, flow_remap(flow, next_))
+    zeros = jnp.zeros_like(variance)
+    return jnp.concatenate(
+        [flow, variance[..., None], zeros[..., None]], axis=-1
+    )

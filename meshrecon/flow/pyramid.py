@@ -1,0 +1,74 @@
+"""Gaussian image pyramids and the pyramid-summed L1 difference.
+
+``compare`` is the flow-variance estimator of the reference (util.cpp:332-361):
+the absolute difference between two images is computed at every pyramid level
+and cascaded back to full resolution, so each pixel's value aggregates
+mismatch at all scales. It feeds the covariance weighting of the depth
+triangulation (util.cpp:222) and the flow's variance channel (flow.cpp:34).
+
+All ops are 5-tap separable filters expressed as shifted adds — XLA fuses
+these into a handful of VPU passes; no convolution primitives needed.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# binomial 5-tap kernel, the classic pyramid filter
+_K5 = (1.0 / 16.0, 4.0 / 16.0, 6.0 / 16.0, 4.0 / 16.0, 1.0 / 16.0)
+
+
+def _sep5(img, axis):
+    pad = [(0, 0)] * img.ndim
+    pad[axis] = (2, 2)
+    p = jnp.pad(img, pad, mode="reflect")
+
+    def sl(off):
+        idx = [slice(None)] * img.ndim
+        idx[axis] = slice(off, off + img.shape[axis])
+        return p[tuple(idx)]
+
+    return sum(w * sl(i) for i, w in enumerate(_K5))
+
+
+def gauss5(img):
+    """5x5 binomial blur with reflect-101 borders."""
+    return _sep5(_sep5(img, 0), 1)
+
+
+def pyr_down(img):
+    """Blur + decimate by 2 (keeps even rows/cols; output ceil(n/2))."""
+    return gauss5(img)[..., ::2, :][..., :, ::2]
+
+
+def pyr_up(img, out_shape):
+    """Zero-stuff upsample to `out_shape` then blur with the 2x-gain kernel."""
+    h, w = img.shape[-2], img.shape[-1]
+    oh, ow = out_shape
+    up = jnp.zeros(img.shape[:-2] + (2 * h, 2 * w), img.dtype)
+    up = up.at[..., ::2, ::2].set(img)
+    up = up[..., :oh, :ow]
+    return gauss5(up) * 4.0
+
+
+def compare(prev, next_):
+    """Pyramid-cascaded L1 difference (util.cpp:332-361).
+
+    prev, next_: (H, W) float images. Returns (H, W) float32 aggregated
+    absolute difference — the flow variance estimate.
+    """
+    a = jnp.asarray(prev, jnp.float32)
+    b = jnp.asarray(next_, jnp.float32)
+    diffs = []
+    size = min(a.shape[-2], a.shape[-1])
+    while True:
+        diffs.append(jnp.abs(a - b))
+        if size <= 2:
+            break
+        a = pyr_down(a)
+        b = pyr_down(b)
+        size //= 2
+    acc = diffs[-1]
+    for lvl in range(len(diffs) - 2, -1, -1):
+        acc = diffs[lvl] + pyr_up(acc, diffs[lvl].shape[-2:])
+    return acc

@@ -1,0 +1,110 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from meshrecon.flow import pyr_down, pyr_up, compare, flow_remap, calculate_flow
+from meshrecon.flow.variational import variational_flow
+from meshrecon.flow.farneback import farneback_flow
+
+
+def smooth_image(h, w, seed=0, octaves=4):
+    """Band-limited random image, 0..255 scale (flow needs texture)."""
+    rng = np.random.default_rng(seed)
+    img = np.zeros((h, w))
+    for o in range(octaves):
+        s = 2**o
+        small = rng.normal(size=(max(2, h // (8 * s)) + 2, max(2, w // (8 * s)) + 2))
+        yy = np.linspace(0, small.shape[0] - 1.001, h)
+        xx = np.linspace(0, small.shape[1] - 1.001, w)
+        yi, xi = np.floor(yy).astype(int), np.floor(xx).astype(int)
+        fy, fx = (yy - yi)[:, None], (xx - xi)[None, :]
+        v = (
+            small[yi][:, xi] * (1 - fy) * (1 - fx)
+            + small[yi][:, xi + 1] * (1 - fy) * fx
+            + small[yi + 1][:, xi] * fy * (1 - fx)
+            + small[yi + 1][:, xi + 1] * fy * fx
+        )
+        img += v / (o + 1)
+    img -= img.min()
+    img *= 255.0 / max(img.max(), 1e-6)
+    return img.astype(np.float32)
+
+
+def shift_image(img, dx, dy):
+    """Shift by integer pixels: out(r, c) = img(r - dy, c - dx)."""
+    out = np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+    return out
+
+
+def test_pyr_down_up_shapes():
+    img = jnp.asarray(smooth_image(37, 53))
+    d = pyr_down(img)
+    assert d.shape == (19, 27)
+    u = pyr_up(d, (37, 53))
+    assert u.shape == (37, 53)
+    # energy roughly preserved
+    assert abs(float(jnp.mean(u)) - float(jnp.mean(img))) < 10.0
+
+
+def test_compare_zero_for_identical():
+    img = smooth_image(40, 48)
+    var = np.asarray(compare(img, img))
+    assert np.allclose(var, 0.0, atol=1e-3)
+
+
+def test_compare_positive_for_shift():
+    img = smooth_image(40, 48, seed=1)
+    var = np.asarray(compare(img, shift_image(img, 3, 0)))
+    assert var.mean() > 1.0
+
+
+def test_flow_remap_identity():
+    img = smooth_image(32, 40, seed=2)
+    flow = np.zeros((32, 40, 4), np.float32)
+    out = np.asarray(flow_remap(flow, img))
+    np.testing.assert_allclose(out[2:-2, 2:-2], img[2:-2, 2:-2], atol=1e-3)
+
+
+def test_flow_remap_integer_shift():
+    img = smooth_image(32, 40, seed=3)
+    flow = np.zeros((32, 40, 2), np.float32)
+    flow[..., 0] = 2.0  # sample at col + 2
+    out = np.asarray(flow_remap(flow, img))
+    np.testing.assert_allclose(out[4:-4, 4:-8], img[4:-4, 6:-6], atol=1e-2)
+
+
+@pytest.mark.parametrize("algo", ["variational", "farneback"])
+def test_flow_recovers_translation(algo):
+    img = smooth_image(72, 96, seed=4)
+    dx, dy = 3, -2
+    # moved(r, c) = img(r - dy, c - dx): flow from img->moved should be (dx, dy)
+    # under the convention moved(x + flow) = img(x) -> flow = -(dx, dy)?
+    # Reference convention: next(x + flow(x)) ~= prev(x). next = moved,
+    # prev = img. moved(c + fx) = img(c) requires fx = -dx ... but
+    # moved(c) = img(c - dx) so moved(c + dx)? moved at col c+dx equals
+    # img(c). Hence fx = +dx... careful: moved(r,c) = img(r-dy, c-dx).
+    # moved(r + dy, c + dx) = img(r, c). So flow = (+dx, +dy).
+    moved = shift_image(img, dx, dy)
+    fn = variational_flow if algo == "variational" else farneback_flow
+    flow = np.asarray(fn(img, moved))
+    interior = flow[12:-12, 12:-12]
+    err = np.hypot(interior[..., 0] - dx, interior[..., 1] - dy)
+    assert np.median(err) < 0.5, f"median flow error {np.median(err)}"
+
+
+def test_calculate_flow_contract_and_selfcheck():
+    img = smooth_image(64, 80, seed=5)
+    moved = shift_image(img, 2, 1)
+    out = np.asarray(calculate_flow(img, moved))
+    assert out.shape == (64, 80, 4)
+    assert np.all(out[..., 3] == 0.0)
+    # remap-error self-check (flow.cpp:133): warping `moved` by the flow must
+    # reconstruct `img` much better than not warping
+    remapped = np.asarray(flow_remap(out, moved))
+    err_with = np.abs(remapped[8:-8, 8:-8] - img[8:-8, 8:-8]).mean()
+    err_without = np.abs(moved[8:-8, 8:-8] - img[8:-8, 8:-8]).mean()
+    assert err_with < 0.3 * err_without
+    # variance channel should be small where the flow is good
+    assert np.median(out[8:-8, 8:-8, 2]) < np.median(
+        np.asarray(compare(img, moved))[8:-8, 8:-8]
+    )
