@@ -1,0 +1,133 @@
+"""Per-pixel surface normals from neighborhood PCA, via integral images.
+
+Re-architecture of the normal-estimation pass of triangulatePixels
+(util.cpp:250-326): the reference gathers a 21x21 pixel neighborhood of
+triangulated points for every pixel and runs cv::PCA on it — an O(radius^2)
+gather per pixel. On TPU the same covariance is obtained with *integral
+images* (2-D cumulative sums) of p, p p^T and the valid count — O(1) per
+pixel, fully parallel — followed by a batched smallest-eigenvector solve of
+the 3x3 covariance.
+
+Semantics preserved:
+
+- window half-size radius = 10 (util.cpp:253), only triangulated (valid)
+  neighbors contribute (util.cpp:282-293).
+- normal = eigenvector of the smallest eigenvalue (util.cpp:299-301).
+- orientation: flip when ``sum_i 1 / (n . (c_i - p)) < 0`` over all camera
+  centers (main first), the reference's inverse-distance vote
+  (util.cpp:303-310).
+- fallback for < 3 neighbors: ``sum_i (c_i - p) / |c_i - p|^2``
+  (util.cpp:314-321).
+- output scaled by ``pdf^(1/K) / |n|`` (pdf root only when K > 1,
+  util.cpp:277-279, 324).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _window_sums(field, radius):
+    """Sum of (H, W, C) field over (2r+1)^2 windows via integral images."""
+    h, w = field.shape[:2]
+    ii = jnp.cumsum(jnp.cumsum(field, axis=0), axis=1)
+    ii = jnp.pad(ii, ((1, 0), (1, 0)) + ((0, 0),) * (field.ndim - 2))
+
+    r = radius
+    rows = jnp.arange(h)
+    cols = jnp.arange(w)
+    r0 = jnp.clip(rows - r, 0, h)
+    r1 = jnp.clip(rows + r + 1, 0, h)
+    c0 = jnp.clip(cols - r, 0, w)
+    c1 = jnp.clip(cols + r + 1, 0, w)
+    a = ii[r1[:, None], c1[None, :]]
+    b = ii[r0[:, None], c1[None, :]]
+    c = ii[r1[:, None], c0[None, :]]
+    d = ii[r0[:, None], c0[None, :]]
+    return a - b - c + d
+
+
+def _smallest_eigvec_3x3(cov):
+    """Unit eigenvector of the smallest eigenvalue for (..., 3, 3) symmetric."""
+    vals, vecs = jnp.linalg.eigh(cov)
+    return vecs[..., :, 0]  # eigh sorts ascending
+
+
+@functools.partial(jax.jit, static_argnames=("radius",))
+def estimate_normals(point4, valid, pdf, camera_centers, centers_valid,
+                     n_side: jnp.ndarray, radius: int = 10):
+    """Estimate confidence-scaled normals for each triangulated pixel.
+
+    point4: (H, W, 4); valid: (H, W) bool; pdf: (H, W); camera_centers:
+    (C, 3) Cartesian centers (main camera first, like util.cpp:255-261);
+    centers_valid: (C,) bool; n_side: scalar int (number of real side
+    cameras, for the pdf root). Returns (H, W, 3) float32 normals.
+    """
+    point4 = jnp.asarray(point4, jnp.float32)
+    w4 = point4[..., 3:4]
+    w4 = jnp.where(jnp.abs(w4) < 1e-20, 1.0, w4)  # invalid pixels may have w=0
+    vmask = valid.astype(jnp.float32)[..., None]
+    p3 = (point4[..., :3] / w4) * vmask
+    pm = p3 * vmask
+
+    cnt = _window_sums(vmask, radius)[..., 0]
+    s1 = _window_sums(pm, radius)  # (H, W, 3)
+    # second moments: 6 unique entries of p p^T
+    pp = jnp.stack(
+        [
+            pm[..., 0] * p3[..., 0],
+            pm[..., 1] * p3[..., 1],
+            pm[..., 2] * p3[..., 2],
+            pm[..., 0] * p3[..., 1],
+            pm[..., 0] * p3[..., 2],
+            pm[..., 1] * p3[..., 2],
+        ],
+        axis=-1,
+    )
+    s2 = _window_sums(pp, radius)
+    n = jnp.maximum(cnt, 1.0)
+    mean = s1 / n[..., None]
+    cxx = s2[..., 0] / n - mean[..., 0] * mean[..., 0]
+    cyy = s2[..., 1] / n - mean[..., 1] * mean[..., 1]
+    czz = s2[..., 2] / n - mean[..., 2] * mean[..., 2]
+    cxy = s2[..., 3] / n - mean[..., 0] * mean[..., 1]
+    cxz = s2[..., 4] / n - mean[..., 0] * mean[..., 2]
+    cyz = s2[..., 5] / n - mean[..., 1] * mean[..., 2]
+    cov = jnp.stack(
+        [
+            jnp.stack([cxx, cxy, cxz], axis=-1),
+            jnp.stack([cxy, cyy, cyz], axis=-1),
+            jnp.stack([cxz, cyz, czz], axis=-1),
+        ],
+        axis=-2,
+    )
+    # regularize so eigh is well-defined on empty/degenerate windows
+    eye = jnp.eye(3, dtype=jnp.float32) * 1e-12
+    normal_pca = _smallest_eigvec_3x3(cov + eye)
+
+    centers = jnp.asarray(camera_centers, jnp.float32)  # (C, 3)
+    cmask = centers_valid.astype(jnp.float32)
+    diff = centers[:, None, None, :] - p3[None]  # (C, H, W, 3)
+
+    # orientation vote: sum_i 1 / (n . (c_i - p)); flip when negative
+    ndot = jnp.einsum("chwi,hwi->chw", diff, normal_pca)
+    ndot = jnp.where(jnp.abs(ndot) < 1e-12, 1e-12, ndot)
+    vote = jnp.sum(cmask[:, None, None] / ndot, axis=0)
+    normal_pca = jnp.where(vote[..., None] < 0, -normal_pca, normal_pca)
+
+    # fallback when the window holds fewer than 3 points
+    d2 = jnp.sum(diff * diff, axis=-1)
+    d2 = jnp.maximum(d2, 1e-12)
+    fallback = jnp.sum(
+        diff * (cmask[:, None, None] / d2)[..., None], axis=0
+    )
+    normal = jnp.where((cnt >= 3.0)[..., None], normal_pca, fallback)
+
+    k = jnp.maximum(n_side.astype(jnp.float32), 1.0)
+    pdf_root = jnp.where(k > 1.0, jnp.power(jnp.maximum(pdf, 0.0), 1.0 / k), pdf)
+    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
+    norm = jnp.maximum(norm, 1e-12)
+    return normal * (pdf_root[..., None] / norm) * vmask
