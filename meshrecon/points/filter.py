@@ -1,0 +1,148 @@
+"""Density-based point-cloud filtering (outlier cut + redundancy suppression).
+
+Re-architecture of Heuristic::filterPoints (heuristic.cpp:55-176):
+
+1. neighbor graph within a radius — the reference queries a FLANN KD-tree
+   per point; we build the exact same half-edge graph (only pairs j < i,
+   heuristic.cpp:88) with scipy's cKDTree (native code) on the host. NOTE
+   the reference's FLANN metric is L2_Simple whose "radius" and returned
+   "distances" are SQUARED distances, and the radius is alpha/4 where CGAL's
+   alpha is itself a squared circumradius — so the edge weight is
+   ``1 - d^2 / (alpha/4)`` (densityFn, heuristic.cpp:49-52). Replicated
+   exactly.
+2. density power iteration with L1 normalization and clamping at 2.0,
+   convergence 1e-6 mean-squared change, <= 200 iterations
+   (heuristic.cpp:102-136) — runs on device as segment-sums over the edge
+   list (one fused gather/scatter program per sweep).
+3. greedy suppression along descending density: keep a point if its (mutated)
+   raw score is >= 0.7; a kept point subtracts density*weight from its
+   lower-index neighbors' scores (heuristic.cpp:139-163). Inherently
+   sequential -> native C++ (meshing_native.cpp), with a NumPy fallback.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from scipy.spatial import cKDTree
+
+DENSITY_LIMIT = 0.7  # heuristic.cpp:139
+DENSITY_CLAMP = 2.0  # heuristic.cpp:128-129
+
+
+def build_half_edges(points3: np.ndarray, radius_sq: float):
+    """Half-edge neighbor graph: pairs (i, j), j < i, with squared distance
+    <= radius_sq; weights 1 - d^2/radius_sq. Returns (ei, ej, w) arrays."""
+    tree = cKDTree(points3)
+    pairs = tree.query_pairs(np.sqrt(radius_sq), output_type="ndarray")
+    if len(pairs) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.float32)
+    ei = np.maximum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
+    ej = np.minimum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
+    d2 = np.sum((points3[ei] - points3[ej]) ** 2, axis=1)
+    keep = d2 <= radius_sq
+    ei, ej, d2 = ei[keep], ej[keep], d2[keep]
+    w = (1.0 - d2 / radius_sq).astype(np.float32)
+    return ei, ej, w
+
+
+@functools.partial(jax.jit, static_argnames=("n", "max_iters"))
+def _power_iteration(ei, ej, w, n, max_iters=200):
+    """Clamped power iteration for local density; returns (density, raw_score).
+
+    The returned raw_score is the *last* accumulation (computed from the
+    previous density), matching the state the reference leaves in its `score`
+    array when the loop exits (heuristic.cpp:107-136).
+    """
+
+    def sweep(density):
+        score = jnp.zeros(n, jnp.float32)
+        score = score.at[ei].add(density[ej] * w)
+        score = score.at[ej].add(density[ei] * w)
+        return score
+
+    def cond(state):
+        _, _, change, it = state
+        return (change > 1e-6) & (it < max_iters)
+
+    def body(state):
+        density, _, _, it = state
+        score = sweep(density)
+        total = jnp.sum(score)
+        normalizer = jnp.where(total > 0, n / total, 0.0)
+        new_density = jnp.minimum(score * normalizer, DENSITY_CLAMP)
+        change = jnp.mean((density - new_density) ** 2)
+        return new_density, score, change, it + 1
+
+    init = (jnp.ones(n, jnp.float32), jnp.zeros(n, jnp.float32), jnp.float32(1.0),
+            jnp.int32(0))
+    density, score, _, _ = jax.lax.while_loop(cond, body, init)
+    return density, score
+
+
+def density_scores(points3: np.ndarray, radius_sq: float):
+    """Neighbor graph + converged density and raw scores. Host<->device split:
+    graph on host (combinatorial), iteration on device (dense)."""
+    n = len(points3)
+    ei, ej, w = build_half_edges(points3, radius_sq)
+    density, score = _power_iteration(
+        jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(w), n
+    )
+    return np.asarray(density), np.asarray(score), (ei, ej, w)
+
+
+def _greedy_numpy(order, score, density, nbr_ptr, nbr_idx, nbr_w, limit):
+    score = score.copy()
+    kept = []
+    for ord_ in order:
+        if score[ord_] < limit:
+            continue
+        lo, hi = nbr_ptr[ord_], nbr_ptr[ord_ + 1]
+        score[nbr_idx[lo:hi]] -= density[ord_] * nbr_w[lo:hi]
+        kept.append(ord_)
+    kept.sort()
+    return np.asarray(kept, dtype=np.int64)
+
+
+def filter_points(points4: np.ndarray, normals: np.ndarray, radius_sq: float):
+    """Filter a point cloud; returns (points4_kept, normals_kept, kept_idx).
+
+    radius_sq: the squared-distance radius (= alpha/4 with CGAL-convention
+    alpha, heuristic.cpp:63).
+    """
+    points4 = np.asarray(points4, np.float32)
+    normals = np.asarray(normals, np.float32)
+    n = len(points4)
+    if n == 0:
+        return points4, normals, np.zeros(0, np.int64)
+    p3 = points4[:, :3] / points4[:, 3:4]
+    density, score, (ei, ej, w) = density_scores(p3, radius_sq)
+
+    # descending-density order (heuristic.cpp:146)
+    order = np.argsort(-density, kind="stable").astype(np.int64)
+
+    # CSR of lower-index neighbors per point (the reference's half lists)
+    sort_by_i = np.argsort(ei, kind="stable")
+    ei_s, ej_s, w_s = ei[sort_by_i], ej[sort_by_i], w[sort_by_i]
+    nbr_ptr = np.zeros(n + 1, np.int64)
+    np.add.at(nbr_ptr, ei_s + 1, 1)
+    nbr_ptr = np.cumsum(nbr_ptr)
+
+    kept = None
+    try:
+        from meshrecon.meshing.native import greedy_suppress_native
+
+        kept = greedy_suppress_native(
+            order, score.astype(np.float32), density.astype(np.float32),
+            nbr_ptr, ej_s, w_s, DENSITY_LIMIT,
+        )
+    except Exception:
+        kept = None
+    if kept is None:
+        kept = _greedy_numpy(order, score, density, nbr_ptr, ej_s, w_s,
+                             DENSITY_LIMIT)
+    return points4[kept], normals[kept], kept
