@@ -1,0 +1,213 @@
+"""Runtime configuration: CLI parsing, scene ingestion, clip decoding.
+
+Replicates the reference CLI exactly (configuration.cpp:37-123):
+
+  recon [OPTIONS] [INPUT_FILE]
+    -c, --camera-threshold=f   camera-selection threshold   (default 10)
+    -e, --estimate-exposure    normalize exposure over time (default off)
+    -f, --farneback            Farneback flow instead of variational
+    -i, --input=s              input YAML scene file
+    -k, --skip-frames=i        use every n-th frame         (default 1)
+    -m, --initial-mesh=s       initial scene estimate (.obj)
+    -n, --iterations=i         refinement iterations        (default 2)
+    -o, --output=s             output mesh                  (default output.obj)
+    -s, --scale=f              downsample input video       (default 1.0)
+    -v / -V                    verbose / hyper-verbose
+
+plus TPU-framework extensions: --seed (the reference uses unseeded cv::randu,
+heuristic.cpp:365; we default to a fixed seed for reproducibility), --synthetic
+(render fixture frames from the scene geometry instead of decoding the clip;
+the sample videos are not shipped with the reference's tracks), --poisson-grid,
+--checkpoint-dir/--resume, and --mesh-devices for multi-chip sharding.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+from typing import Optional
+
+import numpy as np
+
+from meshrecon.io.tracks import TrackFile, load_tracks
+
+
+@dataclasses.dataclass
+class Config:
+    track: TrackFile
+    frames: np.ndarray  # (F, H, W) float32 grayscale 0..255
+    iteration_count: int = 2
+    verbosity: int = 0
+    use_farneback: bool = False
+    camera_threshold: float = 10.0
+    scene_resolution: float = 1.0  # kept for parity (recon.hpp:73); unused
+    scaling_factor: float = 1.0
+    skip_frames: int = 1
+    out_file_name: str = "output.obj"
+    in_mesh_file: Optional[str] = None
+    seed: int = 0
+    poisson_grid: int = 128
+    checkpoint_dir: Optional[str] = None
+    resume: bool = False
+    mesh_devices: int = 1
+    exposure: Optional[np.ndarray] = None
+
+    @property
+    def width(self) -> int:
+        return int(self.frames.shape[2])
+
+    @property
+    def height(self) -> int:
+        return int(self.frames.shape[1])
+
+    @property
+    def cameras(self) -> np.ndarray:
+        return self.track.cameras
+
+    def camera(self, i: int) -> np.ndarray:
+        return self.track.cameras[i]
+
+    def frame(self, i: int) -> np.ndarray:
+        return self.frames[i]
+
+    @property
+    def frame_count(self) -> int:
+        return len(self.frames)
+
+    def reconstructed_points(self) -> np.ndarray:
+        return self.track.bundles
+
+    def log(self, level: int, msg: str) -> None:
+        if self.verbosity >= level:
+            print(msg, flush=True)
+
+
+def _decode_clip(track: TrackFile, skip_frames: int, width: int, height: int):
+    """Decode the clip into RAM like configuration.cpp:227-238 (cv2 host IO)."""
+    import cv2
+
+    clip = cv2.VideoCapture(track.clip_path)
+    if not clip.isOpened():
+        raise FileNotFoundError(f"Cannot read clip {track.clip_path}")
+    frames = []
+    fi = 0
+    tracked = track.frame_count
+    while len(frames) < tracked:
+        ok, frame = clip.read()
+        if not ok:
+            break
+        if fi % skip_frames == 0:
+            if frame.shape[0] != height or frame.shape[1] != width:
+                frame = cv2.resize(frame, (width, height),
+                                   interpolation=cv2.INTER_AREA)
+            frames.append(frame)
+        fi += 1
+    clip.release()
+    if len(frames) < tracked:
+        raise RuntimeError(
+            f"clip {track.clip_path} has {len(frames)} usable frames, "
+            f"need {tracked}"
+        )
+    return frames
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="recon",
+        description="Reconstructs dense geometry from given YAML scene "
+        "calibration and video (TPU-native)",
+    )
+    p.add_argument("input_pos", nargs="?", help="input YAML scene file")
+    p.add_argument("-i", "--input", dest="input")
+    p.add_argument("-m", "--initial-mesh", dest="initial_mesh")
+    p.add_argument("-o", "--output", default="output.obj")
+    p.add_argument("-c", "--camera-threshold", type=float, default=10.0)
+    p.add_argument("-e", "--estimate-exposure", action="store_true")
+    p.add_argument("-n", "--iterations", type=int, default=2)
+    p.add_argument("-s", "--scale", type=float, default=1.0)
+    p.add_argument("-k", "--skip-frames", type=int, default=1)
+    p.add_argument("-f", "--farneback", action="store_true")
+    p.add_argument("-v", "--verbose", action="count", default=0)
+    p.add_argument("-V", "--hyper-verbose", action="store_true")
+    # framework extensions
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--synthetic", choices=["sphere", "bundles"], default=None,
+                   help="render fixture frames instead of decoding the clip")
+    p.add_argument("--poisson-grid", type=int, default=128)
+    p.add_argument("--checkpoint-dir", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--mesh-devices", type=int, default=1,
+                   help="shard main cameras across this many jax devices")
+    return p
+
+
+def config_from_args(argv=None) -> Config:
+    args = build_parser().parse_args(argv)
+    in_file = args.input or args.input_pos
+    if not in_file:
+        print("No configuration YAML file given, exiting.", file=sys.stderr)
+        raise SystemExit(1)
+
+    skip = max(1, args.skip_frames)
+    track = load_tracks(in_file, skip_frames=skip)
+
+    scale = args.scale if args.scale and args.scale > 1 else 1.0
+    width = int(track.width / scale)
+    height = int(track.height / scale)
+    if track.width % max(scale, 1) or track.height % max(scale, 1):
+        print(
+            "Warning: downscale factor does not divide the frame size "
+            "(configuration.cpp:149-151 warns here too)",
+            file=sys.stderr,
+        )
+
+    exposure = None
+    if args.synthetic:
+        from meshrecon.io.synthetic import synthetic_frames
+
+        gray = synthetic_frames(track, width, height, mode=args.synthetic,
+                                seed=args.seed)
+    else:
+        bgr = _decode_clip(track, skip, width, height)
+        if args.estimate_exposure:
+            from meshrecon.pipeline.exposure import estimate_exposure
+
+            gray, exposure = estimate_exposure(
+                bgr, track.cameras, track.bundles, track.bundles_enabled,
+                track.distortion, track.center_x / scale,
+                track.center_y / scale, width, height,
+            )
+        else:
+            # BGR -> gray with the Rec.601 weights cv::cvtColor applies
+            # (configuration.cpp:243-245)
+            gray = np.stack(
+                [
+                    (
+                        0.114 * f[..., 0].astype(np.float32)
+                        + 0.587 * f[..., 1].astype(np.float32)
+                        + 0.299 * f[..., 2].astype(np.float32)
+                    )
+                    for f in bgr
+                ]
+            )
+
+    verbosity = 99 if args.hyper_verbose else (2 if args.verbose else 0)
+    return Config(
+        track=track,
+        frames=np.asarray(gray, np.float32),
+        iteration_count=args.iterations,
+        verbosity=verbosity,
+        use_farneback=args.farneback,
+        camera_threshold=args.camera_threshold,
+        scaling_factor=scale,
+        skip_frames=skip,
+        out_file_name=args.output,
+        in_mesh_file=args.initial_mesh,
+        seed=args.seed,
+        poisson_grid=args.poisson_grid,
+        checkpoint_dir=args.checkpoint_dir,
+        resume=args.resume,
+        mesh_devices=args.mesh_devices,
+        exposure=exposure,
+    )

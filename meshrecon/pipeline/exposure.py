@@ -1,0 +1,106 @@
+"""Per-frame exposure estimation and normalization.
+
+Vectorized re-implementation of Configuration::estimateExposure
+(configuration.cpp:270-426): sample each sparse bundle's color from every
+frame where the track is enabled (box average over a radius^2 = 16 circular
+neighborhood, rejecting clipped 0/255 texels, configuration.cpp:299 +
+util.cpp:408-433), then alternate between estimating per-point brightness and
+per-frame, per-channel exposure gains (SVD least squares with 0.4
+over-relaxation, configuration.cpp:345-392). Finally frames are collapsed to
+grayscale as ``sum_c channel_c * exposure[c]`` (configuration.cpp:417-425).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from meshrecon.geometry.camera import project_points
+
+
+def sample_box(image: np.ndarray, radius_sq: float, x: float, y: float,
+               channel: int) -> float:
+    """Box-average over a circular neighborhood; -1 when no usable texels.
+
+    Rejects texels with value 0 or 255 (under/over-exposed), like
+    util.cpp:408-433.
+    """
+    h, w = image.shape[:2]
+    radius = np.sqrt(radius_sq)
+    y0, y1 = int(max(0, y - radius)), int(min(y + radius + 1, h))
+    x0, x1 = int(max(0, x - radius)), int(min(x + radius + 1, w))
+    if y0 >= y1 or x0 >= x1:
+        return -1.0
+    patch = image[y0:y1, x0:x1, channel].astype(np.float64)
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    m = ((xx - x) ** 2 + (yy - y) ** 2 <= radius_sq) & (patch > 0) & (patch < 255)
+    if not np.any(m):
+        return -1.0
+    return float(patch[m].mean())
+
+
+def estimate_exposure(frames, cameras, bundles, bundles_enabled, lens_distortion,
+                      center_x, center_y, width, height, verbose=False):
+    """Estimate exposure gains and return grayscale-normalized frames.
+
+    frames: list/array of (H, W, 3) uint8 BGR frames; cameras: (F, 4, 4);
+    bundles: (N, 4). Returns (gray_frames (F, H, W) float32, exposure (3, F)).
+    """
+    f_count = len(cameras)
+    p_count = len(bundles)
+    ch = frames[0].shape[2]
+    aspect = float(height) / float(width)
+
+    sampled = np.full((f_count, p_count, ch), -1.0)
+    valid = np.zeros((f_count, p_count), bool)
+    for i in range(f_count):
+        ndc = np.asarray(
+            project_points(cameras[i], bundles, lens_distortion, aspect)
+        )
+        for j in range(p_count):
+            if i not in bundles_enabled[j]:
+                continue
+            img_x = center_x + ndc[j, 0] * width * 0.5
+            img_y = height - center_y - ndc[j, 1] * height * 0.5
+            vals = [sample_box(frames[i], 16.0, img_x, img_y, c) for c in range(ch)]
+            if all(v >= 0 for v in vals):
+                sampled[i, j] = vals
+                valid[i, j] = True
+        if valid[i].sum() < ch:
+            raise RuntimeError(
+                f"frame {i}: too few valid exposure samples "
+                "(configuration.cpp:315-318 aborts here too)"
+            )
+
+    sum_brightness = sampled[valid].sum() / ch
+    exposure = np.full((ch, f_count), 1.0 / ch)
+    brightness = np.ones(p_count)
+    for _ in range(100):
+        # assume exposure correct -> per-point brightness
+        per_fp = np.einsum("fpc,cf->fp", np.where(valid[..., None], sampled, 0.0),
+                           exposure)
+        wsum = valid.sum(axis=0)
+        with np.errstate(invalid="ignore"):
+            brightness = np.where(wsum > 0, per_fp.sum(axis=0) / np.maximum(wsum, 1),
+                                  0.0)
+        current = per_fp.sum()
+        brightness *= sum_brightness / max(current, 1e-12)
+
+        # assume brightness correct -> per-frame exposure (SVD lstsq, relaxed)
+        error = 0.0
+        omega = 0.4
+        for i in range(f_count):
+            rows = valid[i]
+            a = sampled[i, rows]  # (S, ch)
+            b = brightness[rows]
+            sol, *_ = np.linalg.lstsq(a, b, rcond=None)
+            old = exposure[:, i].copy()
+            exposure[:, i] = sol * (1 + omega) - old * omega
+            error += np.linalg.norm(a @ exposure[:, i] - b) / max(len(b), 1)
+        if error / f_count < 0.1:
+            break
+
+    gray = np.zeros((f_count,) + frames[0].shape[:2], np.float32)
+    for i in range(f_count):
+        gray[i] = np.einsum("hwc,c->hw", frames[i].astype(np.float32),
+                            exposure[:, i]).astype(np.float32)
+    return np.clip(gray, 0, 255), exposure

@@ -1,0 +1,260 @@
+"""Strategy layer: iteration control, camera-pair selection, tessellation
+dispatch, point-filter policy — the Heuristic class of the reference
+(heuristic.cpp), re-architected so all dense work is batched on device.
+
+The reference's chooseCameras renders a FULL depth frame from each of 200
+random surface viewpoints and reads back a handful of pixels per render
+(heuristic.cpp:448-459). Here all 200 shots and all scene cameras become one
+batched `depth_probe` call (S x C ray tests against the triangle soup); the
+remaining weighted-sampling logic is scalar host code driven by a seeded RNG
+(the reference uses unseeded cv::randu, so outputs are only statistically
+comparable; a fixed seed makes our runs reproducible).
+
+Known deliberate divergence: the reference samples the occlusion depth map at
+``row = (y+1) h/2`` (heuristic.cpp:307-308) although its depth frames are
+vertically flipped to row0=top (render_glx.cpp:392) — a vertical-mirror bug.
+We sample at the geometrically consistent position.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from meshrecon.geometry.camera import np_extract_camera_center
+from meshrecon.io.obj import Mesh, read_mesh
+from meshrecon.meshing import alpha_shape_faces, poisson_surface
+
+FOCAL = 0.5  # focal length of face-viewer cameras (heuristic.cpp:9)
+FACE_NEAR = 0.001  # heuristic.cpp:239
+FACE_FAR = 10.0  # heuristic.cpp:454
+SHOT_COUNT = 200  # heuristic.cpp:447
+
+
+def face_camera(vertices4, face, u1, u2, far=FACE_FAR, focal=FOCAL):
+    """Viewer camera on a random point of a face, looking along its normal.
+
+    Mirrors faceCamera (heuristic.cpp:193-247): rotation aligned with the
+    face normal (or axis flip when the normal is vertical), center at the
+    barycentric point (u1, u2), projection with near=0.001 and the given far.
+    """
+    a, b, c = (
+        vertices4[face[0], :3] / vertices4[face[0], 3],
+        vertices4[face[1], :3] / vertices4[face[1], 3],
+        vertices4[face[2], :3] / vertices4[face[2], 3],
+    )
+    normal = np.cross(b - a, c - b)
+    nl = np.linalg.norm(normal)
+    if nl < 1e-20:
+        normal = np.array([0.0, 0.0, 1.0])
+    else:
+        normal = normal / nl
+    if u1 + u2 > 1:
+        u1, u2 = 1 - u1, 1 - u2
+    ce = a * u1 + b * u2 + c * (1 - u1 - u2)
+
+    x, y, z = normal
+    xys = x * x + y * y
+    xy = np.sqrt(xys)
+    if xy > 0:
+        rt = np.array(
+            [
+                [z * x / xy, z * y / xy, xy, -z * (ce[0] * x + ce[1] * y) / xy
+                 - ce[2] * xy],
+                [-y / xy, x / xy, 0, (ce[0] * y - ce[1] * x) / xy],
+                [-x, -y, z, ce[0] * x + ce[1] * y - ce[2] * z],
+                [0, 0, 0, 1],
+            ],
+            dtype=np.float64,
+        )
+    else:
+        s = 1.0 if z > 0 else -1.0
+        rt = np.array(
+            [
+                [1, 0, 0, -ce[0]],
+                [0, s, 0, -ce[1]],
+                [0, 0, s, -ce[2]],
+                [0, 0, 0, 1],
+            ],
+            dtype=np.float64,
+        )
+    near = FACE_NEAR
+    k = np.array(
+        [
+            [focal, 0, 0, 0],
+            [0, focal, 0, 0],
+            [0, 0, (near + far) / (far - near), 2 * near * far / (near - far)],
+            [0, 0, 1, 0],
+        ],
+        dtype=np.float64,
+    )
+    return (k @ rt).astype(np.float32)
+
+
+def face_areas(mesh: Mesh) -> np.ndarray:
+    soup = mesh.triangle_soup
+    e = soup[:, 1] - soup[:, 0]
+    f = soup[:, 2] - soup[:, 1]
+    return 0.5 * np.linalg.norm(np.cross(e, f), axis=1)
+
+
+class Heuristic:
+    """Iteration policy + camera selection + tessellation dispatch."""
+
+    def __init__(self, config):
+        self.config = config
+        self.iteration = 0
+        self.alpha_vals: list[float] = []
+        self.chosen: list[tuple[int, list[int]]] = []
+        self.rng = np.random.default_rng(config.seed)
+
+    # -- iteration control (heuristic.cpp:31-35) --
+    def not_happy(self, points) -> bool:
+        self.iteration += 1
+        return self.iteration <= self.config.iteration_count
+
+    # -- tessellation dispatch (heuristic.cpp:525-545) --
+    def tessellate(self, points: np.ndarray, normals: np.ndarray) -> Mesh:
+        if self.iteration <= 1:
+            if self.config.in_mesh_file:
+                self.alpha_vals.append(1.0)
+                return read_mesh(self.config.in_mesh_file)
+            faces, alpha = alpha_shape_faces(points)
+            self.alpha_vals.append(alpha)
+            return Mesh(points, faces)
+        mesh = poisson_surface(points, normals, grid=self.config.poisson_grid)
+        self.alpha_vals.append(self.alpha_vals[-1] / 2.0)
+        return mesh
+
+    def filter_radius_sq(self) -> float:
+        return self.alpha_vals[-1] / 4.0  # heuristic.cpp:63
+
+    # -- camera selection (heuristic.cpp:429-486) --
+    def choose_cameras(self, mesh: Mesh, cameras: np.ndarray, renderer) -> int:
+        cfg = self.config
+        areas = face_areas(mesh)
+        total_area = float(areas.sum())
+        if total_area <= 0 or len(areas) == 0:
+            self.chosen = []
+            return 0
+        cum = np.concatenate([[0.0], np.cumsum(areas)])
+
+        n_cams = len(cameras)
+        sampling_resolution = (
+            np.sqrt(n_cams) * cfg.width * cfg.height
+            / (total_area * cfg.camera_threshold)
+        )
+
+        # --- batched geometry for all shots ---
+        shots = SHOT_COUNT
+        choice = self.rng.random(shots) * total_area
+        face_idx = np.clip(np.searchsorted(cum, choice, side="right") - 1,
+                           0, len(areas) - 1)
+        u1 = self.rng.random(shots)
+        u2 = self.rng.random(shots)
+        viewers = np.stack(
+            [
+                face_camera(mesh.vertices, mesh.faces[face_idx[s]], u1[s], u2[s])
+                for s in range(shots)
+            ]
+        )
+
+        centers = np.stack([np_extract_camera_center(c) for c in cameras])
+        centers3 = centers[:, :3] / centers[:, 3:4]
+
+        # camera centers projected from every viewer: (S, C, 4)
+        cfv = np.einsum("sij,cj->sci", viewers.astype(np.float64), centers)
+        cfv_w = cfv[..., 3]
+        cfv_w = np.where(np.abs(cfv_w) < 1e-20, 1e-20, cfv_w)
+        cfv_n = cfv[..., :3] / cfv_w[..., None]
+
+        # occlusion probe: depth along each (viewer, camera) ray, one call
+        sample_xy = cfv_n[..., :2].astype(np.float32)
+        probe = np.asarray(renderer.depth_at(viewers, sample_xy))  # (S, C)
+
+        # viewer centers projected into every camera: (S, C, 4)
+        vcenters = np.stack([np_extract_camera_center(v) for v in viewers])
+        vfc = np.einsum("cij,sj->sci", cameras.astype(np.float64), vcenters)
+        dist = vfc[..., 3] / vcenters[:, None, 3]
+        vfc_w = np.where(np.abs(vfc[..., 3]) < 1e-20, 1e-20, vfc[..., 3])
+        vfc_n = vfc[..., :3] / vfc_w[..., None]
+
+        # the four visibility tests of filterCameras (heuristic.cpp:285-341)
+        ok = (np.abs(cfv_n[..., 2]) <= 1.0)
+        inb = (np.abs(sample_xy[..., 0]) <= 1.0) & (np.abs(sample_xy[..., 1]) <= 1.0)
+        occluded = inb & (probe != 1.0) & (probe <= cfv_n[..., 2])
+        ok &= inb & ~occluded
+        ok &= dist > 0
+        ok &= (np.abs(vfc_n[..., 0]) <= 1.0) & (np.abs(vfc_n[..., 1]) <= 1.0)
+
+        cos_v = np.sqrt(
+            1.0 / (1.0 + (cfv_n[..., 0] ** 2 + cfv_n[..., 1] ** 2) / FOCAL**2)
+        )
+
+        # --- sequential weighted selection (tiny host loop) ---
+        chosen: list[tuple[int, list[int]]] = []
+        weights: dict[tuple[int, int], float] = {}
+        camera_count = 0
+        boost_main = cfg.camera_threshold
+        boost_side = cfg.camera_threshold / 10.0
+        for s in range(shots):
+            idxs = np.where(ok[s])[0]
+            if len(idxs) < 2:
+                continue
+            cos_s = cos_v[s, idxs]
+            d_s = dist[s, idxs]
+            vx, vy = cfv_n[s, idxs, 0], cfv_n[s, idxs, 1]
+
+            # chooseMain (heuristic.cpp:345-369)
+            w_main = cos_s / np.maximum(d_s * d_s, 1e-20)
+            main_weight_sum = float(w_main.sum())
+            boosted = w_main.copy()
+            for t, ci in enumerate(idxs):
+                if (ci, ci) in weights:
+                    boosted[t] += w_main[t] * boost_main * len(idxs)
+            r = self.rng.random() * boosted.sum()
+            mi = int(np.searchsorted(np.cumsum(boosted), r))
+            mi = min(mi, len(idxs) - 1)
+            main = int(idxs[mi])
+
+            # chooseSide (heuristic.cpp:372-426)
+            sel = idxs != main
+            if not np.any(sel):
+                continue
+            parallax2 = ((vx[sel] - vx[mi]) ** 2 + (vy[sel] - vy[mi]) ** 2) / FOCAL
+            w_side = cos_s[sel] * parallax2 / np.maximum(d_s[sel] ** 2, 1e-20)
+            actual_sum = float(w_side.sum())
+            if actual_sum <= 0:
+                continue
+            side_ids = idxs[sel]
+            boosted = w_side.copy()
+            for t, ci in enumerate(side_ids):
+                key = (main, int(ci))
+                if weights.get(key, 0.0) >= 1.0:
+                    boosted[t] += w_side[t] * boost_side * len(idxs)
+            r = self.rng.random() * boosted.sum()
+            si = int(np.searchsorted(np.cumsum(boosted), r))
+            si = min(si, len(side_ids) - 1)
+            side = int(side_ids[si])
+            key = (main, side)
+            if weights.get(key, 0.0) >= 1.0:
+                continue  # already picked earlier (heuristic.cpp:405-409)
+            weights[(main, main)] = 1.0
+            threshold = shots * main_weight_sum / max(sampling_resolution, 1e-20)
+            add = w_side[si] / max(threshold * actual_sum, 1e-20)
+            weights[key] = weights.get(key, 0.0) + add
+            if weights[key] >= 1.0:
+                camera_count += 1
+                pos = next((p for p, (m, _) in enumerate(chosen) if m == main), -1)
+                if pos < 0:
+                    chosen.append((main, [side]))
+                elif side not in chosen[pos][1]:
+                    chosen[pos][1].append(side)
+
+        chosen.sort()
+        self.chosen = chosen
+        return camera_count
+
+    def camera_bundles(self):
+        """[(main_frame, [side_frames...])], the begin/nextMain/Side iterator
+        surface of the reference (heuristic.cpp:489-522) as plain data."""
+        return list(self.chosen)

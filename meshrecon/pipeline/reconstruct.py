@@ -1,0 +1,176 @@
+"""The outer refinement loop — functional equivalent of recon.cpp:12-141.
+
+Per iteration: tessellate -> load mesh -> choose camera bundles -> for every
+main camera render its depth, reproject each side frame, run dense flow,
+triangulate all pixels jointly, estimate normals -> accumulate points ->
+filter. The dense per-main-camera stage is one device-resident program chain;
+side-camera counts are bucket-padded (powers of two) so a handful of compiled
+programs serves every bundle shape across iterations.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from meshrecon import BACKGROUND_DEPTH
+from meshrecon.depth import triangulate_pixels, estimate_normals
+from meshrecon.flow import calculate_flow
+from meshrecon.geometry.camera import np_extract_camera_center
+from meshrecon.io.obj import Mesh, save_mesh
+from meshrecon.io.images import save_image
+from meshrecon.pipeline.heuristic import Heuristic
+from meshrecon.points import filter_points
+from meshrecon.raster import Renderer, mix_background
+from meshrecon.pipeline.checkpoint import save_checkpoint, load_checkpoint
+
+
+def _bucket(k: int) -> int:
+    b = 1
+    while b < k:
+        b *= 2
+    return b
+
+
+def process_main_camera(config, renderer, fa: int, sides: list[int]):
+    """Dense update for one main camera: returns (points4, normals, count).
+
+    Mirrors the hot loop at recon.cpp:65-119. The depth map is progressively
+    masked by mix_background across side projections, exactly like the
+    reference mutates `depth` in place (util.cpp:366-387).
+    """
+    cam_main = config.camera(fa)
+    original = jnp.asarray(config.frame(fa), jnp.float32)
+    depth = renderer.depth(cam_main)
+
+    if config.verbosity >= 3:
+        save_image(np.asarray(original), f"frame{fa}.png")
+        save_image(np.asarray(depth), f"depth-frame{fa}.png", normalize=True)
+
+    flows = []
+    side_cams = []
+    for fb in sides:
+        inten, mask = renderer.projected(
+            cam_main, config.frame(fb), config.camera(fb), depth_main=depth
+        )
+        mixed, depth = mix_background(inten, mask, original, depth)
+        flow = calculate_flow(original, mixed, config.use_farneback)
+        if config.verbosity >= 3:
+            from meshrecon.flow import flow_remap, compare
+
+            proj_dump = np.asarray(jnp.where(depth == BACKGROUND_DEPTH, 0.0, mixed))
+            save_image(proj_dump, f"project-frame{fa}from{fb}.png")
+            save_image(np.asarray(flow)[..., :3], f"flow-frame{fa}from{fb}.png",
+                       normalize=True)
+            remapped = flow_remap(flow, mixed)
+            save_image(np.asarray(remapped), f"frame{fa}from{fb}-remapped.png")
+            save_image(np.asarray(compare(original, remapped)),
+                       f"frame{fa}from{fb}-remap-error.png", normalize=True)
+        flows.append(np.asarray(flow))
+        side_cams.append(config.camera(fb))
+
+    k = len(flows)
+    if k == 0:
+        return np.zeros((0, 4), np.float32), np.zeros((0, 3), np.float32), 0
+
+    kb = _bucket(k)
+    h, w = config.height, config.width
+    flows_arr = np.zeros((kb, h, w, 4), np.float32)
+    flows_arr[:k] = np.stack(flows)
+    cams_arr = np.tile(np.eye(4, dtype=np.float32), (kb, 1, 1))
+    cams_arr[:k] = np.stack(side_cams)
+    valid_arr = np.zeros(kb, bool)
+    valid_arr[:k] = True
+
+    out = triangulate_pixels(flows_arr, cam_main, cams_arr, valid_arr, depth)
+
+    centers = [np_extract_camera_center(cam_main)] + [
+        np_extract_camera_center(c) for c in side_cams
+    ]
+    centers3 = np.stack([c[:3] / c[3] for c in centers]).astype(np.float32)
+    cb = _bucket(len(centers3))
+    centers_pad = np.zeros((cb, 3), np.float32)
+    centers_pad[: len(centers3)] = centers3
+    cvalid = np.zeros(cb, bool)
+    cvalid[: len(centers3)] = True
+
+    normals_img = estimate_normals(
+        out["point4"], out["valid"], out["pdf"], centers_pad, cvalid,
+        jnp.asarray(k),
+    )
+
+    valid = np.asarray(out["valid"])
+    pts = np.asarray(out["point4"])[valid]
+    nrm = np.asarray(normals_img)[valid]
+    return pts.astype(np.float32), nrm.astype(np.float32), int(valid.sum())
+
+
+def reconstruct(config) -> Mesh:
+    """Full video -> mesh reconstruction (the main() flow of recon.cpp)."""
+    hint = Heuristic(config)
+    renderer = Renderer(config.width, config.height)
+
+    points = np.asarray(config.reconstructed_points(), np.float32)
+    normals = np.zeros((len(points), 3), np.float32)
+    config.log(2, f" Loaded {len(points)} points")
+
+    if config.resume and config.checkpoint_dir:
+        state = load_checkpoint(config.checkpoint_dir)
+        if state is not None:
+            points, normals, hint.alpha_vals, hint.iteration, rng_state = state
+            hint.rng.bit_generator.state = rng_state
+            config.log(1, f"Resumed at iteration {hint.iteration}")
+
+    while hint.not_happy(points):
+        config.log(1, "Meshing...")
+        mesh = hint.tessellate(points, normals)
+        config.log(2, f" {len(mesh.faces)} faces.")
+        if config.verbosity >= 3:
+            save_mesh(mesh, "recon_orig.obj")
+
+        renderer.load_mesh(mesh)
+
+        config.log(1, "Choosing cameras...")
+        count = hint.choose_cameras(mesh, config.cameras, renderer)
+        if count == 0:
+            raise RuntimeError(
+                "Heuristic has chosen no cameras, which is an error."
+            )
+        if config.verbosity >= 2:
+            for fa, sides in hint.camera_bundles():
+                print(f"  main camera {fa}, side cameras "
+                      + ", ".join(map(str, sides)) + ",")
+
+        config.log(1, "Tracking the whole clip...")
+        new_pts = [points]
+        new_nrm = [normals]
+        for fa, sides in hint.camera_bundles():
+            pts, nrm, n = process_main_camera(config, renderer, fa, sides)
+            new_pts.append(pts)
+            new_nrm.append(nrm)
+            config.log(2, f" After processing main frame {fa}: "
+                          f"{sum(len(p) for p in new_pts)} points")
+        points = np.concatenate(new_pts)
+        normals = np.concatenate(new_nrm)
+
+        if config.verbosity >= 3:
+            save_mesh(Mesh(points, np.zeros((0, 3), np.int32)), "purepoints.obj")
+        points, normals, _ = filter_points(points, normals,
+                                           hint.filter_radius_sq())
+        config.log(2, f" {len(points)} filtered points")
+
+        if config.checkpoint_dir:
+            save_checkpoint(config.checkpoint_dir, points, normals,
+                            hint.alpha_vals, hint.iteration,
+                            hint.rng.bit_generator.state)
+
+    if config.verbosity >= 3:
+        save_mesh(Mesh(points, np.zeros((0, 3), np.int32)), "filteredpoints.obj")
+    config.log(1, "Calculating final mesh...")
+    mesh = hint.tessellate(points, normals)
+    config.log(2, f" {len(mesh.faces)} faces")
+    save_mesh(mesh, config.out_file_name)
+    config.log(2, " Saved, done.")
+    return mesh

@@ -1,0 +1,107 @@
+"""Multi-chip execution: device meshes and the sharded dense-update step.
+
+The reference is a single synchronous process (SURVEY.md section 2.2/2.3);
+its latent parallelism axes become explicit jax.sharding axes here:
+
+- ``camera``: main cameras within an iteration are independent until the
+  point-accumulation merge (recon.cpp:65-119) -> data parallelism.
+- ``tile``: pixel rows of each frame -> spatial parallelism for large frames
+  (the 1080p/32-frame plane-sweep config). XLA inserts halo exchanges for the
+  windowed ops automatically from the sharding annotations.
+- the only cross-chip communication is the implicit all-gather when results
+  are returned replicated — the analog of the reference's shared `points`
+  accumulation (recon.cpp:115-116) — which rides ICI inside a slice.
+
+Strategy: annotate in/out shardings on one jitted program (GSPMD) rather than
+hand-writing collectives; the program is the same code that runs single-chip.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from meshrecon.depth import triangulate_pixels, estimate_normals
+from meshrecon.flow.variational import variational_flow
+
+
+def make_device_mesh(n_camera: int, n_tile: int = 1, devices=None) -> Mesh:
+    """(camera, tile) device mesh over the first n_camera*n_tile devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    need = n_camera * n_tile
+    if devices.size < need:
+        raise ValueError(f"need {need} devices, have {devices.size}")
+    grid = devices[:need].reshape(n_camera, n_tile)
+    return Mesh(grid, ("camera", "tile"))
+
+
+def dense_update_batch(frames_main, frames_proj, main_cams, side_cams,
+                       side_valid, depths, centers, centers_valid, n_side):
+    """Batched dense update: flow -> triangulation -> normals for B main cams.
+
+    frames_main: (B, H, W) original frames; frames_proj: (B, K, H, W)
+    reprojected predictions; main_cams: (B, 4, 4); side_cams: (B, K, 4, 4);
+    side_valid: (B, K); depths: (B, H, W); centers: (B, C, 3);
+    centers_valid: (B, C); n_side: (B,).
+
+    Returns (point4 (B, H, W, 4), normals (B, H, W, 3), pdf, valid).
+    This is the jittable flagship step — vmapped over the camera batch and
+    shardable over (camera, tile).
+    """
+
+    def one(fm, fps, mc, scs, sv, d, ctr, cv, k):
+        def flow_of(fp):
+            f = variational_flow(fm, fp, levels=3, iters=20, warps=1)
+            from meshrecon.flow.pyramid import compare
+            from meshrecon.flow.remap import flow_remap
+
+            var = compare(fm, flow_remap(f, fp))
+            return jnp.concatenate(
+                [f, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
+            )
+
+        flows = jax.vmap(flow_of)(fps)
+        out = triangulate_pixels(flows, mc, scs, sv, d)
+        normals = estimate_normals(out["point4"], out["valid"], out["pdf"],
+                                   ctr, cv, k)
+        return out["point4"], normals, out["pdf"], out["valid"]
+
+    return jax.vmap(one)(frames_main, frames_proj, main_cams, side_cams,
+                         side_valid, depths, centers, centers_valid, n_side)
+
+
+def sharded_dense_update(mesh: Mesh):
+    """Compile dense_update_batch with (camera, tile) shardings on `mesh`.
+
+    Inputs are sharded: batch dim over ``camera``, image rows over ``tile``;
+    camera matrices replicated. Outputs are returned replicated, which makes
+    XLA insert the closing all-gather over ICI (the reference's global point
+    merge, recon.cpp:115-116).
+    """
+
+    def sh(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    in_shardings = (
+        sh("camera", "tile", None),        # frames_main (B, H, W)
+        sh("camera", None, "tile", None),  # frames_proj (B, K, H, W)
+        sh("camera", None, None),          # main_cams
+        sh("camera", None, None, None),    # side_cams
+        sh("camera", None),                # side_valid
+        sh("camera", "tile", None),        # depths
+        sh("camera", None, None),          # centers
+        sh("camera", None),                # centers_valid
+        sh("camera"),                      # n_side
+    )
+    out_shardings = (
+        sh(),  # point4 replicated -> all-gather
+        sh(),  # normals replicated
+        sh(),  # pdf
+        sh(),  # valid
+    )
+    return jax.jit(dense_update_batch, in_shardings=in_shardings,
+                   out_shardings=out_shardings)

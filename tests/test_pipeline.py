@@ -1,0 +1,123 @@
+import os
+
+import numpy as np
+import pytest
+
+from meshrecon.io.tracks import load_tracks
+from meshrecon.io.synthetic import synthetic_frames, fit_sphere
+from meshrecon.io.obj import read_mesh
+from meshrecon.pipeline.config import Config, config_from_args
+from meshrecon.pipeline.heuristic import Heuristic, face_camera, face_areas
+from meshrecon.pipeline.reconstruct import reconstruct
+from meshrecon.raster import Renderer
+from meshrecon.io.obj import Mesh
+
+
+@pytest.fixture(scope="module")
+def koule_small():
+    """koule-tr scene at 80x60 with synthetic sphere frames."""
+    track = load_tracks("tracks/koule-tr.yaml")
+    frames = synthetic_frames(track, 80, 60, mode="sphere", seed=0)
+    return track, frames
+
+
+def test_synthetic_frames_consistent(koule_small):
+    track, frames = koule_small
+    assert frames.shape == (31, 60, 80)
+    # the sphere must be visible (textured region differs from background)
+    assert frames.std() > 10.0
+
+
+def test_face_camera_looks_at_face():
+    verts = np.array(
+        [[0, 0, 0, 1], [1, 0, 0, 1], [0, 1, 0, 1]], dtype=np.float32
+    )
+    cam = face_camera(verts, np.array([0, 1, 2]), 0.3, 0.3)
+    # the face centroid should project near the camera axis with w > 0 shortly
+    # along the normal (+z for this face)
+    probe = cam.astype(np.float64) @ np.array([0.3, 0.3, 0.5, 1.0])
+    assert probe[3] > 0
+    ndc = probe[:3] / probe[3]
+    assert abs(ndc[0]) < 0.5 and abs(ndc[1]) < 0.5
+
+
+def test_heuristic_chooses_cameras(koule_small):
+    track, frames = koule_small
+    cfg = Config(track=track, frames=frames, seed=1)
+    hint = Heuristic(cfg)
+    assert hint.not_happy(track.bundles)
+    mesh = hint.tessellate(track.bundles, np.zeros((len(track.bundles), 3)))
+    assert len(mesh.faces) > 0
+    r = Renderer(cfg.width, cfg.height)
+    r.load_mesh(mesh)
+    count = hint.choose_cameras(mesh, track.cameras, r)
+    assert count > 0
+    bundles = hint.camera_bundles()
+    assert len(bundles) > 0
+    mains = [m for m, _ in bundles]
+    assert mains == sorted(mains)
+    for m, sides in bundles:
+        assert len(sides) > 0 and m not in sides
+        assert all(0 <= s < track.frame_count for s in sides)
+
+
+def test_heuristic_reproducible(koule_small):
+    track, frames = koule_small
+    results = []
+    for _ in range(2):
+        cfg = Config(track=track, frames=frames, seed=7)
+        hint = Heuristic(cfg)
+        hint.not_happy(track.bundles)
+        mesh = hint.tessellate(track.bundles, np.zeros((len(track.bundles), 3)))
+        r = Renderer(cfg.width, cfg.height)
+        r.load_mesh(mesh)
+        hint.choose_cameras(mesh, track.cameras, r)
+        results.append(hint.camera_bundles())
+    assert results[0] == results[1]
+
+
+def test_end_to_end_sphere(koule_small, tmp_path):
+    """Full pipeline on the synthetic sphere scene: the output mesh must
+    approximate the ground-truth sphere used to render the frames."""
+    track, frames = koule_small
+    out = str(tmp_path / "out.obj")
+    cfg = Config(
+        track=track,
+        frames=frames,
+        iteration_count=1,
+        out_file_name=out,
+        seed=3,
+        poisson_grid=64,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        verbosity=0,
+    )
+    mesh = reconstruct(cfg)
+    assert os.path.exists(out)
+    assert len(mesh.faces) > 50
+    center, radius = fit_sphere(track.bundles)
+    v3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
+    radii = np.linalg.norm(v3 - center, axis=1)
+    med = np.median(radii)
+    assert abs(med - radius) / radius < 0.25, (
+        f"median radius {med} vs true {radius}"
+    )
+    # checkpoint written and resumable
+    from meshrecon.pipeline.checkpoint import load_checkpoint
+
+    state = load_checkpoint(str(tmp_path / "ckpt"))
+    assert state is not None
+    pts, nrm, alphas, it, _ = state
+    assert len(pts) == len(nrm) and it == 1 and len(alphas) >= 1
+
+
+def test_cli_smoke(tmp_path, monkeypatch):
+    out = str(tmp_path / "cli.obj")
+    from meshrecon.cli import main
+
+    rc = main([
+        "tracks/koule-tr.yaml", "--synthetic", "sphere", "-s", "8",
+        "-n", "1", "-o", out, "--seed", "3", "--poisson-grid", "48",
+    ])
+    assert rc == 0
+    mesh = read_mesh(out)
+    assert len(mesh.faces) > 0

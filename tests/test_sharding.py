@@ -1,0 +1,69 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from meshrecon.sharding import make_device_mesh, dense_update_batch, \
+    sharded_dense_update
+from tests.test_geometry import make_camera
+from tests.test_depth import plane_depth_map
+
+
+def _problem(b=4, k=2, h=16, w=32, seed=0):
+    rng = np.random.default_rng(seed)
+    mains = np.stack([
+        make_camera(eye=(0.1 * i, 0, 0), near=1.0, far=30.0) for i in range(b)
+    ])
+    sides = np.stack([
+        np.stack([
+            make_camera(eye=(0.1 * i + 1.0, 0.3 * j, 0), near=1.0, far=30.0)
+            for j in range(k)
+        ])
+        for i in range(b)
+    ])
+    depths = np.stack([plane_depth_map(mains[i], -5.0, h, w) for i in range(b)])
+    fm = rng.uniform(0, 255, size=(b, h, w)).astype(np.float32)
+    fp = (fm[:, None] + rng.normal(scale=3.0, size=(b, k, h, w))).astype(np.float32)
+    centers = np.zeros((b, 4, 3), np.float32)
+    centers[:, 0] = [0, 0, 0]
+    cvalid = np.zeros((b, 4), bool)
+    cvalid[:, : k + 1] = True
+    return (fm, fp, mains.astype(np.float32), sides.astype(np.float32),
+            np.ones((b, k), bool), depths, centers, cvalid,
+            np.full(b, k, np.int32))
+
+
+def test_dense_update_batch_single_device():
+    args = _problem()
+    p4, nrm, pdf, valid = jax.jit(dense_update_batch)(*args)
+    assert p4.shape == (4, 16, 32, 4)
+    assert nrm.shape == (4, 16, 32, 3)
+    assert bool(jnp.any(valid))
+    assert np.isfinite(np.asarray(p4)[np.asarray(valid)]).all()
+
+
+def test_sharded_matches_unsharded():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_device_mesh(4, 2)
+    args = _problem()
+    f = sharded_dense_update(mesh)
+    p4_s, nrm_s, pdf_s, valid_s = f(*args)
+    p4_u, nrm_u, pdf_u, valid_u = jax.jit(dense_update_batch)(*args)
+    np.testing.assert_array_equal(np.asarray(valid_s), np.asarray(valid_u))
+    sel = np.asarray(valid_u)
+    np.testing.assert_allclose(
+        np.asarray(p4_s)[sel], np.asarray(p4_u)[sel], rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(nrm_s)[sel], np.asarray(nrm_u)[sel], rtol=1e-3, atol=1e-3
+    )
+
+
+def test_mesh_shapes():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_device_mesh(8, 1)
+    assert mesh.shape == {"camera": 8, "tile": 1}
+    mesh = make_device_mesh(2, 4)
+    assert mesh.shape == {"camera": 2, "tile": 4}
