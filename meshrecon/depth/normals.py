@@ -50,10 +50,66 @@ def _window_sums(field, radius):
     return a - b - c + d
 
 
-def _smallest_eigvec_3x3(cov):
-    """Unit eigenvector of the smallest eigenvalue for (..., 3, 3) symmetric."""
-    vals, vecs = jnp.linalg.eigh(cov)
-    return vecs[..., :, 0]  # eigh sorts ascending
+def _smallest_eigvec_3x3(cov, use_eigh: bool = False):
+    """Unit eigenvector of the smallest eigenvalue for (..., 3, 3) symmetric.
+
+    Analytic (trigonometric) eigenvalue solve + cross-product eigenvector
+    extraction: pure elementwise VPU work, vastly faster on TPU than the
+    batched iterative ``jnp.linalg.eigh`` (which dominated the dense-update
+    runtime). ``use_eigh`` keeps the LAPACK-style path for cross-checking.
+    """
+    if use_eigh:
+        _, vecs = jnp.linalg.eigh(cov)
+        return vecs[..., :, 0]  # eigh sorts ascending
+
+    a00 = cov[..., 0, 0]
+    a11 = cov[..., 1, 1]
+    a22 = cov[..., 2, 2]
+    a01 = cov[..., 0, 1]
+    a02 = cov[..., 0, 2]
+    a12 = cov[..., 1, 2]
+
+    # eigenvalues of a symmetric 3x3 via the trigonometric (Smith) method
+    q = (a00 + a11 + a22) / 3.0
+    b00, b11, b22 = a00 - q, a11 - q, a22 - q
+    p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (
+        a01 * a01 + a02 * a02 + a12 * a12
+    )
+    p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
+    inv_p = 1.0 / p
+    # det(B/p) / 2 with B = A - qI
+    c00, c11, c22 = b00 * inv_p, b11 * inv_p, b22 * inv_p
+    c01, c02, c12 = a01 * inv_p, a02 * inv_p, a12 * inv_p
+    half_det = (
+        c00 * (c11 * c22 - c12 * c12)
+        - c01 * (c01 * c22 - c12 * c02)
+        + c02 * (c01 * c12 - c11 * c02)
+    ) * 0.5
+    half_det = jnp.clip(half_det, -1.0, 1.0)
+    phi = jnp.arccos(half_det) / 3.0
+    # smallest eigenvalue
+    lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    # eigenvector: the largest cross product of two rows of (A - lam I)
+    r0 = jnp.stack([a00 - lam, a01, a02], axis=-1)
+    r1 = jnp.stack([a01, a11 - lam, a12], axis=-1)
+    r2 = jnp.stack([a02, a12, a22 - lam], axis=-1)
+    c_a = jnp.cross(r0, r1)
+    c_b = jnp.cross(r0, r2)
+    c_c = jnp.cross(r1, r2)
+    na = jnp.sum(c_a * c_a, axis=-1, keepdims=True)
+    nb = jnp.sum(c_b * c_b, axis=-1, keepdims=True)
+    nc = jnp.sum(c_c * c_c, axis=-1, keepdims=True)
+    best_ab = jnp.where(na >= nb, c_a, c_b)
+    n_ab = jnp.maximum(na, nb)
+    best = jnp.where(n_ab >= nc, best_ab, c_c)
+    n_best = jnp.maximum(n_ab, nc)
+    # degenerate (isotropic) fallback: +z
+    z_axis = jnp.zeros_like(best).at[..., 2].set(1.0)
+    best = jnp.where(n_best > 1e-30, best, z_axis)
+    return best / jnp.sqrt(
+        jnp.maximum(jnp.sum(best * best, axis=-1, keepdims=True), 1e-30)
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))

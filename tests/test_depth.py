@@ -269,3 +269,18 @@ def test_normals_fallback_single_point():
     # fallback points toward the camera center: +Z
     assert n[2] > 0.99 and abs(n[0]) < 1e-3
     assert np.all(normals[~valid] == 0)
+
+
+def test_analytic_eigvec_matches_eigh(rng):
+    from meshrecon.depth.normals import _smallest_eigvec_3x3
+    import jax.numpy as jnp
+
+    m = rng.normal(size=(200, 3, 3))
+    cov = np.einsum("nij,nkj->nik", m, m)  # random PSD
+    v_fast = np.asarray(_smallest_eigvec_3x3(jnp.asarray(cov, jnp.float32)))
+    v_ref = np.asarray(
+        _smallest_eigvec_3x3(jnp.asarray(cov, jnp.float32), use_eigh=True)
+    )
+    # same line up to sign
+    dots = np.abs(np.einsum("ni,ni->n", v_fast, v_ref))
+    assert np.percentile(dots, 5) > 0.999, f"p5 alignment {np.percentile(dots,5)}"
