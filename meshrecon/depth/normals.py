@@ -31,22 +31,25 @@ import jax.numpy as jnp
 
 
 def _window_sums(field, radius):
-    """Sum of (H, W, C) field over (2r+1)^2 windows via integral images."""
+    """Sum of (H, W, C) field over (2r+1)^2 windows via integral images.
+
+    The four corner lookups are STATIC slices of an edge/zero-padded integral
+    image (no gathers — TPU gathers are slow; slices fuse into one VPU pass).
+    """
     h, w = field.shape[:2]
     ii = jnp.cumsum(jnp.cumsum(field, axis=0), axis=1)
     ii = jnp.pad(ii, ((1, 0), (1, 0)) + ((0, 0),) * (field.ndim - 2))
-
     r = radius
-    rows = jnp.arange(h)
-    cols = jnp.arange(w)
-    r0 = jnp.clip(rows - r, 0, h)
-    r1 = jnp.clip(rows + r + 1, 0, h)
-    c0 = jnp.clip(cols - r, 0, w)
-    c1 = jnp.clip(cols + r + 1, 0, w)
-    a = ii[r1[:, None], c1[None, :]]
-    b = ii[r0[:, None], c1[None, :]]
-    c = ii[r1[:, None], c0[None, :]]
-    d = ii[r0[:, None], c0[None, :]]
+    # clamp-at-the-border == zero-pad before (ii[0] is all zeros) and
+    # edge-pad after (ii[H] is the full prefix)
+    tail = ((0, 0),) * (field.ndim - 2)
+    iip = jnp.pad(ii, ((r, 0), (r, 0)) + tail)
+    iip = jnp.pad(iip, ((0, r), (0, r)) + tail, mode="edge")
+    # padded coordinate of original ii index i is i + r
+    a = iip[2 * r + 1 : 2 * r + 1 + h, 2 * r + 1 : 2 * r + 1 + w]  # (r1, c1)
+    b = iip[0:h, 2 * r + 1 : 2 * r + 1 + w]  # (r0, c1)
+    c = iip[2 * r + 1 : 2 * r + 1 + h, 0:w]  # (r1, c0)
+    d = iip[0:h, 0:w]  # (r0, c0)
     return a - b - c + d
 
 

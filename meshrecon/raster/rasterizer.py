@@ -280,6 +280,12 @@ class Renderer:
 
     def depth(self, camera) -> jnp.ndarray:
         assert self._soup is not None, "load_mesh first"
+        if jax.default_backend() == "tpu":
+            from meshrecon.raster.pallas_kernel import render_depth_pallas
+
+            return render_depth_pallas(
+                camera, self._soup, self._valid, self.height, self.width
+            )
         return render_depth(camera, self._soup, self._valid, self.height, self.width)
 
     def depth_at(self, cameras, sample_xy) -> jnp.ndarray:
