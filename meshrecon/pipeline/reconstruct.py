@@ -34,16 +34,23 @@ def _bucket(k: int) -> int:
     return b
 
 
-def process_main_camera(config, renderer, fa: int, sides: list[int]):
+def process_main_camera(config, renderer, fa: int, sides: list[int],
+                        timer=None):
     """Dense update for one main camera: returns (points4, normals, count).
 
     Mirrors the hot loop at recon.cpp:65-119. The depth map is progressively
     masked by mix_background across side projections, exactly like the
     reference mutates `depth` in place (util.cpp:366-387).
     """
+    from meshrecon.utils.profiling import StageTimer
+
+    timer = timer or StageTimer(enabled=False)
+    npix = config.height * config.width
+
     cam_main = config.camera(fa)
     original = jnp.asarray(config.frame(fa), jnp.float32)
-    depth = renderer.depth(cam_main)
+    with timer.stage("render.depth", npix) as done:
+        depth = done(renderer.depth(cam_main))
 
     if config.verbosity >= 3:
         save_image(np.asarray(original), f"frame{fa}.png")
@@ -52,11 +59,14 @@ def process_main_camera(config, renderer, fa: int, sides: list[int]):
     flows = []
     side_cams = []
     for fb in sides:
-        inten, mask = renderer.projected(
-            cam_main, config.frame(fb), config.camera(fb), depth_main=depth
-        )
-        mixed, depth = mix_background(inten, mask, original, depth)
-        flow = calculate_flow(original, mixed, config.use_farneback)
+        with timer.stage("render.projected", npix) as done:
+            inten, mask = renderer.projected(
+                cam_main, config.frame(fb), config.camera(fb), depth_main=depth
+            )
+            mixed, depth = mix_background(inten, mask, original, depth)
+            done(mixed)
+        with timer.stage("flow", npix) as done:
+            flow = done(calculate_flow(original, mixed, config.use_farneback))
         if config.verbosity >= 3:
             from meshrecon.flow import flow_remap, compare
 
@@ -84,7 +94,9 @@ def process_main_camera(config, renderer, fa: int, sides: list[int]):
     valid_arr = np.zeros(kb, bool)
     valid_arr[:k] = True
 
-    out = triangulate_pixels(flows_arr, cam_main, cams_arr, valid_arr, depth)
+    with timer.stage("triangulate", npix) as done:
+        out = triangulate_pixels(flows_arr, cam_main, cams_arr, valid_arr, depth)
+        done(out["point4"])
 
     centers = [np_extract_camera_center(cam_main)] + [
         np_extract_camera_center(c) for c in side_cams
@@ -96,10 +108,11 @@ def process_main_camera(config, renderer, fa: int, sides: list[int]):
     cvalid = np.zeros(cb, bool)
     cvalid[: len(centers3)] = True
 
-    normals_img = estimate_normals(
-        out["point4"], out["valid"], out["pdf"], centers_pad, cvalid,
-        jnp.asarray(k),
-    )
+    with timer.stage("normals", npix) as done:
+        normals_img = done(estimate_normals(
+            out["point4"], out["valid"], out["pdf"], centers_pad, cvalid,
+            jnp.asarray(k),
+        ))
 
     valid = np.asarray(out["valid"])
     pts = np.asarray(out["point4"])[valid]
@@ -109,8 +122,11 @@ def process_main_camera(config, renderer, fa: int, sides: list[int]):
 
 def reconstruct(config) -> Mesh:
     """Full video -> mesh reconstruction (the main() flow of recon.cpp)."""
+    from meshrecon.utils.profiling import StageTimer
+
     hint = Heuristic(config)
     renderer = Renderer(config.width, config.height)
+    timer = StageTimer(enabled=config.verbosity >= 2)
 
     points = np.asarray(config.reconstructed_points(), np.float32)
     normals = np.zeros((len(points), 3), np.float32)
@@ -147,7 +163,8 @@ def reconstruct(config) -> Mesh:
         new_pts = [points]
         new_nrm = [normals]
         for fa, sides in hint.camera_bundles():
-            pts, nrm, n = process_main_camera(config, renderer, fa, sides)
+            pts, nrm, n = process_main_camera(config, renderer, fa, sides,
+                                              timer=timer)
             new_pts.append(pts)
             new_nrm.append(nrm)
             config.log(2, f" After processing main frame {fa}: "
@@ -157,9 +174,12 @@ def reconstruct(config) -> Mesh:
 
         if config.verbosity >= 3:
             save_mesh(Mesh(points, np.zeros((0, 3), np.int32)), "purepoints.obj")
-        points, normals, _ = filter_points(points, normals,
-                                           hint.filter_radius_sq())
+        with timer.stage("filter_points") as done:
+            points, normals, _ = filter_points(points, normals,
+                                               hint.filter_radius_sq())
         config.log(2, f" {len(points)} filtered points")
+        if timer.enabled:
+            config.log(2, timer.report())
 
         if config.checkpoint_dir:
             save_checkpoint(config.checkpoint_dir, points, normals,

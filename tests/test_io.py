@@ -60,3 +60,33 @@ def test_obj_roundtrip(tmp_path):
     np.testing.assert_array_equal(mesh.faces, faces)
     soup = mesh.triangle_soup
     assert soup.shape == (2, 3, 3)
+
+
+def test_exporter_roundtrip(tmp_path):
+    """Our Blender exporter's serializer writes files our parser reads back."""
+    import io as _io
+
+    from meshrecon.io.blender_export_tracks import write_tracks_yaml
+
+    proj = [[1.5, 0, 0, 0], [0, 2.0, 0, 0], [0, 0, -1.2, -3.4], [0, 0, -1, 0]]
+    buf = _io.StringIO()
+    write_tracks_yaml(
+        buf,
+        {"path": "clip.avi", "width": 640, "height": 480, "fov": 1.1,
+         "distortion": (-0.1, 0.05, 0.0), "center_x": 320.0, "center_y": 240.0},
+        [{"frame": 1, "near": 2.0, "far": 20.0, "projection": proj,
+          "position": [0, 0, 0, 1]},
+         {"frame": 2, "near": 2.1, "far": 20.5, "projection": proj,
+          "position": [0.1, 0, 0, 1]}],
+        [{"bundle": [1, 2, 3, 1], "frames_enabled": [1, 2]},
+         {"bundle": [4, 5, 6, 1], "frames_enabled": [2]}],
+    )
+    path = tmp_path / "scene.yaml"
+    path.write_text(buf.getvalue())
+    tf = load_tracks(str(path))
+    assert tf.width == 640 and tf.frame_count == 2
+    assert tf.bundles.shape == (2, 4)
+    np.testing.assert_allclose(tf.cameras[0], np.asarray(proj), rtol=1e-6)
+    assert tf.bundles_enabled[0] == {0, 1}
+    assert tf.bundles_enabled[1] == {1}
+    assert abs(tf.distortion[0] + 0.1) < 1e-6

@@ -121,3 +121,24 @@ def test_cli_smoke(tmp_path, monkeypatch):
     assert rc == 0
     mesh = read_mesh(out)
     assert len(mesh.faces) > 0
+
+
+def test_stage_timer():
+    import jax.numpy as jnp
+
+    from meshrecon.utils.profiling import StageTimer
+
+    t = StageTimer(enabled=True)
+    with t.stage("a", pixels=1000) as done:
+        done(jnp.ones(10) * 2)
+    rep = t.report()
+    assert "a" in rep and t.counts["a"] == 1 and t.times["a"] > 0
+
+
+def test_nan_checks_utils():
+    import jax.numpy as jnp
+
+    from meshrecon.utils.debug import checked
+
+    err, out = checked(lambda x: jnp.sqrt(x))(jnp.asarray(4.0))
+    assert float(out) == 2.0
