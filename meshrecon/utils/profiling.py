@@ -44,7 +44,7 @@ class StageTimer:
     @contextlib.contextmanager
     def stage(self, name: str, pixels: int = 0):
         if not self.enabled:
-            yield
+            yield lambda value=None: value
             return
         t0 = time.perf_counter()
         box = {}
