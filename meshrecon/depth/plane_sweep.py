@@ -1,0 +1,123 @@
+"""Sliding-window plane-sweep photometric depth.
+
+The second dense-depth path of the framework (BASELINE config #4: 32-frame
+window at 1080p): instead of flow + Gauss-Newton against a rendered
+prediction (triangulate.py), sweep a family of depth hypotheses through the
+main camera's frustum and score each against a window of K side frames by
+photometric consistency. This is the "plane-sweep photometric matching" of
+the north star — the reference has no equivalent; its closest analog is that
+triangulatePixels consumes all side flows jointly (util.cpp:167-246).
+
+Structure: ``lax.scan`` over D depth hypotheses; each step warps every side
+frame onto the main view at that depth (one homography-free NDC transform —
+a fused einsum + gather per side), scores with a box-filtered absolute
+difference, and keeps a running (best, previous, next) cost for sub-plane
+parabolic refinement. Memory stays O(K*H*W) regardless of D, so the window
+shards cleanly over a (camera, tile) mesh and D rides the sequential scan —
+the structural analog of context parallelism for this workload.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from meshrecon import BACKGROUND_DEPTH
+from meshrecon.raster.fragment import bilinear_sample
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _box3(img):
+    p = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
+    return (
+        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
+        + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
+        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+    ) / 9.0
+
+
+@functools.partial(jax.jit, static_argnames=("num_depths",))
+def plane_sweep_depth(frame_main, frames_side, cam_main, cams_side, side_valid,
+                      z_min, z_max, num_depths: int = 64):
+    """Dense NDC depth for the main frame by plane-sweep matching.
+
+    frame_main: (H, W); frames_side: (K, H, W); cam_main: (4, 4); cams_side:
+    (K, 4, 4); side_valid: (K,) bool; z_min/z_max: scalar NDC depth range to
+    sweep. Returns dict with ``depth`` (H, W) refined NDC depth, ``cost``
+    (H, W) best matching cost, ``valid`` (H, W) (enough side views saw the
+    pixel).
+    """
+    fm = jnp.asarray(frame_main, jnp.float32)
+    fs = jnp.asarray(frames_side, jnp.float32)
+    h, w = fm.shape
+    k = fs.shape[0]
+    main_inv = jnp.linalg.inv(jnp.asarray(cam_main, jnp.float32))
+    cm = jnp.einsum("kij,jl->kil", jnp.asarray(cams_side, jnp.float32),
+                    main_inv, precision=_HI)
+    vmask = jnp.asarray(side_valid).astype(jnp.float32)
+
+    cols = (jnp.arange(w, dtype=jnp.float32) - w / 2.0) * (2.0 / w)
+    rows = (h / 2.0 - jnp.arange(h, dtype=jnp.float32)) * (2.0 / h)
+    x = jnp.broadcast_to(cols[None, :], (h, w))
+    y = jnp.broadcast_to(rows[:, None], (h, w))
+
+    zs = jnp.linspace(z_min, z_max, num_depths)
+
+    def cost_at(z):
+        ndc4 = jnp.stack([x, y, jnp.full_like(x, z), jnp.ones_like(x)], axis=-1)
+        s = jnp.einsum("kij,hwj->khwi", cm, ndc4, precision=_HI)
+        sw = s[..., 3]
+        ok = sw > 1e-6
+        sw = jnp.where(jnp.abs(sw) < 1e-6, 1e-6, sw)
+        sx = s[..., 0] / sw
+        sy = s[..., 1] / sw
+        ok &= (jnp.abs(sx) < 1.0) & (jnp.abs(sy) < 1.0)
+        scol = (sx + 1.0) * 0.5 * w
+        srow = (1.0 - sy) * 0.5 * h
+        samp = jax.vmap(bilinear_sample)(fs, scol, srow)  # (K, H, W)
+        diff = jnp.abs(samp - fm[None])
+        wgt = ok.astype(jnp.float32) * vmask[:, None, None]
+        cost = jnp.sum(diff * wgt, axis=0) / jnp.maximum(
+            jnp.sum(wgt, axis=0), 1e-6
+        )
+        support = jnp.sum(wgt, axis=0)
+        return _box3(cost), support
+
+    def step(carry, z):
+        best_c, best_z, prev_c, best_prev, best_next, last_c, pending, support = carry
+        c, sup = cost_at(z)
+        # parabola needs (prev, best, next): when the new best is found, its
+        # prev is the last cost; its next arrives on the following step
+        is_best = c < best_c
+        best_prev = jnp.where(is_best, last_c, best_prev)
+        best_next = jnp.where(pending & ~is_best, c, best_next)
+        pending = is_best
+        best_z = jnp.where(is_best, z, best_z)
+        best_c = jnp.where(is_best, c, best_c)
+        support = jnp.maximum(support, sup)
+        return (best_c, best_z, prev_c, best_prev, best_next, c, pending,
+                support), None
+
+    big = jnp.full((h, w), 1e30, jnp.float32)
+    init = (big, jnp.full((h, w), z_max, jnp.float32), big, big, big, big,
+            jnp.zeros((h, w), bool), jnp.zeros((h, w), jnp.float32))
+    (best_c, best_z, _, best_prev, best_next, _, _, support), _ = jax.lax.scan(
+        step, init, zs
+    )
+
+    # sub-plane parabolic refinement: z* = z + dz/2 * (c_prev - c_next) /
+    # (c_prev - 2c + c_next)
+    dz = (z_max - z_min) / (num_depths - 1)
+    denom = best_prev - 2.0 * best_c + best_next
+    ok_ref = (jnp.abs(denom) > 1e-12) & (best_prev < 1e29) & (best_next < 1e29)
+    offset = jnp.where(ok_ref,
+                       0.5 * (best_prev - best_next) / denom, 0.0)
+    offset = jnp.clip(offset, -1.0, 1.0)
+    depth = best_z + offset * dz
+
+    valid = support >= 2.0  # need at least two side views
+    depth = jnp.where(valid, depth, BACKGROUND_DEPTH)
+    return {"depth": depth, "cost": best_c, "valid": valid}

@@ -1,7 +1,17 @@
 from meshrecon.sharding.meshes import (
     make_device_mesh,
+    make_scene_mesh,
     dense_update_batch,
     sharded_dense_update,
+    multi_scene_update,
+    sharded_multi_scene_update,
 )
 
-__all__ = ["make_device_mesh", "dense_update_batch", "sharded_dense_update"]
+__all__ = [
+    "make_device_mesh",
+    "make_scene_mesh",
+    "dense_update_batch",
+    "sharded_dense_update",
+    "multi_scene_update",
+    "sharded_multi_scene_update",
+]

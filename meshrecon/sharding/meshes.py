@@ -39,6 +39,19 @@ def make_device_mesh(n_camera: int, n_tile: int = 1, devices=None) -> Mesh:
     return Mesh(grid, ("camera", "tile"))
 
 
+def make_scene_mesh(n_scene: int, n_camera: int, n_tile: int = 1,
+                    devices=None) -> Mesh:
+    """(scene, camera, tile) mesh for multi-clip batches (BASELINE config #5:
+    8 clips in parallel across a v5e-8 slice). Scene traffic crosses DCN on
+    multi-host topologies; camera/tile traffic stays on ICI."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    need = n_scene * n_camera * n_tile
+    if devices.size < need:
+        raise ValueError(f"need {need} devices, have {devices.size}")
+    grid = devices[:need].reshape(n_scene, n_camera, n_tile)
+    return Mesh(grid, ("scene", "camera", "tile"))
+
+
 def dense_update_batch(frames_main, frames_proj, main_cams, side_cams,
                        side_valid, depths, centers, centers_valid, n_side):
     """Batched dense update: flow -> triangulation -> normals for B main cams.
@@ -104,4 +117,43 @@ def sharded_dense_update(mesh: Mesh):
         sh(),  # valid
     )
     return jax.jit(dense_update_batch, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
+
+
+def multi_scene_update(*scene_args):
+    """Dense update over an extra leading scene axis: every array gains a
+    leading S dimension; pure vmap of dense_update_batch."""
+    return jax.vmap(dense_update_batch)(*scene_args)
+
+
+def sharded_multi_scene_update(mesh: Mesh):
+    """Compile multi_scene_update over a (scene, camera, tile) mesh.
+
+    Scene batches are fully independent pipelines (the reference runs one
+    clip per process, configuration.cpp:169); outputs stay sharded over
+    scenes — no cross-scene collective exists, so nothing rides DCN except
+    input distribution.
+    """
+
+    def sh(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    in_shardings = (
+        sh("scene", "camera", "tile", None),        # frames_main (S, B, H, W)
+        sh("scene", "camera", None, "tile", None),  # frames_proj
+        sh("scene", "camera", None, None),          # main_cams
+        sh("scene", "camera", None, None, None),    # side_cams
+        sh("scene", "camera", None),                # side_valid
+        sh("scene", "camera", "tile", None),        # depths
+        sh("scene", "camera", None, None),          # centers
+        sh("scene", "camera", None),                # centers_valid
+        sh("scene", "camera"),                      # n_side
+    )
+    out_shardings = (
+        sh("scene"),  # per-scene results stay scene-sharded
+        sh("scene"),
+        sh("scene"),
+        sh("scene"),
+    )
+    return jax.jit(multi_scene_update, in_shardings=in_shardings,
                    out_shardings=out_shardings)

@@ -67,3 +67,25 @@ def test_mesh_shapes():
     assert mesh.shape == {"camera": 8, "tile": 1}
     mesh = make_device_mesh(2, 4)
     assert mesh.shape == {"camera": 2, "tile": 4}
+
+
+def test_multi_scene_sharded():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from meshrecon.sharding import make_scene_mesh, sharded_multi_scene_update, \
+        multi_scene_update
+
+    mesh = make_scene_mesh(2, 2, 2)
+    args = _problem(b=2, k=2, h=16, w=32)
+    sargs = tuple(np.stack([a, a]) for a in args)  # 2 identical scenes
+    f = sharded_multi_scene_update(mesh)
+    p4s, nrms, pdfs, valids = f(*sargs)
+    p4u, _, _, validu = jax.jit(multi_scene_update)(*sargs)
+    assert p4s.shape[0] == 2
+    np.testing.assert_array_equal(np.asarray(valids), np.asarray(validu))
+    sel = np.asarray(validu)
+    np.testing.assert_allclose(np.asarray(p4s)[sel], np.asarray(p4u)[sel],
+                               rtol=1e-4, atol=1e-4)
+    # both scenes identical input -> identical output
+    np.testing.assert_allclose(np.asarray(p4s)[0][sel[0]],
+                               np.asarray(p4s)[1][sel[1]], rtol=1e-5)
