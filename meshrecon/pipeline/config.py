@@ -47,6 +47,8 @@ class Config:
     out_file_name: str = "output.obj"
     in_mesh_file: Optional[str] = None
     seed: int = 0
+    depth_mode: str = "flow"  # "flow" (reference algorithm) | "plane-sweep"
+    sweep_depths: int = 64
     poisson_grid: int = 128
     checkpoint_dir: Optional[str] = None
     resume: bool = False
@@ -134,6 +136,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--synthetic", choices=["sphere", "bundles"], default=None,
                    help="render fixture frames instead of decoding the clip")
+    p.add_argument("--depth-mode", choices=["flow", "plane-sweep"],
+                   default="flow",
+                   help="dense depth estimator: reference-style flow + "
+                        "Gauss-Newton, or plane-sweep photometric matching")
+    p.add_argument("--sweep-depths", type=int, default=64,
+                   help="number of plane-sweep depth hypotheses")
     p.add_argument("--poisson-grid", type=int, default=128)
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
@@ -205,6 +213,8 @@ def config_from_args(argv=None) -> Config:
         out_file_name=args.output,
         in_mesh_file=args.initial_mesh,
         seed=args.seed,
+        depth_mode=args.depth_mode,
+        sweep_depths=args.sweep_depths,
         poisson_grid=args.poisson_grid,
         checkpoint_dir=args.checkpoint_dir,
         resume=args.resume,

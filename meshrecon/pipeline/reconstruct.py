@@ -52,6 +52,9 @@ def process_main_camera(config, renderer, fa: int, sides: list[int],
     with timer.stage("render.depth", npix) as done:
         depth = done(renderer.depth(cam_main))
 
+    if getattr(config, "depth_mode", "flow") == "plane-sweep":
+        return _process_main_plane_sweep(config, fa, sides, depth, timer)
+
     if config.verbosity >= 3:
         save_image(np.asarray(original), f"frame{fa}.png")
         save_image(np.asarray(depth), f"depth-frame{fa}.png", normalize=True)
@@ -116,6 +119,62 @@ def process_main_camera(config, renderer, fa: int, sides: list[int],
 
     valid = np.asarray(out["valid"])
     pts = np.asarray(out["point4"])[valid]
+    nrm = np.asarray(normals_img)[valid]
+    return pts.astype(np.float32), nrm.astype(np.float32), int(valid.sum())
+
+
+def _process_main_plane_sweep(config, fa, sides, depth, timer):
+    """Alternative dense-depth path: plane-sweep photometric matching over
+    the side window (BASELINE config #4). Sweeps the NDC depth range of the
+    current surface estimate widened by a margin; matching cost maps to a
+    pseudo-density so filtering and Poisson weighting work unchanged."""
+    import jax
+
+    from meshrecon.depth.plane_sweep import plane_sweep_depth
+
+    npix = config.height * config.width
+    cam_main = config.camera(fa)
+    fm = jnp.asarray(config.frame(fa), jnp.float32)
+    fs = jnp.stack([jnp.asarray(config.frame(fb), jnp.float32) for fb in sides])
+    cams = np.stack([config.camera(fb) for fb in sides])
+
+    d = np.asarray(depth)
+    dv = d[d < BACKGROUND_DEPTH]
+    if dv.size == 0:
+        return np.zeros((0, 4), np.float32), np.zeros((0, 3), np.float32), 0
+    margin = 0.1 * max(float(dv.max() - dv.min()), 0.05)
+    zlo, zhi = float(dv.min()) - margin, float(dv.max()) + margin
+
+    with timer.stage("plane_sweep", npix) as done:
+        out = plane_sweep_depth(fm, fs, cam_main, cams,
+                                np.ones(len(sides), bool), zlo, zhi,
+                                num_depths=config.sweep_depths)
+        done(out["depth"])
+
+    h, w = config.height, config.width
+    main_inv = np.linalg.inv(cam_main.astype(np.float64))
+    zmap = np.asarray(out["depth"])
+    valid = np.asarray(out["valid"]) & (d < BACKGROUND_DEPTH)
+    cost = np.asarray(out["cost"])
+
+    cols = (np.arange(w) - w / 2.0) * 2.0 / w
+    rows = (h / 2.0 - np.arange(h)) * 2.0 / h
+    x, y = np.meshgrid(cols, rows)
+    ndc4 = np.stack([x, y, zmap, np.ones_like(zmap)], axis=-1)
+    pts4 = np.einsum("ij,hwj->hwi", main_inv, ndc4).astype(np.float32)
+    pdf = (1.0 / (1.0 + cost)).astype(np.float32)
+
+    centers = [np_extract_camera_center(cam_main)] + [
+        np_extract_camera_center(c) for c in cams
+    ]
+    centers3 = np.stack([c[:3] / c[3] for c in centers]).astype(np.float32)
+    with timer.stage("normals", npix) as done:
+        normals_img = done(estimate_normals(
+            jnp.asarray(pts4), jnp.asarray(valid), jnp.asarray(pdf),
+            centers3, np.ones(len(centers3), bool),
+            jnp.asarray(len(sides)),
+        ))
+    pts = pts4[valid]
     nrm = np.asarray(normals_img)[valid]
     return pts.astype(np.float32), nrm.astype(np.float32), int(valid.sum())
 

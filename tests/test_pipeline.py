@@ -142,3 +142,26 @@ def test_nan_checks_utils():
 
     err, out = checked(lambda x: jnp.sqrt(x))(jnp.asarray(4.0))
     assert float(out) == 2.0
+
+
+def test_end_to_end_plane_sweep(koule_small, tmp_path):
+    """Full pipeline with the plane-sweep depth mode (BASELINE config #4
+    estimator) on the synthetic sphere scene."""
+    track, frames = koule_small
+    out = str(tmp_path / "sweep.obj")
+    cfg = Config(
+        track=track,
+        frames=frames,
+        iteration_count=1,
+        out_file_name=out,
+        seed=3,
+        poisson_grid=48,
+        depth_mode="plane-sweep",
+        sweep_depths=32,
+    )
+    mesh = reconstruct(cfg)
+    assert len(mesh.faces) > 50
+    center, radius = fit_sphere(track.bundles)
+    v3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
+    radii = np.linalg.norm(v3 - center, axis=1)
+    assert abs(np.median(radii) - radius) / radius < 0.3
