@@ -138,3 +138,32 @@ def test_poisson_sphere():
     assert volume > 0  # outward
     expected = 4 / 3 * np.pi
     assert abs(volume - expected) / expected < 0.35
+
+
+def test_meshing_extras():
+    from meshrecon.meshing.extras import (
+        bounding_box_size, filter_finest, estimated_normals,
+        normalize_normals_average,
+    )
+    from meshrecon.io.obj import Mesh
+
+    pts, true_normals = sphere_points(500, seed=5)
+    assert abs(bounding_box_size(pts) - 2 * np.sqrt(3)) < 0.4
+
+    # estimated normals align with true sphere normals (up to sign fixed by
+    # an outside viewpoint)
+    est = estimated_normals(pts, knn=12, viewpoint=(5.0, 0, 0))
+    # viewpoint orientation only fixes the +x hemisphere reliably; check there
+    sel = pts[:, 0] > 0.3
+    dots = np.einsum("ni,ni->n", est[sel], true_normals[sel])
+    assert np.mean(dots > 0.8) > 0.8
+
+    verts4 = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], axis=1)
+    faces, _ = alpha_shape_faces(pts)
+    mesh = Mesh(verts4, faces)
+    # giant threshold keeps everything; tiny one drops everything
+    assert len(filter_finest(mesh, 10.0).faces) == len(faces)
+    assert len(filter_finest(mesh, 1e-6).faces) == 0
+
+    nn = normalize_normals_average(est * 3.0)
+    assert abs(np.linalg.norm(nn, axis=1).mean() - 1.0) < 1e-5
