@@ -61,53 +61,39 @@ def sobel_gradient(image):
     return gx, gy
 
 
-def _bilinear_and_good(depth, col, row):
-    """Bilinear depth sample + the reference's goodSample validity test."""
-    h, w = depth.shape
+def _bilinear_packed(fields, col, row):
+    """Bilinear sample of an (H, W, C) packed field + goodSample validity.
+
+    One set of four corner gathers serves every channel (depth, gx, gy);
+    channel 0 must be the depth map whose 4 corners define goodSample
+    (util.cpp:44-53). Returns (samples (..., C), good (...)).
+    """
+    h, w = fields.shape[:2]
     c0 = jnp.floor(col).astype(jnp.int32)
     r0 = jnp.floor(row).astype(jnp.int32)
     inside = (c0 >= 1) & (c0 < w - 1) & (r0 >= 1) & (r0 < h - 1)
     c0c = jnp.clip(c0, 0, w - 2)
     r0c = jnp.clip(r0, 0, h - 2)
-    v00 = depth[r0c, c0c]
-    v01 = depth[r0c, c0c + 1]
-    v10 = depth[r0c + 1, c0c]
-    v11 = depth[r0c + 1, c0c + 1]
+    v00 = fields[r0c, c0c]
+    v01 = fields[r0c, c0c + 1]
+    v10 = fields[r0c + 1, c0c]
+    v11 = fields[r0c + 1, c0c + 1]
     good = (
         inside
-        & (v00 != BACKGROUND_DEPTH)
-        & (v01 != BACKGROUND_DEPTH)
-        & (v10 != BACKGROUND_DEPTH)
-        & (v11 != BACKGROUND_DEPTH)
+        & (v00[..., 0] != BACKGROUND_DEPTH)
+        & (v01[..., 0] != BACKGROUND_DEPTH)
+        & (v10[..., 0] != BACKGROUND_DEPTH)
+        & (v11[..., 0] != BACKGROUND_DEPTH)
     )
-    fc = col - c0c
-    fr = row - r0c
-    val = (
+    fc = (col - c0c)[..., None]
+    fr = (row - r0c)[..., None]
+    samples = (
         v00 * (1 - fr) * (1 - fc)
         + v01 * (1 - fr) * fc
         + v10 * fr * (1 - fc)
         + v11 * fr * fc
     )
-    return val, good
-
-
-def _bilinear2(img2, col, row):
-    """Bilinear sample of an (H, W, 2) field, clamped."""
-    h, w = img2.shape[:2]
-    col = jnp.clip(col, 0.0, w - 1.0)
-    row = jnp.clip(row, 0.0, h - 1.0)
-    c0 = jnp.floor(col).astype(jnp.int32)
-    r0 = jnp.floor(row).astype(jnp.int32)
-    c1 = jnp.minimum(c0 + 1, w - 1)
-    r1 = jnp.minimum(r0 + 1, h - 1)
-    fc = (col - c0)[..., None]
-    fr = (row - r0)[..., None]
-    return (
-        img2[r0, c0] * (1 - fr) * (1 - fc)
-        + img2[r0, c1] * (1 - fr) * fc
-        + img2[r1, c0] * fr * (1 - fc)
-        + img2[r1, c1] * fr * fc
-    )
+    return samples, good
 
 
 @functools.partial(jax.jit, static_argnames=("gn_iters",))
@@ -148,10 +134,15 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
     variance = jnp.maximum(flows[..., 2], 1e-12)
 
     # --- measured points and covariances per side camera (K, H, W, ...) ---
+    # one packed gather source: (depth, gx, gy) sampled together — 4 corner
+    # gathers per (pixel, camera) instead of 12 (TPU gathers are expensive)
+    packed = jnp.stack([depth, gx, gy], axis=-1)
     fcol = cols[None] + flx
     frow = rows[None] + fly
-    zs, good = jax.vmap(_bilinear_and_good, in_axes=(None, 0, 0))(depth, fcol, frow)
-    zk = jnp.where(good, zs, depth[None])
+    samp, good = jax.vmap(_bilinear_packed, in_axes=(None, 0, 0))(
+        packed, fcol, frow
+    )
+    zk = jnp.where(good, samp[..., 0], depth[None])
 
     mx = x[None] + flx * sx
     my = y[None] + fly * sy
@@ -168,7 +159,7 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
     s_meas = m_ndc[..., :2]  # (K, H, W, 2)
 
     # gradient sampled at the flowed position when good, else at the pixel
-    g_flow = jax.vmap(_bilinear2, in_axes=(None, 0, 0))(grad, fcol, frow)
+    g_flow = samp[..., 1:3]
     g_ctr = jnp.broadcast_to(grad[None], g_flow.shape)
     g = jnp.where(good[..., None], g_flow, g_ctr)
 
