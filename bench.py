@@ -32,7 +32,7 @@ def main():
     # block_until_ready does not actually synchronize, so a host fetch of a
     # scalar is the only honest timing barrier
     def reduced(*a):
-        p4, nrm, pdf, valid = dense_update_batch(*a)
+        p4, nrm, pdf, valid = dense_update_batch(*a, flow_quality="full")
         return (
             jnp.sum(p4) + jnp.sum(nrm) + jnp.sum(pdf)
             + jnp.sum(valid.astype(jnp.float32))

@@ -52,8 +52,17 @@ def make_scene_mesh(n_scene: int, n_camera: int, n_tile: int = 1,
     return Mesh(grid, ("scene", "camera", "tile"))
 
 
+# flow presets: "full" matches the production pipeline defaults
+# (flow/variational.py); "fast" is for dry runs and compile checks
+_FLOW_PRESETS = {
+    "full": dict(levels=6, iters=60, warps=2),
+    "fast": dict(levels=3, iters=20, warps=1),
+}
+
+
 def dense_update_batch(frames_main, frames_proj, main_cams, side_cams,
-                       side_valid, depths, centers, centers_valid, n_side):
+                       side_valid, depths, centers, centers_valid, n_side,
+                       flow_quality: str = "full"):
     """Batched dense update: flow -> triangulation -> normals for B main cams.
 
     frames_main: (B, H, W) original frames; frames_proj: (B, K, H, W)
@@ -65,10 +74,11 @@ def dense_update_batch(frames_main, frames_proj, main_cams, side_cams,
     This is the jittable flagship step — vmapped over the camera batch and
     shardable over (camera, tile).
     """
+    preset = _FLOW_PRESETS[flow_quality]
 
     def one(fm, fps, mc, scs, sv, d, ctr, cv, k):
         def flow_of(fp):
-            f = variational_flow(fm, fp, levels=3, iters=20, warps=1)
+            f = variational_flow(fm, fp, **preset)
             from meshrecon.flow.pyramid import compare
             from meshrecon.flow.remap import flow_remap
 
@@ -87,7 +97,7 @@ def dense_update_batch(frames_main, frames_proj, main_cams, side_cams,
                          side_valid, depths, centers, centers_valid, n_side)
 
 
-def sharded_dense_update(mesh: Mesh):
+def sharded_dense_update(mesh: Mesh, flow_quality: str = "fast"):
     """Compile dense_update_batch with (camera, tile) shardings on `mesh`.
 
     Inputs are sharded: batch dim over ``camera``, image rows over ``tile``;
@@ -116,17 +126,22 @@ def sharded_dense_update(mesh: Mesh):
         sh(),  # pdf
         sh(),  # valid
     )
-    return jax.jit(dense_update_batch, in_shardings=in_shardings,
+    def step(*args):
+        return dense_update_batch(*args, flow_quality=flow_quality)
+
+    return jax.jit(step, in_shardings=in_shardings,
                    out_shardings=out_shardings)
 
 
-def multi_scene_update(*scene_args):
+def multi_scene_update(*scene_args, flow_quality: str = "fast"):
     """Dense update over an extra leading scene axis: every array gains a
     leading S dimension; pure vmap of dense_update_batch."""
-    return jax.vmap(dense_update_batch)(*scene_args)
+    return jax.vmap(
+        lambda *a: dense_update_batch(*a, flow_quality=flow_quality)
+    )(*scene_args)
 
 
-def sharded_multi_scene_update(mesh: Mesh):
+def sharded_multi_scene_update(mesh: Mesh, flow_quality: str = "fast"):
     """Compile multi_scene_update over a (scene, camera, tile) mesh.
 
     Scene batches are fully independent pipelines (the reference runs one
@@ -155,5 +170,8 @@ def sharded_multi_scene_update(mesh: Mesh):
         sh("scene"),
         sh("scene"),
     )
-    return jax.jit(multi_scene_update, in_shardings=in_shardings,
+    def step(*args):
+        return multi_scene_update(*args, flow_quality=flow_quality)
+
+    return jax.jit(step, in_shardings=in_shardings,
                    out_shardings=out_shardings)

@@ -35,7 +35,8 @@ def _problem(b=4, k=2, h=16, w=32, seed=0):
 
 def test_dense_update_batch_single_device():
     args = _problem()
-    p4, nrm, pdf, valid = jax.jit(dense_update_batch)(*args)
+    p4, nrm, pdf, valid = jax.jit(
+        lambda *a: dense_update_batch(*a, flow_quality='fast'))(*args)
     assert p4.shape == (4, 16, 32, 4)
     assert nrm.shape == (4, 16, 32, 3)
     assert bool(jnp.any(valid))
@@ -49,7 +50,8 @@ def test_sharded_matches_unsharded():
     args = _problem()
     f = sharded_dense_update(mesh)
     p4_s, nrm_s, pdf_s, valid_s = f(*args)
-    p4_u, nrm_u, pdf_u, valid_u = jax.jit(dense_update_batch)(*args)
+    p4_u, nrm_u, pdf_u, valid_u = jax.jit(
+        lambda *a: dense_update_batch(*a, flow_quality='fast'))(*args)
     np.testing.assert_array_equal(np.asarray(valid_s), np.asarray(valid_u))
     sel = np.asarray(valid_u)
     np.testing.assert_allclose(
@@ -80,7 +82,7 @@ def test_multi_scene_sharded():
     sargs = tuple(np.stack([a, a]) for a in args)  # 2 identical scenes
     f = sharded_multi_scene_update(mesh)
     p4s, nrms, pdfs, valids = f(*sargs)
-    p4u, _, _, validu = jax.jit(multi_scene_update)(*sargs)
+    p4u, _, _, validu = jax.jit(lambda *a: multi_scene_update(*a))(*sargs)
     assert p4s.shape[0] == 2
     np.testing.assert_array_equal(np.asarray(valids), np.asarray(validu))
     sel = np.asarray(validu)
