@@ -17,7 +17,7 @@ test_unit:
 
 # module drivers (reference TEST_BUILD equivalents)
 test_flow:
-	$(PY) -m meshrecon.flow.driver test/flow1.png test/flow2.png
+	$(PY) -m meshrecon.flow.driver
 
 test_alpha_shapes:
 	mkdir -p test

@@ -12,11 +12,23 @@ import sys
 import numpy as np
 
 
+def _make_fixture_pair():
+    """Synthetic test pair (shifted band-limited texture) when no images are
+    given — the reference's fixtures aren't shipped either."""
+    import os
+
+    from tests.test_flow import smooth_image, shift_image
+    from meshrecon.io.images import save_image
+
+    os.makedirs("test", exist_ok=True)
+    img = smooth_image(240, 320, seed=11)
+    save_image(img, "test/flow1.png")
+    save_image(shift_image(img, 3, -2), "test/flow2.png")
+    return "test/flow1.png", "test/flow2.png"
+
+
 def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
-    if len(argv) < 2:
-        print("Usage: flow.driver <IMAGE1> <IMAGE2> [(l|i)<NUMBER>|f]...")
-        return 0
     import imageio.v3 as iio
 
     from meshrecon.flow import calculate_flow, flow_remap
@@ -24,6 +36,10 @@ def main(argv=None):
     def to_gray(img):
         img = np.asarray(img, np.float32)
         return img if img.ndim == 2 else img[..., :3].mean(axis=2)
+
+    if len(argv) < 2:
+        print("No images given; generating synthetic fixtures in test/")
+        argv = list(_make_fixture_pair()) + list(argv)
 
     prev = to_gray(iio.imread(argv[0]))
     next_ = to_gray(iio.imread(argv[1]))

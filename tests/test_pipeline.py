@@ -165,3 +165,45 @@ def test_end_to_end_plane_sweep(koule_small, tmp_path):
     v3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
     radii = np.linalg.norm(v3 - center, axis=1)
     assert abs(np.median(radii) - radius) / radius < 0.3
+
+
+def test_resume_from_checkpoint(koule_small, tmp_path):
+    """A 2-iteration run checkpointed after iter 1 resumes and completes."""
+    track, frames = koule_small
+    ckpt = str(tmp_path / "ck")
+    out1 = str(tmp_path / "a.obj")
+    cfg = Config(track=track, frames=frames, iteration_count=1,
+                 out_file_name=out1, seed=5, poisson_grid=48,
+                 checkpoint_dir=ckpt)
+    reconstruct(cfg)
+    # resume with a higher iteration budget: continues at iteration 2
+    out2 = str(tmp_path / "b.obj")
+    cfg2 = Config(track=track, frames=frames, iteration_count=2,
+                  out_file_name=out2, seed=5, poisson_grid=48,
+                  checkpoint_dir=ckpt, resume=True)
+    mesh = reconstruct(cfg2)
+    assert len(mesh.faces) > 0
+    from meshrecon.pipeline.checkpoint import load_checkpoint
+
+    pts, nrm, alphas, it, _ = load_checkpoint(ckpt)
+    assert it == 2 and len(alphas) >= 2
+
+
+def test_hyper_verbose_artifacts(koule_small, tmp_path, monkeypatch):
+    """-V must dump the reference's intermediate artifacts (recon.cpp:39-134,
+    SURVEY.md section 4.3)."""
+    track, frames = koule_small
+    monkeypatch.chdir(tmp_path)
+    cfg = Config(track=track, frames=frames, iteration_count=1,
+                 out_file_name="out.obj", seed=3, poisson_grid=48,
+                 verbosity=99)
+    reconstruct(cfg)
+    names = {p.name for p in tmp_path.iterdir()}
+    assert "recon_orig.obj" in names
+    assert "purepoints.obj" in names and "filteredpoints.obj" in names
+    assert any(n.startswith("frame") and n.endswith(".png") for n in names)
+    assert any(n.startswith("depth-frame") for n in names)
+    assert any(n.startswith("project-frame") for n in names)
+    assert any(n.startswith("flow-frame") for n in names)
+    assert any("remap-error" in n for n in names)
+    assert "out.obj" in names
