@@ -1,0 +1,101 @@
+"""The fused per-main-camera update: one jitted program for the whole hot
+loop body of recon.cpp:65-119.
+
+The unfused path dispatches ~10 device programs per main camera (depth
+render, then per side: shadow render, projection, background mix, flow;
+finally triangulation and normals) with host round trips in between — under
+the axon tunnel every dispatch costs ~30 ms before any compute. This module
+compiles the entire loop body into a single program: the side loop is a
+``lax.scan`` carrying the progressively-masked depth map (the reference
+mutates `depth` in place across side projections, util.cpp:366-387), and the
+renderer, flow solver, triangulator and normal estimator all fuse into one
+XLA executable per (H, W, K-bucket) shape.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from meshrecon.depth import triangulate_pixels, estimate_normals
+from meshrecon.flow.pyramid import compare
+from meshrecon.flow.remap import flow_remap
+from meshrecon.flow.variational import variational_flow
+from meshrecon.flow.farneback import farneback_flow
+from meshrecon.raster.rasterizer import render_depth
+from meshrecon.raster.fragment import projected_image, mix_background
+
+
+def _depth_fn(use_pallas: bool, height: int, width: int):
+    if use_pallas:
+        from meshrecon.raster.pallas_kernel import render_depth_pallas
+
+        return lambda cam, soup, valid: render_depth_pallas(
+            cam, soup, valid, height, width
+        )
+    return lambda cam, soup, valid: render_depth(cam, soup, valid, height, width)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "use_farneback", "use_pallas"),
+)
+def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
+                      side_frames, side_valid, centers, centers_valid, n_side,
+                      height: int, width: int, use_farneback: bool = False,
+                      use_pallas: bool = False):
+    """Full dense update for one main camera against K (padded) sides.
+
+    soup: (T, 3, 3) world triangles + (T,) validity; cam_main: (4, 4);
+    frame_main: (H, W); side_cams: (K, 4, 4); side_frames: (K, H, W);
+    side_valid: (K,); centers: (C, 3) camera centers (main first);
+    centers_valid: (C,); n_side: scalar int.
+
+    Returns dict(point4, normals, pdf, valid, depth).
+    """
+    depth_of = _depth_fn(use_pallas, height, width)
+    frame_main = jnp.asarray(frame_main, jnp.float32)
+    depth0 = depth_of(cam_main, soup, soup_valid)
+
+    def side_step(depth, inp):
+        cam_s, frame_s, valid_s = inp
+        d_side = depth_of(cam_s, soup, soup_valid)
+        inten, mask = projected_image(cam_main, depth, frame_s, cam_s, d_side)
+        mixed, new_depth = mix_background(inten, mask, frame_main, depth)
+        if use_farneback:
+            h, w = frame_main.shape
+            sigma = max((h + w) / 1000.0, 0.7)
+            flow = farneback_flow(frame_main, mixed,
+                                  poly_n=5 if sigma < 1.5 else 7,
+                                  poly_sigma=sigma,
+                                  win=max((h + w) // 200, 2))
+        else:
+            flow = variational_flow(frame_main, mixed)
+        var = compare(frame_main, flow_remap(flow, mixed))
+        flow4 = jnp.concatenate(
+            [flow, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
+        )
+        # padded sides: leave the depth untouched, weight the flow out later
+        depth_out = jnp.where(valid_s, new_depth, depth)
+        return depth_out, flow4
+
+    depth_final, flows = jax.lax.scan(
+        side_step, depth0,
+        (jnp.asarray(side_cams, jnp.float32),
+         jnp.asarray(side_frames, jnp.float32),
+         jnp.asarray(side_valid)),
+    )
+
+    out = triangulate_pixels(flows, cam_main, side_cams, side_valid,
+                             depth_final)
+    normals = estimate_normals(out["point4"], out["valid"], out["pdf"],
+                               centers, centers_valid, n_side)
+    return {
+        "point4": out["point4"],
+        "normals": normals,
+        "pdf": out["pdf"],
+        "valid": out["valid"],
+        "depth": depth_final,
+    }

@@ -49,6 +49,12 @@ def process_main_camera(config, renderer, fa: int, sides: list[int],
 
     cam_main = config.camera(fa)
     original = jnp.asarray(config.frame(fa), jnp.float32)
+
+    if getattr(config, "depth_mode", "flow") == "flow" and config.verbosity < 3:
+        # fast path: the whole loop body is one device program (no per-stage
+        # dispatches); the unfused path below is kept for -V artifact dumps
+        return _process_main_fused(config, renderer, fa, sides, timer)
+
     with timer.stage("render.depth", npix) as done:
         depth = done(renderer.depth(cam_main))
 
@@ -120,6 +126,54 @@ def process_main_camera(config, renderer, fa: int, sides: list[int],
     valid = np.asarray(out["valid"])
     pts = np.asarray(out["point4"])[valid]
     nrm = np.asarray(normals_img)[valid]
+    return pts.astype(np.float32), nrm.astype(np.float32), int(valid.sum())
+
+
+def _process_main_fused(config, renderer, fa, sides, timer):
+    """One-dispatch dense update via pipeline.fused.fused_main_update."""
+    import jax
+
+    from meshrecon.pipeline.fused import fused_main_update
+
+    npix = config.height * config.width
+    cam_main = config.camera(fa)
+    k = len(sides)
+    if k == 0:
+        return np.zeros((0, 4), np.float32), np.zeros((0, 3), np.float32), 0
+    kb = _bucket(k)
+    h, w = config.height, config.width
+    side_cams = np.tile(np.eye(4, dtype=np.float32), (kb, 1, 1))
+    side_frames = np.zeros((kb, h, w), np.float32)
+    side_valid = np.zeros(kb, bool)
+    for i, fb in enumerate(sides):
+        side_cams[i] = config.camera(fb)
+        side_frames[i] = config.frame(fb)
+        side_valid[i] = True
+
+    centers = [np_extract_camera_center(cam_main)] + [
+        np_extract_camera_center(config.camera(fb)) for fb in sides
+    ]
+    centers3 = np.stack([c[:3] / c[3] for c in centers]).astype(np.float32)
+    cb = _bucket(len(centers3))
+    centers_pad = np.zeros((cb, 3), np.float32)
+    centers_pad[: len(centers3)] = centers3
+    cvalid = np.zeros(cb, bool)
+    cvalid[: len(centers3)] = True
+
+    use_pallas = jax.default_backend() == "tpu"
+    with timer.stage("fused_main_update", npix * max(k, 1)) as done:
+        out = fused_main_update(
+            renderer.soup, renderer.soup_valid, cam_main,
+            jnp.asarray(config.frame(fa), jnp.float32), side_cams,
+            side_frames, side_valid, centers_pad, cvalid, jnp.asarray(k),
+            height=h, width=w, use_farneback=config.use_farneback,
+            use_pallas=use_pallas,
+        )
+        done(out["point4"])
+
+    valid = np.asarray(out["valid"])
+    pts = np.asarray(out["point4"])[valid]
+    nrm = np.asarray(out["normals"])[valid]
     return pts.astype(np.float32), nrm.astype(np.float32), int(valid.sum())
 
 

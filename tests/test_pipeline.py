@@ -207,3 +207,58 @@ def test_hyper_verbose_artifacts(koule_small, tmp_path, monkeypatch):
     assert any(n.startswith("flow-frame") for n in names)
     assert any("remap-error" in n for n in names)
     assert "out.obj" in names
+
+
+def test_fused_matches_unfused(koule_small):
+    """The single-program fused main-camera update must agree with the
+    stage-by-stage path used for -V dumps."""
+    import jax
+    import jax.numpy as jnp
+
+    from meshrecon.pipeline.fused import fused_main_update
+    from meshrecon.pipeline.reconstruct import process_main_camera, _bucket
+    from meshrecon.geometry.camera import np_extract_camera_center
+
+    track, frames = koule_small
+    cfg = Config(track=track, frames=frames, seed=2, verbosity=0)
+    hint = Heuristic(cfg)
+    hint.not_happy(track.bundles)
+    mesh = hint.tessellate(track.bundles, np.zeros((len(track.bundles), 3)))
+    r = Renderer(cfg.width, cfg.height)
+    r.load_mesh(mesh)
+
+    fa, sides = 0, [5, 12]
+    # fused path (the default route through process_main_camera)
+    pts_f, nrm_f, n_f = process_main_camera(cfg, r, fa, sides)
+
+    # unfused: force the verbose branch without dumping (verbosity 3 writes
+    # files; emulate by calling the stages manually like the old path)
+    cam_main = cfg.camera(fa)
+    original = jnp.asarray(cfg.frame(fa), jnp.float32)
+    depth = r.depth(cam_main)
+    from meshrecon.flow import calculate_flow
+    from meshrecon.raster import mix_background
+    from meshrecon.depth import triangulate_pixels, estimate_normals
+
+    flows, side_cams = [], []
+    for fb in sides:
+        inten, mask = r.projected(cam_main, cfg.frame(fb), cfg.camera(fb),
+                                  depth_main=depth)
+        mixed, depth = mix_background(inten, mask, original, depth)
+        flows.append(np.asarray(calculate_flow(original, mixed, False)))
+        side_cams.append(cfg.camera(fb))
+    kb = _bucket(len(flows))
+    h, w = cfg.height, cfg.width
+    fl = np.zeros((kb, h, w, 4), np.float32)
+    fl[: len(flows)] = np.stack(flows)
+    sc = np.tile(np.eye(4, dtype=np.float32), (kb, 1, 1))
+    sc[: len(side_cams)] = np.stack(side_cams)
+    sv = np.zeros(kb, bool)
+    sv[: len(side_cams)] = True
+    out = triangulate_pixels(fl, cam_main, sc, sv, depth)
+    valid_u = np.asarray(out["valid"])
+    pts_u = np.asarray(out["point4"])[valid_u]
+
+    assert n_f == valid_u.sum()
+    np.testing.assert_allclose(pts_f, pts_u.astype(np.float32), rtol=1e-4,
+                               atol=1e-4)
