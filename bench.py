@@ -1,10 +1,12 @@
 """Benchmark: dense-depth throughput per chip (the BASELINE.json metric).
 
-Times the fused dense-depth update — pyramidal variational flow against K=3
-side projections, covariance-weighted Gauss-Newton depth triangulation, and
-PCA normals — for 640x480 main frames, end to end on one chip. Reports
-megapixels of dense depth produced per second; ``vs_baseline`` is relative to
-the 100 Mpix/s/chip north-star target (BASELINE.md).
+Times the COMPLETE fused per-main-camera update — Pallas z-buffer depth
+render, shadow-mapped reprojection of K=3 side frames, production-quality
+pyramidal variational flow, covariance-weighted Gauss-Newton depth
+triangulation, and PCA normals — at 640x480, end to end on one chip. Each
+update produces one dense depth/point map, so throughput counts H*W output
+pixels per update. ``vs_baseline`` is relative to the 100 Mpix/s/chip
+north-star target (BASELINE.md).
 
 Prints exactly one JSON line.
 """
@@ -22,23 +24,32 @@ def main():
     import jax.numpy as jnp
 
     import __graft_entry__ as g
-    from meshrecon.sharding import dense_update_batch
+    from meshrecon.pipeline.fused import fused_main_update
 
-    B, K, H, W = 4, 3, 480, 640
-    args = g._problem(b=B, k=K, h=H, w=W, seed=0)
-    args = jax.device_put(args)
+    K, H, W = 3, 480, 640
+    on_tpu = jax.default_backend() == "tpu"
+    (soup, soup_valid, mains, fm, sides, fs, sv, centers, cvalid, ns) = (
+        g._fused_problem(b=1, k=K, h=H, w=W, seed=0)
+    )
 
     # reduce outputs to one scalar inside the program: the axon tunnel's
     # block_until_ready does not actually synchronize, so a host fetch of a
     # scalar is the only honest timing barrier
-    def reduced(*a):
-        p4, nrm, pdf, valid = dense_update_batch(*a, flow_quality="full")
+    def reduced(soup, soup_valid, mc, f0, scs, sfs, svv, ctr, cv, k):
+        out = fused_main_update(
+            soup, soup_valid, mc, f0, scs, sfs, svv, ctr, cv, k,
+            height=H, width=W, use_pallas=on_tpu,
+        )
         return (
-            jnp.sum(p4) + jnp.sum(nrm) + jnp.sum(pdf)
-            + jnp.sum(valid.astype(jnp.float32))
+            jnp.sum(out["point4"]) + jnp.sum(out["normals"])
+            + jnp.sum(out["pdf"]) + jnp.sum(out["valid"].astype(jnp.float32))
         )
 
     fn = jax.jit(reduced)
+    args = jax.device_put(
+        (soup, soup_valid, mains[0], fm[0], sides[0], fs[0], sv[0],
+         centers[0], cvalid[0], ns[0])
+    )
     float(np.asarray(fn(*args)))  # warmup / compile
 
     reps = 5
@@ -47,7 +58,7 @@ def main():
         s = float(np.asarray(fn(*args)))
     dt = time.perf_counter() - t0
 
-    mpix = B * H * W * reps / dt / 1e6
+    mpix = H * W * reps / dt / 1e6
     print(
         json.dumps(
             {

@@ -3,6 +3,7 @@ from meshrecon.sharding.meshes import (
     make_scene_mesh,
     dense_update_batch,
     sharded_dense_update,
+    sharded_fused_update,
     multi_scene_update,
     sharded_multi_scene_update,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "make_scene_mesh",
     "dense_update_batch",
     "sharded_dense_update",
+    "sharded_fused_update",
     "multi_scene_update",
     "sharded_multi_scene_update",
 ]

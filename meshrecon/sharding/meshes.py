@@ -133,6 +133,52 @@ def sharded_dense_update(mesh: Mesh, flow_quality: str = "fast"):
                    out_shardings=out_shardings)
 
 
+def sharded_fused_update(mesh: Mesh, height: int, width: int,
+                         use_farneback: bool = False,
+                         use_pallas: bool = False):
+    """The COMPLETE per-iteration device step, sharded over (camera, tile):
+    z-buffer depth renders, shadowed reprojection, dense flow, triangulation
+    and normals (pipeline.fused.fused_main_update) for a batch of B main
+    cameras. The triangle soup is replicated (the mesh is global state, like
+    the reference's single VBO, render_glx.cpp:230-258); frames and all dense
+    intermediates are sharded; outputs come back replicated (the closing
+    ICI all-gather)."""
+    from meshrecon.pipeline.fused import fused_main_update
+
+    def step(soup, soup_valid, main_cams, frames_main, side_cams, side_frames,
+             side_valid, centers, centers_valid, n_side):
+        return jax.vmap(
+            lambda mc, fm, scs, sfs, sv, ctr, cv, k: fused_main_update(
+                soup, soup_valid, mc, fm, scs, sfs, sv, ctr, cv, k,
+                height=height, width=width, use_farneback=use_farneback,
+                use_pallas=use_pallas,
+            )
+        )(main_cams, frames_main, side_cams, side_frames, side_valid,
+          centers, centers_valid, n_side)
+
+    def sh(*spec):
+        return NamedSharding(mesh, P(*spec))
+
+    in_shardings = (
+        sh(),                              # soup (replicated)
+        sh(),                              # soup_valid
+        sh("camera", None, None),          # main_cams
+        sh("camera", "tile", None),        # frames_main
+        sh("camera", None, None, None),    # side_cams
+        sh("camera", None, "tile", None),  # side_frames
+        sh("camera", None),                # side_valid
+        sh("camera", None, None),          # centers
+        sh("camera", None),                # centers_valid
+        sh("camera"),                      # n_side
+    )
+    out_shardings = {
+        "point4": sh(), "normals": sh(), "pdf": sh(), "valid": sh(),
+        "depth": sh(),
+    }
+    return jax.jit(step, in_shardings=in_shardings,
+                   out_shardings=out_shardings)
+
+
 def multi_scene_update(*scene_args, flow_quality: str = "fast"):
     """Dense update over an extra leading scene axis: every array gains a
     leading S dimension; pure vmap of dense_update_batch."""
