@@ -91,3 +91,31 @@ def test_multi_scene_sharded():
     # both scenes identical input -> identical output
     np.testing.assert_allclose(np.asarray(p4s)[0][sel[0]],
                                np.asarray(p4s)[1][sel[1]], rtol=1e-5)
+
+
+def test_sharded_fused_update():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import __graft_entry__ as g
+    from meshrecon.sharding import sharded_fused_update
+    from meshrecon.pipeline.fused import fused_main_update
+
+    h, w = 32, 32
+    mesh = __import__("meshrecon.sharding", fromlist=["make_device_mesh"]).\
+        make_device_mesh(4, 2)
+    args = g._fused_problem(b=4, k=2, h=h, w=w)
+    f = sharded_fused_update(mesh, height=h, width=w)
+    out = f(*args)
+    # reference: unsharded vmap of the fused step
+    soup, soup_valid = args[0], args[1]
+    ref = jax.vmap(
+        lambda mc, fm, scs, sfs, sv, ctr, cv, k: fused_main_update(
+            soup, soup_valid, mc, fm, scs, sfs, sv, ctr, cv, k,
+            height=h, width=w)
+    )(*args[2:])
+    np.testing.assert_array_equal(np.asarray(out["valid"]),
+                                  np.asarray(ref["valid"]))
+    sel = np.asarray(ref["valid"])
+    np.testing.assert_allclose(np.asarray(out["point4"])[sel],
+                               np.asarray(ref["point4"])[sel],
+                               rtol=1e-4, atol=1e-4)
