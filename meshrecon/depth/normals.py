@@ -31,26 +31,58 @@ import jax.numpy as jnp
 
 
 def _window_sums(field, radius):
-    """Sum of (H, W, C) field over (2r+1)^2 windows via integral images.
+    """Sum of (H, W, C) field over (2r+1)^2 windows, zero outside the image.
 
-    The four corner lookups are STATIC slices of an edge/zero-padded integral
-    image (no gathers — TPU gathers are slow; slices fuse into one VPU pass).
+    Implemented as a separable log-time doubling cascade of shifted adds
+    (sums of 1, 2, 4, ... shifted copies): measured far faster on TPU than
+    integral images, whose lane-axis cumsum lowers to a sequential scan.
     """
-    h, w = field.shape[:2]
-    ii = jnp.cumsum(jnp.cumsum(field, axis=0), axis=1)
-    ii = jnp.pad(ii, ((1, 0), (1, 0)) + ((0, 0),) * (field.ndim - 2))
-    r = radius
-    # clamp-at-the-border == zero-pad before (ii[0] is all zeros) and
-    # edge-pad after (ii[H] is the full prefix)
-    tail = ((0, 0),) * (field.ndim - 2)
-    iip = jnp.pad(ii, ((r, 0), (r, 0)) + tail)
-    iip = jnp.pad(iip, ((0, r), (0, r)) + tail, mode="edge")
-    # padded coordinate of original ii index i is i + r
-    a = iip[2 * r + 1 : 2 * r + 1 + h, 2 * r + 1 : 2 * r + 1 + w]  # (r1, c1)
-    b = iip[0:h, 2 * r + 1 : 2 * r + 1 + w]  # (r0, c1)
-    c = iip[2 * r + 1 : 2 * r + 1 + h, 0:w]  # (r1, c0)
-    d = iip[0:h, 0:w]  # (r0, c0)
-    return a - b - c + d
+    size = 2 * radius + 1
+
+    def _suffix_box(x, axis):
+        """y[i] = sum(x[i : i+size]) along axis, zero beyond the end.
+
+        Binary decomposition: power-of-two window sums are built by doubling
+        (p_2k[i] = p_k[i] + p_k[i+k]) and combined per set bit of `size` —
+        O(log size) shifted adds, all static slices.
+        """
+        n = x.shape[axis]
+
+        def shift(a, s):
+            if s == 0:
+                return a
+            pad = [(0, 0)] * a.ndim
+            pad[axis] = (0, s)
+            idx = [slice(None)] * a.ndim
+            idx[axis] = slice(s, s + n)
+            return jnp.pad(a, pad)[tuple(idx)]
+
+        pows = {1: x}
+        k = 1
+        while k * 2 <= size:
+            pows[k * 2] = pows[k] + shift(pows[k], k)
+            k *= 2
+        acc = None
+        offset = 0
+        b = 1
+        while b <= size:
+            if size & b:
+                term = shift(pows[b], offset)
+                acc = term if acc is None else acc + term
+                offset += b
+            b *= 2
+        return acc
+
+    def centered_box(x, axis):
+        pad = [(0, 0)] * x.ndim
+        pad[axis] = (radius, radius)
+        xp = jnp.pad(x, pad)
+        acc = _suffix_box(xp, axis)
+        idx = [slice(None)] * x.ndim
+        idx[axis] = slice(0, x.shape[axis])
+        return acc[tuple(idx)]
+
+    return centered_box(centered_box(field, 0), 1)
 
 
 def _smallest_eigvec_3x3(cov, use_eigh: bool = False):

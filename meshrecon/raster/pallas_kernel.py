@@ -36,8 +36,13 @@ def _raster_kernel(num_chunks, height, width,
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
-    rows = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
-    cols = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
+    # NOTE: tpu.iota only produces integers; cast afterwards
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+        jnp.float32
+    )
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+        jnp.float32
+    )
     row0 = (ti * TILE_H).astype(jnp.float32)
     col0 = (tj * TILE_W).astype(jnp.float32)
     py = (height / 2.0 - (rows + row0)) * (2.0 / height)
