@@ -1,12 +1,19 @@
-"""Per-pixel surface normals from neighborhood PCA, via integral images.
+"""Per-pixel surface normals from neighborhood PCA, via windowed moment sums.
 
 Re-architecture of the normal-estimation pass of triangulatePixels
 (util.cpp:250-326): the reference gathers a 21x21 pixel neighborhood of
 triangulated points for every pixel and runs cv::PCA on it — an O(radius^2)
-gather per pixel. On TPU the same covariance is obtained with *integral
-images* (2-D cumulative sums) of p, p p^T and the valid count — O(1) per
-pixel, fully parallel — followed by a batched smallest-eigenvector solve of
-the 3x3 covariance.
+gather per pixel. Here the same covariance comes from box-filtered moment
+images (p, p p^T, count) followed by a closed-form smallest-eigenvector solve
+of the 3x3 covariance — all fused elementwise VPU work.
+
+TPU layout notes (measured on v5e):
+- moment channels ride the LEADING axis ((C, H, W)); trailing small channel
+  dims would be Mosaic-tiled over (W, C) with a ~40x padding blowup.
+- box sums use a binary shifted-add cascade (static slices); integral images
+  would need a lane-axis cumsum, which lowers to a sequential scan.
+- the 3x3 eigenvector solve is the analytic trigonometric method on plane
+  arguments; batched jnp.linalg.eigh was ~1000x slower.
 
 Semantics preserved:
 
@@ -30,22 +37,16 @@ import jax
 import jax.numpy as jnp
 
 
-def _window_sums(field, radius):
-    """Sum of (H, W, C) field over (2r+1)^2 windows, zero outside the image.
+def _window_sums_chw(field, radius):
+    """Sum of (C, H, W) field over (2r+1)^2 spatial windows (zero outside).
 
-    Implemented as a separable log-time doubling cascade of shifted adds
-    (sums of 1, 2, 4, ... shifted copies): measured far faster on TPU than
-    integral images, whose lane-axis cumsum lowers to a sequential scan.
+    Binary decomposition of the box size into power-of-two window sums built
+    by doubling — O(log size) shifted adds, all static slices on the aligned
+    trailing (H, W) dims.
     """
     size = 2 * radius + 1
 
     def _suffix_box(x, axis):
-        """y[i] = sum(x[i : i+size]) along axis, zero beyond the end.
-
-        Binary decomposition: power-of-two window sums are built by doubling
-        (p_2k[i] = p_k[i] + p_k[i+k]) and combined per set bit of `size` —
-        O(log size) shifted adds, all static slices.
-        """
         n = x.shape[axis]
 
         def shift(a, s):
@@ -82,29 +83,13 @@ def _window_sums(field, radius):
         idx[axis] = slice(0, x.shape[axis])
         return acc[tuple(idx)]
 
-    return centered_box(centered_box(field, 0), 1)
+    return centered_box(centered_box(field, 1), 2)
 
 
-def _smallest_eigvec_3x3(cov, use_eigh: bool = False):
-    """Unit eigenvector of the smallest eigenvalue for (..., 3, 3) symmetric.
-
-    Analytic (trigonometric) eigenvalue solve + cross-product eigenvector
-    extraction: pure elementwise VPU work, vastly faster on TPU than the
-    batched iterative ``jnp.linalg.eigh`` (which dominated the dense-update
-    runtime). ``use_eigh`` keeps the LAPACK-style path for cross-checking.
-    """
-    if use_eigh:
-        _, vecs = jnp.linalg.eigh(cov)
-        return vecs[..., :, 0]  # eigh sorts ascending
-
-    a00 = cov[..., 0, 0]
-    a11 = cov[..., 1, 1]
-    a22 = cov[..., 2, 2]
-    a01 = cov[..., 0, 1]
-    a02 = cov[..., 0, 2]
-    a12 = cov[..., 1, 2]
-
-    # eigenvalues of a symmetric 3x3 via the trigonometric (Smith) method
+def _smallest_eigvec_3x3_planes(a00, a11, a22, a01, a02, a12):
+    """Unit eigenvector (3 planes) of the smallest eigenvalue of a symmetric
+    3x3 given as 6 plane arrays. Analytic trigonometric eigenvalues + largest
+    cross-product row extraction."""
     q = (a00 + a11 + a22) / 3.0
     b00, b11, b22 = a00 - q, a11 - q, a22 - q
     p2 = b00 * b00 + b11 * b11 + b22 * b22 + 2.0 * (
@@ -112,7 +97,6 @@ def _smallest_eigvec_3x3(cov, use_eigh: bool = False):
     )
     p = jnp.sqrt(jnp.maximum(p2 / 6.0, 1e-30))
     inv_p = 1.0 / p
-    # det(B/p) / 2 with B = A - qI
     c00, c11, c22 = b00 * inv_p, b11 * inv_p, b22 * inv_p
     c01, c02, c12 = a01 * inv_p, a02 * inv_p, a12 * inv_p
     half_det = (
@@ -122,29 +106,51 @@ def _smallest_eigvec_3x3(cov, use_eigh: bool = False):
     ) * 0.5
     half_det = jnp.clip(half_det, -1.0, 1.0)
     phi = jnp.arccos(half_det) / 3.0
-    # smallest eigenvalue
     lam = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
 
-    # eigenvector: the largest cross product of two rows of (A - lam I)
-    r0 = jnp.stack([a00 - lam, a01, a02], axis=-1)
-    r1 = jnp.stack([a01, a11 - lam, a12], axis=-1)
-    r2 = jnp.stack([a02, a12, a22 - lam], axis=-1)
-    c_a = jnp.cross(r0, r1)
-    c_b = jnp.cross(r0, r2)
-    c_c = jnp.cross(r1, r2)
-    na = jnp.sum(c_a * c_a, axis=-1, keepdims=True)
-    nb = jnp.sum(c_b * c_b, axis=-1, keepdims=True)
-    nc = jnp.sum(c_c * c_c, axis=-1, keepdims=True)
-    best_ab = jnp.where(na >= nb, c_a, c_b)
-    n_ab = jnp.maximum(na, nb)
-    best = jnp.where(n_ab >= nc, best_ab, c_c)
-    n_best = jnp.maximum(n_ab, nc)
+    r0x, r0y, r0z = a00 - lam, a01, a02
+    r1x, r1y, r1z = a01, a11 - lam, a12
+    r2x, r2y, r2z = a02, a12, a22 - lam
+
+    def cross(ax, ay, az, bx, by, bz):
+        return ay * bz - az * by, az * bx - ax * bz, ax * by - ay * bx
+
+    cax, cay, caz = cross(r0x, r0y, r0z, r1x, r1y, r1z)
+    cbx, cby, cbz = cross(r0x, r0y, r0z, r2x, r2y, r2z)
+    ccx, ccy, ccz = cross(r1x, r1y, r1z, r2x, r2y, r2z)
+    na = cax * cax + cay * cay + caz * caz
+    nb = cbx * cbx + cby * cby + cbz * cbz
+    nc = ccx * ccx + ccy * ccy + ccz * ccz
+
+    use_b = nb > na
+    bx = jnp.where(use_b, cbx, cax)
+    by = jnp.where(use_b, cby, cay)
+    bz = jnp.where(use_b, cbz, caz)
+    nab = jnp.maximum(na, nb)
+    use_c = nc > nab
+    bx = jnp.where(use_c, ccx, bx)
+    by = jnp.where(use_c, ccy, by)
+    bz = jnp.where(use_c, ccz, bz)
+    nbest = jnp.maximum(nab, nc)
     # degenerate (isotropic) fallback: +z
-    z_axis = jnp.zeros_like(best).at[..., 2].set(1.0)
-    best = jnp.where(n_best > 1e-30, best, z_axis)
-    return best / jnp.sqrt(
-        jnp.maximum(jnp.sum(best * best, axis=-1, keepdims=True), 1e-30)
+    degen = nbest <= 1e-30
+    bx = jnp.where(degen, 0.0, bx)
+    by = jnp.where(degen, 0.0, by)
+    bz = jnp.where(degen, 1.0, bz)
+    inv_n = 1.0 / jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz, 1e-30))
+    return bx * inv_n, by * inv_n, bz * inv_n
+
+
+def _smallest_eigvec_3x3(cov, use_eigh: bool = False):
+    """(..., 3, 3) API kept for tests; routes to the plane implementation."""
+    if use_eigh:
+        _, vecs = jnp.linalg.eigh(cov)
+        return vecs[..., :, 0]
+    vx, vy, vz = _smallest_eigvec_3x3_planes(
+        cov[..., 0, 0], cov[..., 1, 1], cov[..., 2, 2],
+        cov[..., 0, 1], cov[..., 0, 2], cov[..., 1, 2],
     )
+    return jnp.stack([vx, vy, vz], axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("radius",))
@@ -158,67 +164,75 @@ def estimate_normals(point4, valid, pdf, camera_centers, centers_valid,
     cameras, for the pdf root). Returns (H, W, 3) float32 normals.
     """
     point4 = jnp.asarray(point4, jnp.float32)
-    w4 = point4[..., 3:4]
+    w4 = point4[..., 3]
     w4 = jnp.where(jnp.abs(w4) < 1e-20, 1.0, w4)  # invalid pixels may have w=0
-    vmask = valid.astype(jnp.float32)[..., None]
-    p3 = (point4[..., :3] / w4) * vmask
-    pm = p3 * vmask
+    vmask = valid.astype(jnp.float32)
+    px = point4[..., 0] / w4 * vmask
+    py = point4[..., 1] / w4 * vmask
+    pz = point4[..., 2] / w4 * vmask
 
-    cnt = _window_sums(vmask, radius)[..., 0]
-    s1 = _window_sums(pm, radius)  # (H, W, 3)
-    # second moments: 6 unique entries of p p^T
-    pp = jnp.stack(
+    moments = jnp.stack(
         [
-            pm[..., 0] * p3[..., 0],
-            pm[..., 1] * p3[..., 1],
-            pm[..., 2] * p3[..., 2],
-            pm[..., 0] * p3[..., 1],
-            pm[..., 0] * p3[..., 2],
-            pm[..., 1] * p3[..., 2],
+            vmask,
+            px, py, pz,
+            px * px, py * py, pz * pz,
+            px * py, px * pz, py * pz,
         ],
-        axis=-1,
-    )
-    s2 = _window_sums(pp, radius)
+        axis=0,
+    )  # (10, H, W)
+    sums = _window_sums_chw(moments, radius)
+    cnt = sums[0]
     n = jnp.maximum(cnt, 1.0)
-    mean = s1 / n[..., None]
-    cxx = s2[..., 0] / n - mean[..., 0] * mean[..., 0]
-    cyy = s2[..., 1] / n - mean[..., 1] * mean[..., 1]
-    czz = s2[..., 2] / n - mean[..., 2] * mean[..., 2]
-    cxy = s2[..., 3] / n - mean[..., 0] * mean[..., 1]
-    cxz = s2[..., 4] / n - mean[..., 0] * mean[..., 2]
-    cyz = s2[..., 5] / n - mean[..., 1] * mean[..., 2]
-    cov = jnp.stack(
-        [
-            jnp.stack([cxx, cxy, cxz], axis=-1),
-            jnp.stack([cxy, cyy, cyz], axis=-1),
-            jnp.stack([cxz, cyz, czz], axis=-1),
-        ],
-        axis=-2,
+    mx, my, mz = sums[1] / n, sums[2] / n, sums[3] / n
+    cxx = sums[4] / n - mx * mx
+    cyy = sums[5] / n - my * my
+    czz = sums[6] / n - mz * mz
+    cxy = sums[7] / n - mx * my
+    cxz = sums[8] / n - mx * mz
+    cyz = sums[9] / n - my * mz
+
+    eps = 1e-12
+    nx, ny, nz = _smallest_eigvec_3x3_planes(
+        cxx + eps, cyy + eps, czz + eps, cxy, cxz, cyz
     )
-    # regularize so eigh is well-defined on empty/degenerate windows
-    eye = jnp.eye(3, dtype=jnp.float32) * 1e-12
-    normal_pca = _smallest_eigvec_3x3(cov + eye)
 
     centers = jnp.asarray(camera_centers, jnp.float32)  # (C, 3)
     cmask = centers_valid.astype(jnp.float32)
-    diff = centers[:, None, None, :] - p3[None]  # (C, H, W, 3)
 
-    # orientation vote: sum_i 1 / (n . (c_i - p)); flip when negative
-    ndot = jnp.einsum("chwi,hwi->chw", diff, normal_pca)
-    ndot = jnp.where(jnp.abs(ndot) < 1e-12, 1e-12, ndot)
-    vote = jnp.sum(cmask[:, None, None] / ndot, axis=0)
-    normal_pca = jnp.where(vote[..., None] < 0, -normal_pca, normal_pca)
+    # orientation vote: sum_i 1 / (n . (c_i - p)); flip when negative.
+    # plane math per center (loop over the handful of cameras)
+    vote = jnp.zeros_like(nx)
+    fbx = jnp.zeros_like(nx)
+    fby = jnp.zeros_like(nx)
+    fbz = jnp.zeros_like(nx)
+    for i in range(centers.shape[0]):
+        dx = centers[i, 0] - px
+        dy = centers[i, 1] - py
+        dz = centers[i, 2] - pz
+        ndot = nx * dx + ny * dy + nz * dz
+        ndot = jnp.where(jnp.abs(ndot) < 1e-12, 1e-12, ndot)
+        vote = vote + cmask[i] / ndot
+        d2 = jnp.maximum(dx * dx + dy * dy + dz * dz, 1e-12)
+        fbx = fbx + cmask[i] * dx / d2
+        fby = fby + cmask[i] * dy / d2
+        fbz = fbz + cmask[i] * dz / d2
+
+    flip = vote < 0
+    nx = jnp.where(flip, -nx, nx)
+    ny = jnp.where(flip, -ny, ny)
+    nz = jnp.where(flip, -nz, nz)
 
     # fallback when the window holds fewer than 3 points
-    d2 = jnp.sum(diff * diff, axis=-1)
-    d2 = jnp.maximum(d2, 1e-12)
-    fallback = jnp.sum(
-        diff * (cmask[:, None, None] / d2)[..., None], axis=0
-    )
-    normal = jnp.where((cnt >= 3.0)[..., None], normal_pca, fallback)
+    few = cnt < 3.0
+    nx = jnp.where(few, fbx, nx)
+    ny = jnp.where(few, fby, ny)
+    nz = jnp.where(few, fbz, nz)
 
     k = jnp.maximum(n_side.astype(jnp.float32), 1.0)
-    pdf_root = jnp.where(k > 1.0, jnp.power(jnp.maximum(pdf, 0.0), 1.0 / k), pdf)
-    norm = jnp.linalg.norm(normal, axis=-1, keepdims=True)
-    norm = jnp.maximum(norm, 1e-12)
-    return normal * (pdf_root[..., None] / norm) * vmask
+    pdf_root = jnp.where(k > 1.0, jnp.power(jnp.maximum(pdf, 0.0), 1.0 / k),
+                         pdf)
+    inv_len = 1.0 / jnp.maximum(
+        jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-12
+    )
+    scale = pdf_root * inv_len * vmask
+    return jnp.stack([nx * scale, ny * scale, nz * scale], axis=-1)

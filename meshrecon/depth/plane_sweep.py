@@ -67,13 +67,21 @@ def plane_sweep_depth(frame_main, frames_side, cam_main, cams_side, side_valid,
     zs = jnp.linspace(z_min, z_max, num_depths)
 
     def cost_at(z):
-        ndc4 = jnp.stack([x, y, jnp.full_like(x, z), jnp.ones_like(x)], axis=-1)
-        s = jnp.einsum("kij,hwj->khwi", cm, ndc4, precision=_HI)
-        sw = s[..., 3]
+        # plane math: cm components broadcast against (H, W) planes (avoids
+        # (K, H, W, 4) intermediates that Mosaic would tile wastefully)
+        def apply_cm(row):
+            return (
+                cm[:, row, 0][:, None, None] * x[None]
+                + cm[:, row, 1][:, None, None] * y[None]
+                + cm[:, row, 2][:, None, None] * z
+                + cm[:, row, 3][:, None, None]
+            )
+
+        s0, s1, sw = apply_cm(0), apply_cm(1), apply_cm(3)
         ok = sw > 1e-6
         sw = jnp.where(jnp.abs(sw) < 1e-6, 1e-6, sw)
-        sx = s[..., 0] / sw
-        sy = s[..., 1] / sw
+        sx = s0 / sw
+        sy = s1 / sw
         ok &= (jnp.abs(sx) < 1.0) & (jnp.abs(sy) < 1.0)
         scol = (sx + 1.0) * 0.5 * w
         srow = (1.0 - sy) * 0.5 * h

@@ -6,7 +6,22 @@ whole (K, H, W) problem is one jitted program of fused elementwise arrays —
 every quantity in the solver is affine in the single unknown z, so each GN
 step is a handful of VPU ops per (pixel, side-camera) pair.
 
-Semantics preserved from the reference:
+TPU layout note: every dense intermediate is a PLANE — (H, W) or (K, H, W)
+with the image dims last. Arrays shaped (..., H, W, 4) would be tiled by
+Mosaic as (8, 128) over the trailing (W, 4) dims, a ~30x register/memory
+blowup measured on v5e; all small channel axes are therefore unstacked.
+
+Sampling modes (static arg):
+- ``exact``: bilinear depth/gradient samples at the flow-displaced position
+  (goodSample semantics, util.cpp:44-53, 207-217) — data-dependent gathers.
+- ``taylor``: first-order expansion ``z(p+f) ~= z(p) + g . f`` using the
+  Sobel gradient already computed (and the center gradient for the
+  covariance). No gathers at all — TPU gathers cost ~9 cycles/element. The
+  displaced-position validity check degrades to center validity. Within the
+  pipeline, flows against the rendered prediction are small, so the
+  first-order error is far below the flow variance.
+
+Semantics preserved from the reference (exact mode):
 
 - measured point per side camera: sample the depth map at the flow-displaced
   position when all four bilinear neighbors are valid, else keep the center
@@ -61,44 +76,33 @@ def sobel_gradient(image):
     return gx, gy
 
 
-def _bilinear_packed(fields, col, row):
-    """Bilinear sample of an (H, W, C) packed field + goodSample validity.
-
-    One set of four corner gathers serves every channel (depth, gx, gy);
-    channel 0 must be the depth map whose 4 corners define goodSample
-    (util.cpp:44-53). Returns (samples (..., C), good (...)).
-    """
-    h, w = fields.shape[:2]
+def _bilinear_plane(plane, col, row):
+    """Bilinear sample of an (H, W) plane at (..., H, W) positions; also
+    returns the 4 corner values (for validity tests). Clamped indices."""
+    h, w = plane.shape
     c0 = jnp.floor(col).astype(jnp.int32)
     r0 = jnp.floor(row).astype(jnp.int32)
     inside = (c0 >= 1) & (c0 < w - 1) & (r0 >= 1) & (r0 < h - 1)
     c0c = jnp.clip(c0, 0, w - 2)
     r0c = jnp.clip(r0, 0, h - 2)
-    v00 = fields[r0c, c0c]
-    v01 = fields[r0c, c0c + 1]
-    v10 = fields[r0c + 1, c0c]
-    v11 = fields[r0c + 1, c0c + 1]
-    good = (
-        inside
-        & (v00[..., 0] != BACKGROUND_DEPTH)
-        & (v01[..., 0] != BACKGROUND_DEPTH)
-        & (v10[..., 0] != BACKGROUND_DEPTH)
-        & (v11[..., 0] != BACKGROUND_DEPTH)
-    )
-    fc = (col - c0c)[..., None]
-    fr = (row - r0c)[..., None]
-    samples = (
+    v00 = plane[r0c, c0c]
+    v01 = plane[r0c, c0c + 1]
+    v10 = plane[r0c + 1, c0c]
+    v11 = plane[r0c + 1, c0c + 1]
+    fc = col - c0c
+    fr = row - r0c
+    val = (
         v00 * (1 - fr) * (1 - fc)
         + v01 * (1 - fr) * fc
         + v10 * fr * (1 - fc)
         + v11 * fr * fc
     )
-    return samples, good
+    return val, (v00, v01, v10, v11), inside
 
 
-@functools.partial(jax.jit, static_argnames=("gn_iters",))
+@functools.partial(jax.jit, static_argnames=("gn_iters", "sampling"))
 def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
-                       gn_iters: int = 50):
+                       gn_iters: int = 50, sampling: str = "exact"):
     """Triangulate every valid pixel of the main frame against K side flows.
 
     flows: (K, H, W, 4) (fx, fy, variance, 0); main_camera: (4, 4);
@@ -117,7 +121,10 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
     side_valid = jnp.asarray(side_valid, bool)
 
     main_inv = jnp.linalg.inv(main_camera)
-    cm = jnp.einsum("kij,jl->kil", side_cameras, main_inv, precision=_HI)  # C M^-1
+    cm = jnp.einsum("kij,jl->kil", side_cameras, main_inv, precision=_HI)
+
+    def cmc(i, j):  # scalar (K, 1, 1) broadcastable component of C M^-1
+        return cm[:, i, j][:, None, None]
 
     cols = jnp.arange(w, dtype=jnp.float32)[None, :]
     rows = jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -127,50 +134,73 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
     center_valid = depth != BACKGROUND_DEPTH
 
     gx, gy = sobel_gradient(depth)
-    grad = jnp.stack([gx, gy], axis=-1)
 
+    # unstack flow channels once (transpose to plane layout)
     flx = flows[..., 0]
     fly = flows[..., 1]
     variance = jnp.maximum(flows[..., 2], 1e-12)
 
-    # --- measured points and covariances per side camera (K, H, W, ...) ---
-    # one packed gather source: (depth, gx, gy) sampled together — 4 corner
-    # gathers per (pixel, camera) instead of 12 (TPU gathers are expensive)
-    packed = jnp.stack([depth, gx, gy], axis=-1)
-    fcol = cols[None] + flx
-    frow = rows[None] + fly
-    samp, good = jax.vmap(_bilinear_packed, in_axes=(None, 0, 0))(
-        packed, fcol, frow
-    )
-    zk = jnp.where(good, samp[..., 0], depth[None])
+    if sampling == "exact":
+        fcol = cols[None] + flx
+        frow = rows[None] + fly
 
-    mx = x[None] + flx * sx
-    my = y[None] + fly * sy
-    ones = jnp.ones_like(zk)
-    pt4 = jnp.stack([mx, my, zk, ones], axis=-1)  # (K, H, W, 4)
-    m = jnp.einsum("kij,khwj->khwi", cm, pt4, precision=_HI)
-    mw = m[..., 3]
-    mw_safe = jnp.where(jnp.abs(mw) < 1e-12, 1e-12, mw)
-    m_ndc = m[..., :3] / mw_safe[..., None]
-    # drop pixels any side camera sees in front of the near plane
+        def samp(plane):
+            val, corners, inside = _bilinear_plane(plane, fcol, frow)
+            return val, corners, inside
+
+        zs, (z00, z01, z10, z11), inside = samp(depth)
+        good = (
+            inside
+            & (z00 != BACKGROUND_DEPTH) & (z01 != BACKGROUND_DEPTH)
+            & (z10 != BACKGROUND_DEPTH) & (z11 != BACKGROUND_DEPTH)
+        )
+        zk = jnp.where(good, zs, depth[None])
+        gxs, _, _ = _bilinear_plane(gx, fcol, frow)
+        gys, _, _ = _bilinear_plane(gy, fcol, frow)
+        g1 = jnp.where(good, gxs, gx[None])
+        g2 = jnp.where(good, gys, gy[None])
+    elif sampling == "taylor":
+        # Sobel is 8x the central-difference derivative per pixel step
+        zk = depth[None] + (gx[None] * flx + gy[None] * fly) / 8.0
+        zk = jnp.clip(zk, -1.0, 1.0)
+        # validity: the displaced position must stay in-frame; depth validity
+        # degrades to the center pixel's
+        fcol = cols[None] + flx
+        frow = rows[None] + fly
+        good = (
+            (fcol >= 1) & (fcol < w - 1) & (frow >= 1) & (frow < h - 1)
+            & center_valid[None]
+        )
+        zk = jnp.where(good, zk, depth[None])
+        g1 = jnp.broadcast_to(gx[None], zk.shape)
+        g2 = jnp.broadcast_to(gy[None], zk.shape)
+    else:
+        raise ValueError(f"unknown sampling mode {sampling}")
+
+    # measured point: m = C M^-1 @ (x + fx sx, y + fy sy, zk, 1), planes
+    mx_in = x[None] + flx * sx
+    my_in = y[None] + fly * sy
+
+    def apply_cm(row):
+        return (
+            cmc(row, 0) * mx_in + cmc(row, 1) * my_in
+            + cmc(row, 2) * zk + cmc(row, 3)
+        )
+
+    m0, m1, m2, m3 = apply_cm(0), apply_cm(1), apply_cm(2), apply_cm(3)
+    mw_safe = jnp.where(jnp.abs(m3) < 1e-12, 1e-12, m3)
+    sx_meas = m0 / mw_safe
+    sy_meas = m1 / mw_safe
+    mz_ndc = m2 / mw_safe
     ok_pixel = center_valid & jnp.all(
-        jnp.where(side_valid[:, None, None], m_ndc[..., 2] >= -1.0, True), axis=0
+        jnp.where(side_valid[:, None, None], mz_ndc >= -1.0, True), axis=0
     )
-    s_meas = m_ndc[..., :2]  # (K, H, W, 2)
-
-    # gradient sampled at the flowed position when good, else at the pixel
-    g_flow = samp[..., 1:3]
-    g_ctr = jnp.broadcast_to(grad[None], g_flow.shape)
-    g = jnp.where(good[..., None], g_flow, g_ctr)
 
     # A = B + outer(c3, g), scaled by 1/mw; icov = inv(A A^T) / variance
-    B = cm[:, 0:2, 0:2]  # (K, 2, 2)
-    c3 = cm[:, 0:2, 2]  # (K, 2)
-    a11 = (B[:, 0, 0, None, None] + c3[:, 0, None, None] * g[..., 0]) / mw_safe
-    a12 = (B[:, 0, 1, None, None] + c3[:, 0, None, None] * g[..., 1]) / mw_safe
-    a21 = (B[:, 1, 0, None, None] + c3[:, 1, None, None] * g[..., 0]) / mw_safe
-    a22 = (B[:, 1, 1, None, None] + c3[:, 1, None, None] * g[..., 1]) / mw_safe
-    # S = A A^T (2x2 symmetric)
+    a11 = (cmc(0, 0) + cmc(0, 2) * g1) / mw_safe
+    a12 = (cmc(0, 1) + cmc(0, 2) * g2) / mw_safe
+    a21 = (cmc(1, 0) + cmc(1, 2) * g1) / mw_safe
+    a22 = (cmc(1, 1) + cmc(1, 2) * g2) / mw_safe
     s11 = a11 * a11 + a12 * a12
     s12 = a11 * a21 + a12 * a22
     s22 = a21 * a21 + a22 * a22
@@ -179,28 +209,22 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
     ic11 = s22 / (det_s * variance)
     ic12 = -s12 / (det_s * variance)
     ic22 = s11 / (det_s * variance)
-    # padded cameras contribute nothing
     vmask = side_valid[:, None, None].astype(jnp.float32)
     ic11, ic12, ic22 = ic11 * vmask, ic12 * vmask, ic22 * vmask
 
-    # --- Gauss-Newton on z ---
-    # projections are affine in z: num_xy = n0 + nz*z ; w_i = w0 + wz*z
-    xyz1 = jnp.stack([x, y, jnp.zeros_like(x), jnp.ones_like(x)], axis=-1)
-    base = jnp.einsum("kij,hwj->khwi", cm, xyz1, precision=_HI)  # z=0 part
-    zcol = cm[:, :, 2]  # (K, 4): coefficient of z
-    pdx = zcol[:, 0][:, None, None]  # dp numerators (constant,
-    pdy = zcol[:, 1][:, None, None]  # util.cpp:86)
-    n0x, n0y, w0 = base[..., 0], base[..., 1], base[..., 3]
-    nzx = zcol[:, 0][:, None, None]
-    nzy = zcol[:, 1][:, None, None]
-    wz = zcol[:, 3][:, None, None]
+    # --- Gauss-Newton on z: projections are affine in z ---
+    n0x = cmc(0, 0) * x[None] + cmc(0, 1) * y[None] + cmc(0, 3)
+    n0y = cmc(1, 0) * x[None] + cmc(1, 1) * y[None] + cmc(1, 3)
+    w0 = cmc(3, 0) * x[None] + cmc(3, 1) * y[None] + cmc(3, 3)
+    nzx, nzy, wz = cmc(0, 2), cmc(1, 2), cmc(3, 2)
+    pdx, pdy = nzx, nzy  # frozen Jacobian numerators (util.cpp:86)
 
     def residuals(z):
         wi = w0 + wz * z[None]
         wi = jnp.where(jnp.abs(wi) < 1e-12, 1e-12, wi)
-        px = (n0x + nzx * z[None]) / wi
-        py = (n0y + nzy * z[None]) / wi
-        return px - s_meas[..., 0], py - s_meas[..., 1], wi
+        rx = (n0x + nzx * z[None]) / wi - sx_meas
+        ry = (n0y + nzy * z[None]) / wi - sy_meas
+        return rx, ry, wi
 
     def gn_body(_, state):
         z, active = state
@@ -227,7 +251,8 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
     quad = rx * (ic11 * rx + ic12 * ry) + ry * (ic12 * rx + ic22 * ry)
     exponent = -jnp.sum(quad, axis=0)
     det_ic = ic11 * ic22 - ic12 * ic12
-    det_ic = jnp.where(side_valid[:, None, None], jnp.maximum(det_ic, 1e-30), 1.0)
+    det_ic = jnp.where(side_valid[:, None, None],
+                       jnp.maximum(det_ic, 1e-30), 1.0)
     # the reference computes this product in double (util.cpp:129-141); in f32
     # we accumulate in log space and clamp to avoid overflow to inf
     log_pdf = (
@@ -237,7 +262,13 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
     )
     pdf = jnp.exp(jnp.clip(log_pdf, -80.0, 80.0))
 
-    k4 = jnp.stack([x, y, z_final, jnp.ones_like(x)], axis=-1)
-    point4 = jnp.einsum("ij,hwj->hwi", main_inv, k4, precision=_HI)
+    # output point: M^-1 @ (x, y, z*, 1) as planes, stacked once at the API
+    # boundary
+    def apply_minv(row):
+        mi = main_inv[row]
+        return mi[0] * x + mi[1] * y + mi[2] * z_final + mi[3]
 
+    point4 = jnp.stack(
+        [apply_minv(0), apply_minv(1), apply_minv(2), apply_minv(3)], axis=-1
+    )
     return {"point4": point4, "pdf": pdf, "valid": ok_pixel}

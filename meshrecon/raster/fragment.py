@@ -94,14 +94,17 @@ def projected_image(camera, depth_main, frame, projector, depth_side):
 
     main_inv = jnp.linalg.inv(jnp.asarray(camera, jnp.float32))
     side = jnp.asarray(projector, jnp.float32) @ main_inv  # NDC_main -> clip_side
-    ndc4 = jnp.stack([x, y, z, jnp.ones_like(z)], axis=-1)
-    s = jnp.einsum("ij,hwj->hwi", side, ndc4, precision=jax.lax.Precision.HIGHEST)
-    sw = s[..., 3]
+    # plane math (no (H, W, 4) intermediates — Mosaic tiles trailing small
+    # dims onto full (8, 128) registers, a ~30x blowup measured on v5e)
+    def apply_side(row):
+        return side[row, 0] * x + side[row, 1] * y + side[row, 2] * z + side[row, 3]
+
+    s0, s1, s2, sw = apply_side(0), apply_side(1), apply_side(2), apply_side(3)
     behind = sw <= 1e-6
     sw_safe = jnp.where(jnp.abs(sw) < 1e-6, 1e-6, sw)
-    sx = s[..., 0] / sw_safe
-    sy = s[..., 1] / sw_safe
-    sz = s[..., 2] / sw_safe
+    sx = s0 / sw_safe
+    sy = s1 / sw_safe
+    sz = s2 / sw_safe
 
     # NDC -> pixel with the framework's integer-grid convention (the inverse
     # of util.cpp:185-188); shadow lookup is nearest like the GL_NEAREST

@@ -4,14 +4,14 @@ The depth render is the framework's hottest irregular op (every camera bundle
 and shadow pass needs one; the reference does it on a GPU via GL,
 render_glx.cpp:369-397). The XLA fallback in rasterizer.py streams every
 triangle over every pixel; this kernel tiles the image over a Pallas grid and
-skips whole 64-triangle chunks whose screen bounding box misses the tile —
-output-sensitive work instead of T x H x W.
+rasterizes with two-level culling: whole 64-triangle chunks are skipped when
+their joint screen bbox misses the tile, and each surviving triangle is
+bbox-tested again before its edge functions are evaluated.
 
-Layout: triangle setup (clip, perspective divide, edge data) happens in plain
-XLA outside the kernel; per-chunk data is laid out as (num_chunks, CHUNK)
-f32 arrays (lane-aligned, CHUNK=64) resident in VMEM. Inside the kernel each
-chunk is evaluated as (CHUNK, TH, TW) fused VPU ops reduced with a running
-min — z-buffering is order-independent, so no serialization is needed.
+Mosaic-friendly structure (learned on real v5e): the tile is one native
+(8, 128) f32 vector register block; per-triangle data are SCALAR reads from
+lane-aligned (num_chunks, CHUNK) VMEM arrays; the inner loop is scalar-times-
+vector ops only — no rank-3 vectors, no shape casts, integer iota.
 """
 
 from __future__ import annotations
@@ -32,11 +32,10 @@ TILE_W = 128
 
 def _raster_kernel(num_chunks, height, width,
                    x0, x1, x2, y0, y1, y2, z0, z1, z2, inv_area, okf,
-                   bb, out_ref):
+                   bb, tb, out_ref):
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
-    # NOTE: tpu.iota only produces integers; cast afterwards
     rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
         jnp.float32
     )
@@ -56,45 +55,52 @@ def _raster_kernel(num_chunks, height, width,
 
     out_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
 
-    def chunk_body(c, _):
+    def tri_body(c, t, _):
         overlap = (
+            (tb[c, 4 * t + 0] <= tile_x_max)
+            & (tb[c, 4 * t + 1] >= tile_x_min)
+            & (tb[c, 4 * t + 2] <= tile_y_max)
+            & (tb[c, 4 * t + 3] >= tile_y_min)
+            & (okf[c, t] > 0)
+        )
+
+        @pl.when(overlap)
+        def _():
+            ax, bx, cx = x0[c, t], x1[c, t], x2[c, t]
+            ay, by, cy = y0[c, t], y1[c, t], y2[c, t]
+            az, bz, cz = z0[c, t], z1[c, t], z2[c, t]
+            ia = inv_area[c, t]
+            e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * ia
+            e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * ia
+            e2 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * ia
+            zs = e0 * az + e1 * bz + e2 * cz
+            covered = (
+                (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                & (zs >= -1.0) & (zs <= 1.0)
+            )
+            out_ref[:] = jnp.minimum(
+                out_ref[:], jnp.where(covered, zs, jnp.inf)
+            )
+
+        return _
+
+    def chunk_body(c, _):
+        coverlap = (
             (bb[c, 0] <= tile_x_max)
             & (bb[c, 1] >= tile_x_min)
             & (bb[c, 2] <= tile_y_max)
             & (bb[c, 3] >= tile_y_min)
         )
 
-        @pl.when(overlap)
+        @pl.when(coverlap)
         def _():
-            ax = x0[c, :][:, None, None]
-            bx = x1[c, :][:, None, None]
-            cx = x2[c, :][:, None, None]
-            ay = y0[c, :][:, None, None]
-            by = y1[c, :][:, None, None]
-            cy = y2[c, :][:, None, None]
-            az = z0[c, :][:, None, None]
-            bz = z1[c, :][:, None, None]
-            cz = z2[c, :][:, None, None]
-            ia = inv_area[c, :][:, None, None]
-            okm = okf[c, :][:, None, None]
-
-            p_x = px[None]
-            p_y = py[None]
-            e0 = ((cx - bx) * (p_y - by) - (cy - by) * (p_x - bx)) * ia
-            e1 = ((ax - cx) * (p_y - cy) - (ay - cy) * (p_x - cx)) * ia
-            e2 = ((bx - ax) * (p_y - ay) - (by - ay) * (p_x - ax)) * ia
-            zs = e0 * az + e1 * bz + e2 * cz
-            covered = (
-                (e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-                & (zs >= -1.0) & (zs <= 1.0) & (okm > 0)
+            jax.lax.fori_loop(
+                0, CHUNK, lambda t, s: (tri_body(c, t, s), 0)[1], 0
             )
-            zmin = jnp.min(jnp.where(covered, zs, jnp.inf), axis=0)
-            out_ref[:] = jnp.minimum(out_ref[:], zmin)
 
         return _
 
-    jax.lax.fori_loop(0, num_chunks, lambda c, s: (chunk_body(c, s), None)[1],
-                      None)
+    jax.lax.fori_loop(0, num_chunks, lambda c, s: (chunk_body(c, s), 0)[1], 0)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
@@ -130,28 +136,36 @@ def render_depth_pallas(camera, soup, soup_valid, height, width,
 
     inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)
     okf = ok.astype(jnp.float32)
-    # per-chunk bbox over valid triangles only
     big = 1e30
-    vx_min = jnp.where(ok[:, None], x, big).min(axis=1).reshape(nc, CHUNK)
-    vx_max = jnp.where(ok[:, None], x, -big).max(axis=1).reshape(nc, CHUNK)
-    vy_min = jnp.where(ok[:, None], y, big).min(axis=1).reshape(nc, CHUNK)
-    vy_max = jnp.where(ok[:, None], y, -big).max(axis=1).reshape(nc, CHUNK)
+    # per-triangle bboxes interleaved (xmin, xmax, ymin, ymax) per chunk row
+    vx_min = jnp.where(ok, jnp.min(x, axis=1), big)
+    vx_max = jnp.where(ok, jnp.max(x, axis=1), -big)
+    vy_min = jnp.where(ok, jnp.min(y, axis=1), big)
+    vy_max = jnp.where(ok, jnp.max(y, axis=1), -big)
+    tb = jnp.stack([vx_min, vx_max, vy_min, vy_max], axis=-1).reshape(
+        nc, 4 * CHUNK
+    )
     bb = jnp.stack(
-        [vx_min.min(axis=1), vx_max.max(axis=1),
-         vy_min.min(axis=1), vy_max.max(axis=1)], axis=1
+        [
+            vx_min.reshape(nc, CHUNK).min(axis=1),
+            vx_max.reshape(nc, CHUNK).max(axis=1),
+            vy_min.reshape(nc, CHUNK).min(axis=1),
+            vy_max.reshape(nc, CHUNK).max(axis=1),
+        ],
+        axis=1,
     )  # (nc, 4)
 
     args = [comp(x[:, 0]), comp(x[:, 1]), comp(x[:, 2]),
             comp(y[:, 0]), comp(y[:, 1]), comp(y[:, 2]),
             comp(z[:, 0]), comp(z[:, 1]), comp(z[:, 2]),
-            comp(inv_area), comp(okf), bb]
+            comp(inv_area), comp(okf), bb, tb]
 
     grid = (pl.cdiv(height, TILE_H), pl.cdiv(width, TILE_W))
     kernel = functools.partial(_raster_kernel, nc, float(height), float(width))
     zbuf = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 12,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
         out_specs=pl.BlockSpec(
             (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
