@@ -39,7 +39,12 @@ def calculate_flow(prev, next_, use_farneback: bool = False):
                               poly_sigma=poly_sigma, win=int(win))
     else:
         flow = variational_flow(prev, next_)
-    variance = compare(prev, flow_remap(flow, next_))
+    # gather-free bicubic warp for the variance estimate (exact within the
+    # clamp radius; pipeline flows against rendered predictions are small)
+    from meshrecon.flow.shiftwarp import shift_warp_bicubic
+
+    warped = shift_warp_bicubic(next_, flow[..., 0], flow[..., 1], radius=8)
+    variance = compare(prev, warped)
     zeros = jnp.zeros_like(variance)
     return jnp.concatenate(
         [flow, variance[..., None], zeros[..., None]], axis=-1

@@ -102,12 +102,14 @@ def _flow_level(f1, f2, flow, poly, win, iters):
     cols = jnp.arange(wd, dtype=jnp.float32)[None, :]
     rows = jnp.arange(h, dtype=jnp.float32)[:, None]
 
+    from meshrecon.flow.shiftwarp import shift_warp_bilinear
+
     for _ in range(iters):
         dx, dy = flow[..., 0], flow[..., 1]
-        sc, sr = cols + dx, rows + dy
 
         def samp(img):
-            return bilinear_sample(img, sc, sr)
+            # gather-free warp; per-level displacements are pyramid-bounded
+            return shift_warp_bilinear(img, dx, dy, radius=6)
 
         # average the two quadratics, second one at the displaced position
         a11 = 0.5 * (a11a + samp(a11b))

@@ -51,7 +51,11 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters):
     Data term: Ix*(u - u0) + Iy*(v - v0) + It = 0 with It evaluated at the
     warp point — omitting the -u0 anchoring is the classic pyramidal-HS bug.
     """
-    warped = bilinear_warp(next_, jnp.stack([u0, v0], axis=-1))
+    from meshrecon.flow.shiftwarp import shift_warp_bilinear
+
+    # gather-free warp (exact for |flow| <= radius; TPU gathers are ~9
+    # cycles/element, shifts are fused VPU slices)
+    warped = shift_warp_bilinear(next_, u0, v0, radius=6)
     ix, iy = _gradients(prev, warped)
     it = warped - prev
     denom = alpha2 + ix * ix + iy * iy

@@ -29,23 +29,21 @@ from meshrecon.raster.fragment import projected_image, mix_background
 
 
 def _depth_fn(use_pallas: bool, height: int, width: int):
-    if use_pallas:
-        from meshrecon.raster.pallas_kernel import render_depth_pallas
-
-        return lambda cam, soup, valid: render_depth_pallas(
-            cam, soup, valid, height, width
-        )
+    # use_pallas kept in the signature for experimentation; the Mosaic kernel
+    # is disabled pending SMEM scalar-prefetch rework (see raster/pallas_kernel.py)
+    del use_pallas
     return lambda cam, soup, valid: render_depth(cam, soup, valid, height, width)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "use_farneback", "use_pallas"),
+    static_argnames=("height", "width", "use_farneback", "use_pallas",
+                     "sampling"),
 )
 def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
                       side_frames, side_valid, centers, centers_valid, n_side,
                       height: int, width: int, use_farneback: bool = False,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, sampling: str = "taylor"):
     """Full dense update for one main camera against K (padded) sides.
 
     soup: (T, 3, 3) world triangles + (T,) validity; cam_main: (4, 4);
@@ -73,7 +71,10 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
                                   win=max((h + w) // 200, 2))
         else:
             flow = variational_flow(frame_main, mixed)
-        var = compare(frame_main, flow_remap(flow, mixed))
+        from meshrecon.flow.shiftwarp import shift_warp_bicubic
+
+        warped = shift_warp_bicubic(mixed, flow[..., 0], flow[..., 1], radius=8)
+        var = compare(frame_main, warped)
         flow4 = jnp.concatenate(
             [flow, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
         )
@@ -89,7 +90,7 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
     )
 
     out = triangulate_pixels(flows, cam_main, side_cams, side_valid,
-                             depth_final)
+                             depth_final, sampling=sampling)
     normals = estimate_normals(out["point4"], out["valid"], out["pdf"],
                                centers, centers_valid, n_side)
     return {

@@ -279,13 +279,12 @@ class Renderer:
         return self._valid
 
     def depth(self, camera) -> jnp.ndarray:
+        # NOTE: the Pallas tile kernel (raster/pallas_kernel.py) is validated
+        # in interpret mode but currently trips Mosaic's dynamic-lane-index
+        # restriction on real v5e (scalar loads need SMEM scalar prefetch);
+        # the XLA path measured ~17 ms at 2k triangles, so it stays the
+        # production path until the kernel is reworked.
         assert self._soup is not None, "load_mesh first"
-        if jax.default_backend() == "tpu":
-            from meshrecon.raster.pallas_kernel import render_depth_pallas
-
-            return render_depth_pallas(
-                camera, self._soup, self._valid, self.height, self.width
-            )
         return render_depth(camera, self._soup, self._valid, self.height, self.width)
 
     def depth_at(self, cameras, sample_xy) -> jnp.ndarray:

@@ -108,3 +108,30 @@ def test_calculate_flow_contract_and_selfcheck():
     assert np.median(out[8:-8, 8:-8, 2]) < np.median(
         np.asarray(compare(img, moved))[8:-8, 8:-8]
     )
+
+
+def test_shift_warp_matches_gather_warp():
+    """Shift-decomposed warps are exact (vs gather-based) for |flow| <= R."""
+    import jax.numpy as jnp
+
+    from meshrecon.flow.shiftwarp import shift_warp_bilinear, shift_warp_bicubic
+    from meshrecon.flow.remap import bicubic_remap
+    from meshrecon.raster.fragment import bilinear_sample
+
+    rng = np.random.default_rng(9)
+    img = rng.uniform(0, 255, (40, 56)).astype(np.float32)
+    fx = rng.uniform(-5, 5, (40, 56)).astype(np.float32)
+    fy = rng.uniform(-5, 5, (40, 56)).astype(np.float32)
+    cols = np.arange(56, dtype=np.float32)[None, :]
+    rows = np.arange(40, dtype=np.float32)[:, None]
+
+    out_shift = np.asarray(shift_warp_bilinear(img, fx, fy, radius=6))
+    ref = np.asarray(bilinear_sample(jnp.asarray(img), cols + fx, rows + fy))
+    interior = np.zeros((40, 56), bool)
+    interior[8:-8, 8:-8] = True
+    np.testing.assert_allclose(out_shift[interior], ref[interior], atol=1e-3)
+
+    out_cubic = np.asarray(shift_warp_bicubic(img, fx, fy, radius=6))
+    ref_cubic = np.asarray(bicubic_remap(img, cols + fx, rows + fy))
+    np.testing.assert_allclose(out_cubic[interior], ref_cubic[interior],
+                               atol=1e-2)

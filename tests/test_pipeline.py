@@ -228,8 +228,32 @@ def test_fused_matches_unfused(koule_small):
     r.load_mesh(mesh)
 
     fa, sides = 0, [5, 12]
-    # fused path (the default route through process_main_camera)
-    pts_f, nrm_f, n_f = process_main_camera(cfg, r, fa, sides)
+    # fused path with exact sampling (the pipeline default is taylor; exact
+    # is what the stage-by-stage path computes)
+    from meshrecon.pipeline.fused import fused_main_update
+    import jax as _jax
+    kb = _bucket(len(sides))
+    sc_ = np.tile(np.eye(4, dtype=np.float32), (kb, 1, 1))
+    sf_ = np.zeros((kb, cfg.height, cfg.width), np.float32)
+    sv_ = np.zeros(kb, bool)
+    for i, fb in enumerate(sides):
+        sc_[i] = cfg.camera(fb)
+        sf_[i] = cfg.frame(fb)
+        sv_[i] = True
+    ctrs = [np_extract_camera_center(cfg.camera(fa))] + [
+        np_extract_camera_center(cfg.camera(fb)) for fb in sides]
+    c3 = np.stack([c[:3] / c[3] for c in ctrs]).astype(np.float32)
+    cb = _bucket(len(c3))
+    cp = np.zeros((cb, 3), np.float32); cp[: len(c3)] = c3
+    cv_ = np.zeros(cb, bool); cv_[: len(c3)] = True
+    outf = fused_main_update(
+        r.soup, r.soup_valid, cfg.camera(fa),
+        jnp.asarray(cfg.frame(fa), jnp.float32), sc_, sf_, sv_, cp, cv_,
+        jnp.asarray(len(sides)), height=cfg.height, width=cfg.width,
+        sampling="exact")
+    validf = np.asarray(outf["valid"])
+    pts_f = np.asarray(outf["point4"])[validf]
+    n_f = int(validf.sum())
 
     # unfused: force the verbose branch without dumping (verbosity 3 writes
     # files; emulate by calling the stages manually like the old path)
