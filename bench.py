@@ -26,20 +26,22 @@ def main():
     import __graft_entry__ as g
     from meshrecon.pipeline.fused import fused_main_update
 
-    K, H, W = 3, 480, 640
-    on_tpu = jax.default_backend() == "tpu"
+    B, K, H, W = 4, 3, 480, 640
     (soup, soup_valid, mains, fm, sides, fs, sv, centers, cvalid, ns) = (
-        g._fused_problem(b=1, k=K, h=H, w=W, seed=0)
+        g._fused_problem(b=B, k=K, h=H, w=W, seed=0)
     )
 
-    # reduce outputs to one scalar inside the program: the axon tunnel's
-    # block_until_ready does not actually synchronize, so a host fetch of a
-    # scalar is the only honest timing barrier
-    def reduced(soup, soup_valid, mc, f0, scs, sfs, svv, ctr, cv, k):
-        out = fused_main_update(
-            soup, soup_valid, mc, f0, scs, sfs, svv, ctr, cv, k,
-            height=H, width=W, use_pallas=on_tpu,
-        )
+    # B main cameras per dispatch (the pipeline processes many bundles per
+    # iteration); outputs reduce to one scalar inside the program — the axon
+    # tunnel's block_until_ready does not actually synchronize, so a host
+    # fetch of a scalar is the only honest timing barrier
+    def reduced(soup, soup_valid, mcs, f0s, scs, sfs, svv, ctr, cv, k):
+        out = jax.vmap(
+            lambda mc, f0, sc, sf, sv_, c_, cv_, k_: fused_main_update(
+                soup, soup_valid, mc, f0, sc, sf, sv_, c_, cv_, k_,
+                height=H, width=W,
+            )
+        )(mcs, f0s, scs, sfs, svv, ctr, cv, k)
         return (
             jnp.sum(out["point4"]) + jnp.sum(out["normals"])
             + jnp.sum(out["pdf"]) + jnp.sum(out["valid"].astype(jnp.float32))
@@ -47,8 +49,7 @@ def main():
 
     fn = jax.jit(reduced)
     args = jax.device_put(
-        (soup, soup_valid, mains[0], fm[0], sides[0], fs[0], sv[0],
-         centers[0], cvalid[0], ns[0])
+        (soup, soup_valid, mains, fm, sides, fs, sv, centers, cvalid, ns)
     )
     float(np.asarray(fn(*args)))  # warmup / compile
 
@@ -58,7 +59,7 @@ def main():
         s = float(np.asarray(fn(*args)))
     dt = time.perf_counter() - t0
 
-    mpix = H * W * reps / dt / 1e6
+    mpix = B * H * W * reps / dt / 1e6
     print(
         json.dumps(
             {

@@ -3,15 +3,21 @@
 The depth render is the framework's hottest irregular op (every camera bundle
 and shadow pass needs one; the reference does it on a GPU via GL,
 render_glx.cpp:369-397). The XLA fallback in rasterizer.py streams every
-triangle over every pixel; this kernel tiles the image over a Pallas grid and
-rasterizes with two-level culling: whole 64-triangle chunks are skipped when
-their joint screen bbox misses the tile, and each surviving triangle is
-bbox-tested again before its edge functions are evaluated.
+triangle over every pixel (~17 ms at 2k triangles, 480x640 on v5e); this
+kernel tiles the image over a Pallas grid and skips triangles whose screen
+bbox misses the tile — output-sensitive work instead of T x H x W.
 
-Mosaic-friendly structure (learned on real v5e): the tile is one native
-(8, 128) f32 vector register block; per-triangle data are SCALAR reads from
-lane-aligned (num_chunks, CHUNK) VMEM arrays; the inner loop is scalar-times-
-vector ops only — no rank-3 vectors, no shape casts, integer iota.
+Mosaic constraints shaped the design (hit on real v5e):
+- per-triangle values are SCALARS; dynamic per-element loads from VMEM along
+  the lane axis are rejected ("index must be a multiple of 128"), so all
+  triangle data rides SCALAR-PREFETCH arguments in SMEM
+  (pltpu.PrefetchScalarGridSpec), the prescribed pattern for data-dependent
+  scalar access.
+- the pixel tile is one native (8, 128) f32 block; the inner loop is
+  scalar-times-vector ops only; iota must be integer-typed.
+
+Triangle capacity per pallas_call is bounded (SMEM budget); larger soups are
+rasterized in slabs whose z-buffers are min-combined in XLA.
 """
 
 from __future__ import annotations
@@ -25,14 +31,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 from meshrecon.raster.rasterizer import clip_triangles_near, _setup_screen
 
-CHUNK = 64
 TILE_H = 8
 TILE_W = 128
+SLAB = 4096  # triangles per pallas_call (SMEM-bounded)
 
 
-def _raster_kernel(num_chunks, height, width,
-                   x0, x1, x2, y0, y1, y2, z0, z1, z2, inv_area, okf,
-                   bb, tb, out_ref):
+def _raster_kernel(n_tris, height, width, tri_ref, dummy_ref, out_ref):
+    """tri_ref: scalar-prefetch (12 * SLAB,) f32 in SMEM, layout per triangle
+    t: [x0 x1 x2 y0 y1 y2 z0 z1 z2 inv_area xmin_xmax...]; see packer below.
+    Actually packed as 12 contiguous blocks of SLAB for simple indexing."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
 
@@ -47,7 +54,6 @@ def _raster_kernel(num_chunks, height, width,
     py = (height / 2.0 - (rows + row0)) * (2.0 / height)
     px = ((cols + col0) - width / 2.0) * (2.0 / width)
 
-    # NDC bounds of this tile (y decreases with rows)
     tile_x_min = (col0 - width / 2.0) * (2.0 / width)
     tile_x_max = (col0 + (TILE_W - 1) - width / 2.0) * (2.0 / width)
     tile_y_max = (height / 2.0 - row0) * (2.0 / height)
@@ -55,21 +61,23 @@ def _raster_kernel(num_chunks, height, width,
 
     out_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
 
-    def tri_body(c, t, _):
+    def fld(i, t):
+        return tri_ref[i * SLAB + t]
+
+    def tri_body(t, _):
         overlap = (
-            (tb[c, 4 * t + 0] <= tile_x_max)
-            & (tb[c, 4 * t + 1] >= tile_x_min)
-            & (tb[c, 4 * t + 2] <= tile_y_max)
-            & (tb[c, 4 * t + 3] >= tile_y_min)
-            & (okf[c, t] > 0)
+            (fld(10, t) <= tile_x_max)  # xmin
+            & (fld(11, t) >= tile_x_min)  # xmax
+            & (fld(12, t) <= tile_y_max)  # ymin
+            & (fld(13, t) >= tile_y_min)  # ymax
         )
 
         @pl.when(overlap)
         def _():
-            ax, bx, cx = x0[c, t], x1[c, t], x2[c, t]
-            ay, by, cy = y0[c, t], y1[c, t], y2[c, t]
-            az, bz, cz = z0[c, t], z1[c, t], z2[c, t]
-            ia = inv_area[c, t]
+            ax, bx, cx = fld(0, t), fld(1, t), fld(2, t)
+            ay, by, cy = fld(3, t), fld(4, t), fld(5, t)
+            az, bz, cz = fld(6, t), fld(7, t), fld(8, t)
+            ia = fld(9, t)
             e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * ia
             e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * ia
             e2 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * ia
@@ -82,25 +90,33 @@ def _raster_kernel(num_chunks, height, width,
                 out_ref[:], jnp.where(covered, zs, jnp.inf)
             )
 
-        return _
+        return 0
 
-    def chunk_body(c, _):
-        coverlap = (
-            (bb[c, 0] <= tile_x_max)
-            & (bb[c, 1] >= tile_x_min)
-            & (bb[c, 2] <= tile_y_max)
-            & (bb[c, 3] >= tile_y_min)
-        )
+    jax.lax.fori_loop(0, n_tris, tri_body, 0)
 
-        @pl.when(coverlap)
-        def _():
-            jax.lax.fori_loop(
-                0, CHUNK, lambda t, s: (tri_body(c, t, s), 0)[1], 0
-            )
 
-        return _
-
-    jax.lax.fori_loop(0, num_chunks, lambda c, s: (chunk_body(c, s), 0)[1], 0)
+def _rasterize_slab(tri_data, height, width, interpret):
+    grid = (pl.cdiv(height, TILE_H), pl.cdiv(width, TILE_W))
+    kernel = functools.partial(
+        _raster_kernel, SLAB, float(height), float(width)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(
+            (TILE_H, TILE_W), lambda i, j, *_: (i, j)
+        ),
+    )
+    dummy = jnp.zeros((8, 128), jnp.float32)  # unused VMEM operand
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (grid[0] * TILE_H, grid[1] * TILE_W), jnp.float32
+        ),
+        interpret=interpret,
+    )(tri_data, dummy)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
@@ -122,57 +138,37 @@ def render_depth_pallas(camera, soup, soup_valid, height, width,
     x, y, z, area, ok, _ = _setup_screen(tris, cvalid)
 
     t = x.shape[0]
-    pad = (-t) % CHUNK
+    pad = (-t) % SLAB
     def padc(a, fill=0.0):
         return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
                        constant_values=fill)
     x, y, z = padc(x), padc(y), padc(z)
     area = padc(area, 1.0)
     ok = padc(ok)
-    nc = x.shape[0] // CHUNK
+    n_slabs = x.shape[0] // SLAB
 
-    def comp(v):
-        return v.reshape(nc, CHUNK)
-
-    inv_area = jnp.where(jnp.abs(area) < 1e-12, 0.0, 1.0 / area)
-    okf = ok.astype(jnp.float32)
+    inv_area = jnp.where(ok & (jnp.abs(area) > 1e-12), 1.0 / area, 0.0)
     big = 1e30
-    # per-triangle bboxes interleaved (xmin, xmax, ymin, ymax) per chunk row
-    vx_min = jnp.where(ok, jnp.min(x, axis=1), big)
-    vx_max = jnp.where(ok, jnp.max(x, axis=1), -big)
-    vy_min = jnp.where(ok, jnp.min(y, axis=1), big)
-    vy_max = jnp.where(ok, jnp.max(y, axis=1), -big)
-    tb = jnp.stack([vx_min, vx_max, vy_min, vy_max], axis=-1).reshape(
-        nc, 4 * CHUNK
-    )
-    bb = jnp.stack(
+    # invalid triangles get an empty bbox so the per-triangle test culls them
+    xmin = jnp.where(ok, jnp.min(x, axis=1), big)
+    xmax = jnp.where(ok, jnp.max(x, axis=1), -big)
+    ymin = jnp.where(ok, jnp.min(y, axis=1), big)
+    ymax = jnp.where(ok, jnp.max(y, axis=1), -big)
+
+    # layout: 14 contiguous SLAB-sized fields
+    packed = jnp.concatenate(
         [
-            vx_min.reshape(nc, CHUNK).min(axis=1),
-            vx_max.reshape(nc, CHUNK).max(axis=1),
-            vy_min.reshape(nc, CHUNK).min(axis=1),
-            vy_max.reshape(nc, CHUNK).max(axis=1),
-        ],
-        axis=1,
-    )  # (nc, 4)
+            x[:, 0], x[:, 1], x[:, 2],
+            y[:, 0], y[:, 1], y[:, 2],
+            z[:, 0], z[:, 1], z[:, 2],
+            inv_area, xmin, xmax, ymin, ymax,
+        ]
+    ).reshape(14, n_slabs, SLAB)
 
-    args = [comp(x[:, 0]), comp(x[:, 1]), comp(x[:, 2]),
-            comp(y[:, 0]), comp(y[:, 1]), comp(y[:, 2]),
-            comp(z[:, 0]), comp(z[:, 1]), comp(z[:, 2]),
-            comp(inv_area), comp(okf), bb, tb]
-
-    grid = (pl.cdiv(height, TILE_H), pl.cdiv(width, TILE_W))
-    kernel = functools.partial(_raster_kernel, nc, float(height), float(width))
-    zbuf = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 13,
-        out_specs=pl.BlockSpec(
-            (TILE_H, TILE_W), lambda i, j: (i, j), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct(
-            (grid[0] * TILE_H, grid[1] * TILE_W), jnp.float32
-        ),
-        interpret=interpret,
-    )(*args)
+    zbuf = None
+    for s in range(n_slabs):
+        slab = packed[:, s, :].reshape(-1)
+        zb = _rasterize_slab(slab, height, width, interpret)
+        zbuf = zb if zbuf is None else jnp.minimum(zbuf, zb)
     zbuf = zbuf[:height, :width]
     return jnp.where(jnp.isfinite(zbuf), zbuf, 1.0)
