@@ -33,19 +33,45 @@ DENSITY_LIMIT = 0.7  # heuristic.cpp:139
 DENSITY_CLAMP = 2.0  # heuristic.cpp:128-129
 
 
-def build_half_edges(points3: np.ndarray, radius_sq: float):
+MAX_NEIGHBORS = 64  # per-point cap; dense clouds would otherwise explode
+
+
+def build_half_edges(points3: np.ndarray, radius_sq: float,
+                     max_neighbors: int = MAX_NEIGHBORS):
     """Half-edge neighbor graph: pairs (i, j), j < i, with squared distance
-    <= radius_sq; weights 1 - d^2/radius_sq. Returns (ei, ej, w) arrays."""
+    <= radius_sq; weights 1 - d^2/radius_sq. Returns (ei, ej, w) arrays.
+
+    Each point contributes at most its `max_neighbors` NEAREST in-radius
+    neighbors. Dense reconstructions reach ~10^6 points whose in-radius
+    neighborhoods hold tens of thousands of points (radius = alpha/4 comes
+    from the SPARSE bundle alpha shape, heuristic.cpp:63) — the uncapped
+    graph is quadratic. Capping keeps the strongest (closest, hence
+    highest-weight) edges, which dominate both the density iteration and the
+    suppression.
+    """
+    n = len(points3)
     tree = cKDTree(points3)
-    pairs = tree.query_pairs(np.sqrt(radius_sq), output_type="ndarray")
-    if len(pairs) == 0:
+    if n == 0:
         z = np.zeros(0, np.int64)
         return z, z, np.zeros(0, np.float32)
-    ei = np.maximum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
-    ej = np.minimum(pairs[:, 0], pairs[:, 1]).astype(np.int64)
-    d2 = np.sum((points3[ei] - points3[ej]) ** 2, axis=1)
-    keep = d2 <= radius_sq
-    ei, ej, d2 = ei[keep], ej[keep], d2[keep]
+    k = min(max_neighbors + 1, n)
+    dist, idx = tree.query(points3, k=k,
+                           distance_upper_bound=float(np.sqrt(radius_sq)))
+    # drop self-matches and fill values (idx == n when out of radius)
+    rows = np.repeat(np.arange(n, dtype=np.int64), k)
+    cols = idx.reshape(-1).astype(np.int64)
+    d = dist.reshape(-1)
+    ok = (cols < n) & (cols != rows) & np.isfinite(d)
+    rows, cols, d = rows[ok], cols[ok], d[ok]
+    d2 = d * d
+    ok2 = d2 <= radius_sq
+    rows, cols, d2 = rows[ok2], cols[ok2], d2[ok2]
+    # half edges (j < i), deduplicated (each pair may appear twice)
+    ei = np.maximum(rows, cols)
+    ej = np.minimum(rows, cols)
+    key = ei * n + ej
+    _, first = np.unique(key, return_index=True)
+    ei, ej, d2 = ei[first], ej[first], d2[first]
     w = (1.0 - d2 / radius_sq).astype(np.float32)
     return ei, ej, w
 
