@@ -110,11 +110,40 @@ def _power_iteration(ei, ej, w, n, max_iters=200):
     return density, score
 
 
+def _power_iteration_host(ei, ej, w, n, max_iters=200):
+    """Vectorized host power iteration (np.bincount scatter-adds)."""
+    density = np.ones(n, np.float64)
+    score = np.zeros(n, np.float64)
+    for _ in range(max_iters):
+        score = np.bincount(ei, density[ej] * w, minlength=n) + np.bincount(
+            ej, density[ei] * w, minlength=n
+        )
+        total = score.sum()
+        if total <= 0:
+            break
+        new_density = np.minimum(score * (n / total), DENSITY_CLAMP)
+        change = np.mean((density - new_density) ** 2)
+        density = new_density
+        if change <= 1e-6:
+            break
+    return density.astype(np.float32), score.astype(np.float32)
+
+
+# above this edge count the device while_loop path is avoided: a 27M-edge
+# scatter loop crashed the v5e worker in testing, and the host bincount path
+# is fast enough for the filter stage
+_DEVICE_EDGE_LIMIT = 2_000_000
+
+
 def density_scores(points3: np.ndarray, radius_sq: float):
     """Neighbor graph + converged density and raw scores. Host<->device split:
-    graph on host (combinatorial), iteration on device (dense)."""
+    graph on host (combinatorial); the iteration runs on device for small
+    graphs and on the host (vectorized bincount) for large ones."""
     n = len(points3)
     ei, ej, w = build_half_edges(points3, radius_sq)
+    if len(ei) > _DEVICE_EDGE_LIMIT:
+        density, score = _power_iteration_host(ei, ej, w.astype(np.float64), n)
+        return density, score, (ei, ej, w)
     density, score = _power_iteration(
         jnp.asarray(ei), jnp.asarray(ej), jnp.asarray(w), n
     )

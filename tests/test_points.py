@@ -90,3 +90,19 @@ def test_native_greedy_matches_numpy(rng):
 
         pytest.skip("native lib unavailable")
     np.testing.assert_array_equal(ref, nat)
+
+
+def test_host_power_iteration_matches_device(rng):
+    from meshrecon.points.filter import (
+        _power_iteration, _power_iteration_host, build_half_edges,
+    )
+    import jax.numpy as jnp
+
+    pts = rng.normal(size=(200, 3))
+    ei, ej, w = build_half_edges(pts, 0.6)
+    n = len(pts)
+    d_dev, s_dev = _power_iteration(jnp.asarray(ei), jnp.asarray(ej),
+                                    jnp.asarray(w), n)
+    d_host, s_host = _power_iteration_host(ei, ej, w.astype(np.float64), n)
+    np.testing.assert_allclose(np.asarray(d_dev), d_host, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(s_dev), s_host, atol=2e-3)
