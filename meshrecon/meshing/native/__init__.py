@@ -119,3 +119,66 @@ def greedy_suppress_native(order, score, density, nbr_ptr, nbr_idx, nbr_w, limit
     if nkept < 0:
         return None
     return kept[:nkept].copy()
+
+
+def filter_points_full_native(points3, radius_sq, density_limit,
+                              max_neighbors=64, max_iters=60):
+    """Full native point filter (grid hash + density + greedy).
+
+    Returns (kept_idx (M,), density (N,), score (N,)) or None if unavailable.
+    """
+    lib = _build_and_load()
+    if lib is None or not hasattr(lib, "filter_points_native"):
+        return None
+    pts = np.ascontiguousarray(points3, dtype=np.float32)
+    n = len(pts)
+    kept = np.empty(n, dtype=np.int64)
+    density = np.empty(n, dtype=np.float32)
+    score = np.empty(n, dtype=np.float32)
+    lib.filter_points_native.restype = ctypes.c_longlong
+    nkept = lib.filter_points_native(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_longlong(n),
+        ctypes.c_float(radius_sq),
+        ctypes.c_float(density_limit),
+        ctypes.c_int(max_neighbors),
+        ctypes.c_int(max_iters),
+        kept.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        density.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        score.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if nkept < 0:
+        return None
+    return kept[:nkept].copy(), density, score
+
+
+def density_greedy_native(ei, ej, w, n, density_limit, max_iters=60):
+    """C++ density iteration + greedy over a precomputed half-edge graph.
+
+    Edges must be sorted/grouped by ei. Returns (kept, density, score) or None.
+    """
+    lib = _build_and_load()
+    if lib is None or not hasattr(lib, "density_greedy_native"):
+        return None
+    ei = np.ascontiguousarray(ei, dtype=np.int64)
+    ej = np.ascontiguousarray(ej, dtype=np.int64)
+    w = np.ascontiguousarray(w, dtype=np.float32)
+    kept = np.empty(n, dtype=np.int64)
+    density = np.empty(n, dtype=np.float32)
+    score = np.empty(n, dtype=np.float32)
+    lib.density_greedy_native.restype = ctypes.c_longlong
+    nkept = lib.density_greedy_native(
+        ei.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        ej.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_longlong(len(ei)),
+        ctypes.c_longlong(n),
+        ctypes.c_float(density_limit),
+        ctypes.c_int(max_iters),
+        kept.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+        density.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        score.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    if nkept < 0:
+        return None
+    return kept[:nkept].copy(), density, score

@@ -201,3 +201,235 @@ int64_t greedy_suppress(const int64_t *order, int64_t n,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Full native point filter: grid-hash neighbor search (capped k nearest
+// in-radius), clamped density power iteration, density-ordered greedy
+// suppression. One call replaces the host-side scipy/numpy pipeline of
+// points/filter.py for large clouds (the e2e profile showed the Python path
+// dominating wall time at ~10^6 points).
+//
+// Semantics mirror Heuristic::filterPoints (heuristic.cpp:55-176) with the
+// same capped-neighbor approximation as the Python path:
+//   - neighbors within SQUARED distance radius_sq (FLANN L2_Simple
+//     convention), weight 1 - d^2/radius_sq, at most max_neighbors nearest
+//     per point, deduplicated half edges (j < i);
+//   - density: score_i = sum_j w_ij d_j (symmetric), L1-normalized to mean 1,
+//     clamped at 2.0, until mean-squared change <= 1e-6 or max_iters;
+//   - greedy: walk points by descending density; keep if raw score >= limit;
+//     kept points subtract density*w from LOWER-INDEX neighbors' scores.
+// Returns number of kept indices written (ascending) to out_kept; also
+// exposes the converged density/score for cross-checking.
+
+extern "C" {
+
+int64_t filter_points_native(const float *pts, int64_t n, float radius_sq,
+                             float density_limit, int32_t max_neighbors,
+                             int32_t max_iters, int64_t *out_kept,
+                             float *out_density, float *out_score) {
+    if (n <= 0) return 0;
+    const double radius = std::sqrt((double)radius_sq);
+    const double inv_cell = 1.0 / std::max(radius, 1e-12);
+
+    // --- grid hash: 21 bits per axis ---
+    double mins[3] = {1e300, 1e300, 1e300};
+    for (int64_t i = 0; i < n; i++)
+        for (int d = 0; d < 3; d++)
+            mins[d] = std::min(mins[d], (double)pts[3 * i + d]);
+    std::vector<uint64_t> keys(n);
+    auto cell_of = [&](int64_t i, int64_t *c) {
+        for (int d = 0; d < 3; d++)
+            c[d] = (int64_t)(((double)pts[3 * i + d] - mins[d]) * inv_cell);
+    };
+    auto pack = [](int64_t cx, int64_t cy, int64_t cz) -> uint64_t {
+        return ((uint64_t)cx << 42) | ((uint64_t)cy << 21) | (uint64_t)cz;
+    };
+    std::vector<int64_t> order_pts(n);
+    for (int64_t i = 0; i < n; i++) {
+        int64_t c[3];
+        cell_of(i, c);
+        keys[i] = pack(c[0], c[1], c[2]);
+        order_pts[i] = i;
+    }
+    std::sort(order_pts.begin(), order_pts.end(),
+              [&](int64_t a, int64_t b) { return keys[a] < keys[b]; });
+    // cell -> [start, end) ranges in order_pts
+    std::unordered_map<uint64_t, std::pair<int64_t, int64_t>> cells;
+    cells.reserve(n / 2 + 16);
+    for (int64_t s = 0; s < n;) {
+        int64_t e = s;
+        uint64_t k = keys[order_pts[s]];
+        while (e < n && keys[order_pts[e]] == k) e++;
+        cells.emplace(k, std::make_pair(s, e));
+        s = e;
+    }
+
+    // --- capped nearest in-radius neighbors per point; half-edge dedup ---
+    struct Cand { float d2; int64_t j; };
+    std::vector<uint64_t> half;  // packed (i << 32 | j), j < i; n < 2^31
+    half.reserve((size_t)n * 8);
+    std::vector<float> half_w;
+    half_w.reserve((size_t)n * 8);
+    std::vector<Cand> cands;
+    for (int64_t i = 0; i < n; i++) {
+        int64_t c[3];
+        cell_of(i, c);
+        cands.clear();
+        for (int dx = -1; dx <= 1; dx++)
+            for (int dy = -1; dy <= 1; dy++)
+                for (int dz = -1; dz <= 1; dz++) {
+                    if (c[0] + dx < 0 || c[1] + dy < 0 || c[2] + dz < 0)
+                        continue;
+                    auto it = cells.find(pack(c[0] + dx, c[1] + dy, c[2] + dz));
+                    if (it == cells.end()) continue;
+                    for (int64_t s = it->second.first; s < it->second.second; s++) {
+                        int64_t j = order_pts[s];
+                        if (j == i) continue;
+                        float ddx = pts[3 * i] - pts[3 * j];
+                        float ddy = pts[3 * i + 1] - pts[3 * j + 1];
+                        float ddz = pts[3 * i + 2] - pts[3 * j + 2];
+                        float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                        if (d2 <= radius_sq) cands.push_back({d2, j});
+                    }
+                }
+        if ((int64_t)cands.size() > max_neighbors) {
+            std::nth_element(cands.begin(), cands.begin() + max_neighbors,
+                             cands.end(),
+                             [](const Cand &a, const Cand &b) { return a.d2 < b.d2; });
+            cands.resize(max_neighbors);
+        }
+        for (const Cand &cd : cands) {
+            int64_t a = std::max(i, cd.j), b = std::min(i, cd.j);
+            half.push_back(((uint64_t)a << 32) | (uint64_t)b);
+            half_w.push_back(1.0f - cd.d2 / radius_sq);
+        }
+    }
+    // dedup (each pair can appear from both endpoints)
+    std::vector<int64_t> eidx(half.size());
+    for (size_t i = 0; i < half.size(); i++) eidx[i] = (int64_t)i;
+    std::sort(eidx.begin(), eidx.end(),
+              [&](int64_t a, int64_t b) { return half[a] < half[b]; });
+    std::vector<int64_t> he_i, he_j;
+    std::vector<float> he_w;
+    he_i.reserve(half.size());
+    he_j.reserve(half.size());
+    he_w.reserve(half.size());
+    uint64_t prev = ~0ull;
+    for (int64_t id : eidx) {
+        if (half[id] == prev) continue;
+        prev = half[id];
+        he_i.push_back((int64_t)(half[id] >> 32));
+        he_j.push_back((int64_t)(half[id] & 0xffffffffull));
+        he_w.push_back(half_w[id]);
+    }
+    const int64_t m = (int64_t)he_i.size();
+
+    // --- clamped density power iteration (heuristic.cpp:102-136) ---
+    std::vector<double> density(n, 1.0), score(n, 0.0);
+    for (int32_t it = 0; it < max_iters; it++) {
+        std::fill(score.begin(), score.end(), 0.0);
+        double total = 0.0;
+        for (int64_t e = 0; e < m; e++) {
+            double wij = he_w[e];
+            score[he_i[e]] += density[he_j[e]] * wij;
+            score[he_j[e]] += density[he_i[e]] * wij;
+        }
+        for (int64_t i = 0; i < n; i++) total += score[i];
+        if (total <= 0) break;
+        double norm = (double)n / total, change = 0.0;
+        for (int64_t i = 0; i < n; i++) {
+            double nd = std::min(score[i] * norm, 2.0);
+            change += (density[i] - nd) * (density[i] - nd);
+            density[i] = nd;
+        }
+        if (change / n <= 1e-6) break;
+    }
+
+    // --- greedy suppression (heuristic.cpp:139-163) ---
+    // CSR over lower-index neighbors, grouped by he_i (already sorted)
+    std::vector<int64_t> ptr(n + 1, 0);
+    for (int64_t e = 0; e < m; e++) ptr[he_i[e] + 1]++;
+    for (int64_t i = 0; i < n; i++) ptr[i + 1] += ptr[i];
+    std::vector<int64_t> ord(n);
+    for (int64_t i = 0; i < n; i++) ord[i] = i;
+    std::stable_sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
+        return density[a] > density[b];
+    });
+    int64_t nkept = 0;
+    for (int64_t t = 0; t < n; t++) {
+        int64_t i = ord[t];
+        if (score[i] < density_limit) continue;
+        double local = density[i];
+        for (int64_t e = ptr[i]; e < ptr[i + 1]; e++)
+            score[he_j[e]] -= local * he_w[e];
+        out_kept[nkept++] = i;
+    }
+    std::sort(out_kept, out_kept + nkept);
+    if (out_density)
+        for (int64_t i = 0; i < n; i++) out_density[i] = (float)density[i];
+    if (out_score)
+        for (int64_t i = 0; i < n; i++) out_score[i] = (float)score[i];
+    return nkept;
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Density power iteration + greedy suppression over a PRECOMPUTED half-edge
+// graph (j < i), the hybrid used by points/filter.py: neighbor search stays
+// in scipy's kd-tree (pruned kNN beats grid scans on surface-like clouds),
+// while the O(iters * edges) iteration and the sequential greedy run here.
+int64_t density_greedy_native(const int64_t *he_i, const int64_t *he_j,
+                              const float *he_w, int64_t m, int64_t n,
+                              float density_limit, int32_t max_iters,
+                              int64_t *out_kept, float *out_density,
+                              float *out_score) {
+    std::vector<double> density(n, 1.0), score(n, 0.0);
+    for (int32_t it = 0; it < max_iters; it++) {
+        std::fill(score.begin(), score.end(), 0.0);
+        double total = 0.0;
+        for (int64_t e = 0; e < m; e++) {
+            double wij = he_w[e];
+            score[he_i[e]] += density[he_j[e]] * wij;
+            score[he_j[e]] += density[he_i[e]] * wij;
+        }
+        for (int64_t i = 0; i < n; i++) total += score[i];
+        if (total <= 0) break;
+        double norm = (double)n / total, change = 0.0;
+        for (int64_t i = 0; i < n; i++) {
+            double nd = std::min(score[i] * norm, 2.0);
+            change += (density[i] - nd) * (density[i] - nd);
+            density[i] = nd;
+        }
+        if (change / n <= 1e-6) break;
+    }
+
+    // CSR over lower-index neighbors; edges must be grouped by he_i
+    // (points/filter.py sorts them)
+    std::vector<int64_t> ptr(n + 1, 0);
+    for (int64_t e = 0; e < m; e++) ptr[he_i[e] + 1]++;
+    for (int64_t i = 0; i < n; i++) ptr[i + 1] += ptr[i];
+    std::vector<int64_t> ord(n);
+    for (int64_t i = 0; i < n; i++) ord[i] = i;
+    std::stable_sort(ord.begin(), ord.end(), [&](int64_t a, int64_t b) {
+        return density[a] > density[b];
+    });
+    int64_t nkept = 0;
+    for (int64_t t = 0; t < n; t++) {
+        int64_t i = ord[t];
+        if (score[i] < density_limit) continue;
+        double local = density[i];
+        for (int64_t e = ptr[i]; e < ptr[i + 1]; e++)
+            score[he_j[e]] -= local * he_w[e];
+        out_kept[nkept++] = i;
+    }
+    std::sort(out_kept, out_kept + nkept);
+    if (out_density)
+        for (int64_t i = 0; i < n; i++) out_density[i] = (float)density[i];
+    if (out_score)
+        for (int64_t i = 0; i < n; i++) out_score[i] = (float)score[i];
+    return nkept;
+}
+
+}  // extern "C"

@@ -182,6 +182,26 @@ def filter_points(points4: np.ndarray, normals: np.ndarray, radius_sq: float):
     if n == 0:
         return points4, normals, np.zeros(0, np.int64)
     p3 = points4[:, :3] / points4[:, 3:4]
+
+    # large clouds: kd-tree graph build (pruned kNN; a pure grid scan
+    # degenerates on dense surface clouds) + one native C++ call for the
+    # density iteration and greedy suppression
+    if n > 20_000:
+        kept = None
+        try:
+            from meshrecon.meshing.native import density_greedy_native
+
+            ei, ej, w = build_half_edges(p3, radius_sq)
+            srt = np.argsort(ei, kind="stable")
+            out = density_greedy_native(ei[srt], ej[srt], w[srt], n,
+                                        DENSITY_LIMIT, 60)
+            if out is not None:
+                kept = out[0]
+        except Exception:
+            kept = None
+        if kept is not None:
+            return points4[kept], normals[kept], kept
+
     density, score, (ei, ej, w) = density_scores(p3, radius_sq)
 
     # descending-density order (heuristic.cpp:146)

@@ -106,3 +106,57 @@ def test_host_power_iteration_matches_device(rng):
     d_host, s_host = _power_iteration_host(ei, ej, w.astype(np.float64), n)
     np.testing.assert_allclose(np.asarray(d_dev), d_host, atol=2e-3)
     np.testing.assert_allclose(np.asarray(s_dev), s_host, atol=2e-3)
+
+
+def test_full_native_filter_matches_python(rng):
+    from meshrecon.meshing.native import filter_points_full_native
+    from meshrecon.points.filter import density_scores, DENSITY_LIMIT
+
+    pts = rng.normal(size=(400, 3)).astype(np.float32)
+    out = filter_points_full_native(pts, 0.5, DENSITY_LIMIT, 64, 60)
+    if out is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    kept_nat, dens_nat, _ = out
+    # compare densities against the python reference path
+    dens_py, score_py, (ei, ej, w) = density_scores(pts, 0.5)
+    np.testing.assert_allclose(dens_nat, dens_py, atol=5e-3)
+    # run the python greedy on python scores and compare kept sets
+    pts4 = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], axis=1)
+    from meshrecon.points import filter_points
+
+    _, _, kept_py = filter_points(pts4, np.zeros((len(pts), 3), np.float32),
+                                  0.5)
+    assert abs(len(kept_nat) - len(kept_py)) <= max(4, 0.03 * len(kept_py))
+    inter = len(set(kept_nat.tolist()) & set(kept_py.tolist()))
+    assert inter >= 0.9 * max(len(kept_py), 1)
+
+
+def test_density_greedy_native_matches_python(rng):
+    from meshrecon.meshing.native import density_greedy_native
+    from meshrecon.points.filter import (
+        build_half_edges, _power_iteration_host, _greedy_numpy, DENSITY_LIMIT,
+    )
+
+    pts = rng.normal(size=(300, 3)).astype(np.float32)
+    n = len(pts)
+    ei, ej, w = build_half_edges(pts, 0.6)
+    srt = np.argsort(ei, kind="stable")
+    ei, ej, w = ei[srt], ej[srt], w[srt]
+    out = density_greedy_native(ei, ej, w, n, DENSITY_LIMIT, 60)
+    if out is None:
+        import pytest
+
+        pytest.skip("native lib unavailable")
+    kept_nat, dens_nat, _ = out
+    dens_py, score_py = _power_iteration_host(ei, ej, w.astype(np.float64), n)
+    np.testing.assert_allclose(dens_nat, dens_py, atol=2e-3)
+    order = np.argsort(-dens_py, kind="stable").astype(np.int64)
+    ptr = np.zeros(n + 1, np.int64)
+    np.add.at(ptr, ei + 1, 1)
+    ptr = np.cumsum(ptr)
+    kept_py = _greedy_numpy(order, score_py.astype(np.float32),
+                            dens_py, ptr, ej, w, DENSITY_LIMIT)
+    inter = len(set(kept_nat.tolist()) & set(kept_py.tolist()))
+    assert inter >= 0.95 * max(len(kept_py), 1)
