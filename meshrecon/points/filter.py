@@ -50,19 +50,33 @@ def build_half_edges(points3: np.ndarray, radius_sq: float,
     suppression.
     """
     n = len(points3)
-    tree = cKDTree(points3)
     if n == 0:
         z = np.zeros(0, np.int64)
         return z, z, np.zeros(0, np.float32)
+    tree = cKDTree(points3)
+    # shrink the cap for huge clouds: the kNN query cost and the edge count
+    # scale with k, and dense clouds only need the strongest edges
+    if n > 500_000:
+        max_neighbors = min(max_neighbors, 16)
+    elif n > 100_000:
+        max_neighbors = min(max_neighbors, 32)
     k = min(max_neighbors + 1, n)
-    dist, idx = tree.query(points3, k=k,
-                           distance_upper_bound=float(np.sqrt(radius_sq)))
-    # drop self-matches and fill values (idx == n when out of radius)
-    rows = np.repeat(np.arange(n, dtype=np.int64), k)
-    cols = idx.reshape(-1).astype(np.int64)
-    d = dist.reshape(-1)
-    ok = (cols < n) & (cols != rows) & np.isfinite(d)
-    rows, cols, d = rows[ok], cols[ok], d[ok]
+    ub = float(np.sqrt(radius_sq))
+    rows_l, cols_l, d_l = [], [], []
+    chunk = 200_000  # bound the (chunk, k) distance/index temporaries
+    for s in range(0, n, chunk):
+        e = min(s + chunk, n)
+        dist, idx = tree.query(points3[s:e], k=k, distance_upper_bound=ub)
+        rr = np.repeat(np.arange(s, e, dtype=np.int64), k)
+        cc = idx.reshape(-1).astype(np.int64)
+        dd = dist.reshape(-1)
+        ok = (cc < n) & (cc != rr) & np.isfinite(dd)
+        rows_l.append(rr[ok])
+        cols_l.append(cc[ok])
+        d_l.append(dd[ok])
+    rows = np.concatenate(rows_l)
+    cols = np.concatenate(cols_l)
+    d = np.concatenate(d_l)
     d2 = d * d
     ok2 = d2 <= radius_sq
     rows, cols, d2 = rows[ok2], cols[ok2], d2[ok2]
