@@ -15,7 +15,13 @@ def main(argv=None):
 
     config = config_from_args(argv)
     config.log(2, " Loaded configuration and video clip")
-    reconstruct(config)
+    if config.profile_dir:
+        from meshrecon.utils.profiling import profile_trace
+
+        with profile_trace(config.profile_dir):
+            reconstruct(config)
+    else:
+        reconstruct(config)
     return 0
 
 

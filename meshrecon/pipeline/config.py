@@ -51,6 +51,7 @@ class Config:
     sweep_depths: int = 64
     poisson_grid: int = 128
     checkpoint_dir: Optional[str] = None
+    profile_dir: Optional[str] = None
     resume: bool = False
     mesh_devices: int = 1
     exposure: Optional[np.ndarray] = None
@@ -147,6 +148,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--mesh-devices", type=int, default=1,
                    help="shard main cameras across this many jax devices")
+    p.add_argument("--profile", default=None, metavar="LOG_DIR",
+                   help="write a jax.profiler trace of the run to LOG_DIR")
     return p
 
 
@@ -185,6 +188,7 @@ def config_from_args(argv=None) -> Config:
                 bgr, track.cameras, track.bundles, track.bundles_enabled,
                 track.distortion, track.center_x / scale,
                 track.center_y / scale, width, height,
+                dump_tab=args.hyper_verbose,
             )
         else:
             # BGR -> gray with the Rec.601 weights cv::cvtColor applies
@@ -217,6 +221,7 @@ def config_from_args(argv=None) -> Config:
         sweep_depths=args.sweep_depths,
         poisson_grid=args.poisson_grid,
         checkpoint_dir=args.checkpoint_dir,
+        profile_dir=args.profile,
         resume=args.resume,
         mesh_devices=args.mesh_devices,
         exposure=exposure,

@@ -39,7 +39,8 @@ def sample_box(image: np.ndarray, radius_sq: float, x: float, y: float,
 
 
 def estimate_exposure(frames, cameras, bundles, bundles_enabled, lens_distortion,
-                      center_x, center_y, width, height, verbose=False):
+                      center_x, center_y, width, height, verbose=False,
+                      dump_tab: bool = False):
     """Estimate exposure gains and return grayscale-normalized frames.
 
     frames: list/array of (H, W, 3) uint8 BGR frames; cameras: (F, 4, 4);
@@ -98,6 +99,22 @@ def estimate_exposure(frames, cameras, bundles, bundles_enabled, lens_distortion
             error += np.linalg.norm(a @ exposure[:, i] - b) / max(len(b), 1)
         if error / f_count < 0.1:
             break
+
+    if dump_tab:
+        # exposure.tab: per frame the channel gains + residual stddev
+        # (configuration.cpp:395-415)
+        with open("exposure.tab", "w") as fh:
+            for i in range(f_count):
+                res = []
+                for j in range(p_count):
+                    if not valid[i, j]:
+                        continue
+                    for c in range(ch):
+                        res.append(sampled[i, j, c]
+                                   - exposure[c, i] * brightness[j])
+                stddev = float(np.sqrt(np.mean(np.square(res)))) if res else 0.0
+                gains = "\t".join(f"{exposure[c, i]:f}" for c in range(ch))
+                fh.write(f"{gains}\t{stddev:f}\n")
 
     gray = np.zeros((f_count,) + frames[0].shape[:2], np.float32)
     for i in range(f_count):

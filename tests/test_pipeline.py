@@ -286,3 +286,35 @@ def test_fused_matches_unfused(koule_small):
     assert n_f == valid_u.sum()
     np.testing.assert_allclose(pts_f, pts_u.astype(np.float32), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_exposure_estimation(koule_small, tmp_path, monkeypatch):
+    """Exposure solve normalizes per-frame gains on synthetic BGR frames with
+    known exposure variation (configuration.cpp:270-426 semantics)."""
+    monkeypatch.chdir(tmp_path)
+    track, gray = koule_small
+    rng = np.random.default_rng(0)
+    gains = 1.0 + 0.3 * np.sin(np.arange(track.frame_count))
+    bgr = [
+        np.clip(
+            np.stack([g * gray[i]] * 3, axis=-1) + rng.normal(scale=1.0,
+            size=gray[i].shape + (3,)), 1, 254
+        ).astype(np.uint8)
+        for i, g in enumerate(gains)
+    ]
+    from meshrecon.pipeline.exposure import estimate_exposure
+
+    out_gray, exposure = estimate_exposure(
+        bgr, track.cameras, track.bundles, track.bundles_enabled,
+        track.distortion, track.center_x / 8, track.center_y / 8,
+        gray.shape[2], gray.shape[1], dump_tab=True,
+    )
+    assert out_gray.shape == gray.shape
+    # estimated per-frame total gains should counteract the injected gains:
+    # exposure_i * gains_i ~ constant
+    total = exposure.sum(axis=0) * gains
+    spread = total.std() / total.mean()
+    assert spread < 0.15, f"gain compensation spread {spread}"
+    assert (tmp_path / "exposure.tab").exists()
+    lines = (tmp_path / "exposure.tab").read_text().strip().splitlines()
+    assert len(lines) == track.frame_count
