@@ -12,7 +12,6 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from meshrecon.flow.pyramid import compare
-from meshrecon.flow.remap import flow_remap
 from meshrecon.flow.variational import variational_flow
 
 

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 
 from meshrecon.flow.pyramid import pyr_down, pyr_up
-from meshrecon.raster.fragment import bilinear_sample
 
 
 def _poly_exp_setup(n: int, sigma: float):

@@ -25,7 +25,6 @@ import jax
 import jax.numpy as jnp
 
 from meshrecon.flow.pyramid import pyr_down, pyr_up
-from meshrecon.flow.remap import bilinear_warp
 
 
 def _hs_average(u):

@@ -8,7 +8,6 @@ resume exactly; `--resume` picks up the latest checkpoint.
 
 from __future__ import annotations
 
-import json
 import os
 import pickle
 

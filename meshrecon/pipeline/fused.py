@@ -21,7 +21,6 @@ import jax.numpy as jnp
 
 from meshrecon.depth import triangulate_pixels, estimate_normals
 from meshrecon.flow.pyramid import compare
-from meshrecon.flow.remap import flow_remap
 from meshrecon.flow.variational import variational_flow
 from meshrecon.flow.farneback import farneback_flow
 from meshrecon.raster.rasterizer import render_depth

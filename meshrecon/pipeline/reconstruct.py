@@ -10,8 +10,6 @@ programs serves every bundle shape across iterations.
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import jax.numpy as jnp
 

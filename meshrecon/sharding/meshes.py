@@ -18,8 +18,6 @@ hand-writing collectives; the program is the same code that runs single-chip.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 import jax
 import jax.numpy as jnp
