@@ -9,9 +9,25 @@ from __future__ import annotations
 import sys
 
 
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: repeated CLI/bench runs reuse
+    executables instead of paying ~50 s/remote-AOT-compile per program shape."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/.cache/meshrecon_jax")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
 def main(argv=None):
     from meshrecon.pipeline.config import config_from_args
     from meshrecon.pipeline.reconstruct import reconstruct
+
+    _enable_compile_cache()
 
     config = config_from_args(argv)
     config.log(2, " Loaded configuration and video clip")
