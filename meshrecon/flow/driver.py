@@ -43,12 +43,61 @@ def main(argv=None):
 
     prev = to_gray(iio.imread(argv[0]))
     next_ = to_gray(iio.imread(argv[1]))
+
+    # single-letter knobs like the reference test CLI (flow.cpp:88-109):
+    # l<levels> i<iters> w<winsize> s<sigma> n<poly_n> f=farneback h=variational
+    knobs = {"l": None, "i": None, "w": None, "s": None, "n": None}
     use_farneback = False
     for opt in argv[2:]:
         if opt == "f":
             use_farneback = True
+        elif opt == "h":
+            use_farneback = False
+        elif opt and opt[0] in knobs:
+            knobs[opt[0]] = float(opt[1:])
 
-    flow = np.asarray(calculate_flow(prev, next_, use_farneback))
+    if use_farneback:
+        from meshrecon.flow.farneback import farneback_flow
+        from meshrecon.flow.pyramid import compare
+        from meshrecon.flow.shiftwarp import shift_warp_bicubic
+
+        kw = {}
+        if knobs["l"]:
+            kw["levels"] = int(knobs["l"])
+        if knobs["i"]:
+            kw["iters"] = int(knobs["i"])
+        if knobs["w"]:
+            kw["win"] = int(knobs["w"])
+        if knobs["s"]:
+            kw["poly_sigma"] = knobs["s"]
+        if knobs["n"]:
+            kw["poly_n"] = int(knobs["n"])
+        f2 = np.asarray(farneback_flow(prev, next_, **kw))
+        warped = shift_warp_bicubic(next_, f2[..., 0], f2[..., 1], radius=8)
+        var = np.asarray(compare(prev, warped))
+        flow = np.concatenate(
+            [f2, var[..., None], np.zeros_like(var)[..., None]], axis=-1
+        )
+    elif any(v for v in knobs.values()):
+        from meshrecon.flow.variational import variational_flow
+        from meshrecon.flow.pyramid import compare
+        from meshrecon.flow.shiftwarp import shift_warp_bicubic
+
+        kw = {}
+        if knobs["l"]:
+            kw["levels"] = int(knobs["l"])
+        if knobs["i"]:
+            kw["iters"] = int(knobs["i"])
+        if knobs["s"]:
+            kw["alpha"] = knobs["s"]
+        f2 = np.asarray(variational_flow(prev, next_, **kw))
+        warped = shift_warp_bicubic(next_, f2[..., 0], f2[..., 1], radius=8)
+        var = np.asarray(compare(prev, warped))
+        flow = np.concatenate(
+            [f2, var[..., None], np.zeros_like(var)[..., None]], axis=-1
+        )
+    else:
+        flow = np.asarray(calculate_flow(prev, next_, use_farneback))
     from meshrecon.io.images import save_image
 
     vis = flow[..., :3] * 10 + 127
