@@ -18,6 +18,14 @@ Re-architecture of Heuristic::filterPoints (heuristic.cpp:55-176):
    raw score is >= 0.7; a kept point subtracts density*weight from its
    lower-index neighbors' scores (heuristic.cpp:139-163). Inherently
    sequential -> native C++ (meshing_native.cpp), with a NumPy fallback.
+
+Behavioral note (verified empirically against the uncapped dynamics): on
+dense, uniform clouds this filter keeps nearly everything — raw scores scale
+with degree, and the half-list decrements remove at most ~half a point's
+score, far above the 0.7 threshold. The stage is primarily an OUTLIER cut
+(isolated points have near-zero scores); wholesale thinning only occurs in
+sparse regions near the threshold. The neighbor cap therefore preserves the
+reference's observable behavior while bounding cost.
 """
 
 from __future__ import annotations
