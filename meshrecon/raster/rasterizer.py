@@ -204,6 +204,10 @@ def depth_probe(cameras, soup, soup_valid, sample_xy, chunk=128):
     replacement for the heuristic's 200 per-shot depth renders
     (heuristic.cpp:448-456): only the sample positions that are actually read
     are ever computed.
+
+    Viewers are processed SEQUENTIALLY (lax.map): each shot's clipped
+    triangle setup is O(T) memory, and vmapping it over 200 shots of a 16k-
+    triangle mesh materialized ~20 GB and OOMed a v5e chip.
     """
     cameras = jnp.asarray(cameras, jnp.float32)
     soup = jnp.asarray(soup, jnp.float32)
@@ -236,7 +240,10 @@ def depth_probe(cameras, soup, soup_valid, sample_xy, chunk=128):
         zmin, _ = jax.lax.scan(body, init, args)
         return jnp.where(jnp.isfinite(zmin), zmin, 1.0)
 
-    return jax.vmap(probe_one)(cameras, jnp.asarray(sample_xy, jnp.float32))
+    return jax.lax.map(
+        lambda cx: probe_one(cx[0], cx[1]),
+        (cameras, jnp.asarray(sample_xy, jnp.float32)),
+    )
 
 
 def _next_pow2(n: int) -> int:
