@@ -241,9 +241,25 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
         active = active & (jnp.abs(dz) >= 1e-7)
         return z + step, active
 
+    # while_loop with a global all-converged exit: the reference caps at 50
+    # scalar iterations per pixel (util.cpp:126) but typical convergence is a
+    # handful of steps; the early exit saves the tail sweeps
+    def gn_cond(state):
+        _, active, it = state
+        return jnp.any(active) & (it < gn_iters)
+
+    def gn_step(state):
+        z, active, it = state
+        z, active = gn_body(it, (z, active))
+        return z, active, it + 1
+
+    # only valid pixels iterate (the reference loops over valid pixels only,
+    # util.cpp:183); background pixels would never converge and defeat the
+    # early exit
     z0 = depth
-    z_final, _ = jax.lax.fori_loop(
-        0, gn_iters, gn_body, (z0, jnp.ones_like(center_valid))
+    z_final, _, _ = jax.lax.while_loop(
+        gn_cond, gn_step,
+        (z0, center_valid & ok_pixel, jnp.int32(0)),
     )
 
     # density of the result (util.cpp:128-141)
