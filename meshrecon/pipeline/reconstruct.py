@@ -175,6 +175,74 @@ def _process_main_fused(config, renderer, fa, sides, timer):
     return pts.astype(np.float32), nrm.astype(np.float32), int(valid.sum())
 
 
+def _process_bundles_sharded(config, renderer, bundles, timer):
+    """Process all camera bundles in device-count-sized batches over a
+    (camera,) jax.sharding mesh — the multi-chip path (--mesh-devices).
+
+    Bundles are padded to a common K bucket and batches padded by repeating
+    the last bundle (fake entries' outputs are dropped).
+    """
+    import jax
+
+    from meshrecon.sharding import make_device_mesh, sharded_fused_update
+
+    n_dev = config.mesh_devices
+    mesh = make_device_mesh(n_dev, 1, devices=jax.devices()[:n_dev])
+    h, w = config.height, config.width
+    step = sharded_fused_update(mesh, height=h, width=w,
+                                use_farneback=config.use_farneback)
+    npix = h * w
+
+    kb = _bucket(max(len(s) for _, s in bundles))
+    cb = _bucket(kb + 1)
+    results = []
+    for start in range(0, len(bundles), n_dev):
+        group = bundles[start : start + n_dev]
+        real = len(group)
+        while len(group) < n_dev:
+            group.append(group[-1])  # padding entries; outputs dropped
+
+        B = len(group)
+        mains = np.zeros((B, 4, 4), np.float32)
+        fms = np.zeros((B, h, w), np.float32)
+        scs = np.tile(np.eye(4, dtype=np.float32), (B, kb, 1, 1))
+        sfs = np.zeros((B, kb, h, w), np.float32)
+        svs = np.zeros((B, kb), bool)
+        ctrs = np.zeros((B, cb, 3), np.float32)
+        cvs = np.zeros((B, cb), bool)
+        ks = np.zeros(B, np.int32)
+        for b, (fa, sides) in enumerate(group):
+            mains[b] = config.camera(fa)
+            fms[b] = config.frame(fa)
+            for i, fb in enumerate(sides):
+                scs[b, i] = config.camera(fb)
+                sfs[b, i] = config.frame(fb)
+                svs[b, i] = True
+            centers = [np_extract_camera_center(config.camera(fa))] + [
+                np_extract_camera_center(config.camera(fb)) for fb in sides
+            ]
+            c3 = np.stack([c[:3] / c[3] for c in centers]).astype(np.float32)
+            ctrs[b, : len(c3)] = c3
+            cvs[b, : len(c3)] = True
+            ks[b] = len(sides)
+
+        with timer.stage("sharded_fused_update", npix * B) as done:
+            out = step(renderer.soup, renderer.soup_valid, mains, fms, scs,
+                       sfs, svs, ctrs, cvs, ks)
+            done(out["point4"])
+
+        valid = np.asarray(out["valid"])
+        p4 = np.asarray(out["point4"])
+        nrm = np.asarray(out["normals"])
+        for b in range(real):
+            vb = valid[b]
+            results.append(
+                (p4[b][vb].astype(np.float32), nrm[b][vb].astype(np.float32),
+                 int(vb.sum()))
+            )
+    return results
+
+
 def _process_main_plane_sweep(config, fa, sides, depth, timer):
     """Alternative dense-depth path: plane-sweep photometric matching over
     the side window (BASELINE config #4). Sweeps the NDC depth range of the
@@ -273,13 +341,24 @@ def reconstruct(config) -> Mesh:
         config.log(1, "Tracking the whole clip...")
         new_pts = [points]
         new_nrm = [normals]
-        for fa, sides in hint.camera_bundles():
-            pts, nrm, n = process_main_camera(config, renderer, fa, sides,
-                                              timer=timer)
-            new_pts.append(pts)
-            new_nrm.append(nrm)
-            config.log(2, f" After processing main frame {fa}: "
-                          f"{sum(len(p) for p in new_pts)} points")
+        bundles = hint.camera_bundles()
+        if config.mesh_devices > 1 and config.depth_mode == "flow" \
+                and config.verbosity < 3:
+            results = _process_bundles_sharded(config, renderer, bundles,
+                                               timer)
+            for (fa, _), (pts, nrm, n) in zip(bundles, results):
+                new_pts.append(pts)
+                new_nrm.append(nrm)
+                config.log(2, f" After processing main frame {fa}: "
+                              f"{sum(len(p) for p in new_pts)} points")
+        else:
+            for fa, sides in bundles:
+                pts, nrm, n = process_main_camera(config, renderer, fa, sides,
+                                                  timer=timer)
+                new_pts.append(pts)
+                new_nrm.append(nrm)
+                config.log(2, f" After processing main frame {fa}: "
+                              f"{sum(len(p) for p in new_pts)} points")
         points = np.concatenate(new_pts)
         normals = np.concatenate(new_nrm)
 

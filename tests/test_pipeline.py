@@ -318,3 +318,28 @@ def test_exposure_estimation(koule_small, tmp_path, monkeypatch):
     assert (tmp_path / "exposure.tab").exists()
     lines = (tmp_path / "exposure.tab").read_text().strip().splitlines()
     assert len(lines) == track.frame_count
+
+
+def test_mesh_devices_pipeline(koule_small, tmp_path):
+    """--mesh-devices path: the sharded multi-camera pipeline produces a mesh
+    comparable to the single-device run (same seed)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs 2+ devices")
+    track, frames = koule_small
+    out1 = str(tmp_path / "s1.obj")
+    out2 = str(tmp_path / "s2.obj")
+    base = dict(track=track, frames=frames, iteration_count=1, seed=9,
+                poisson_grid=48)
+    m1 = reconstruct(Config(out_file_name=out1, mesh_devices=1, **base))
+    m2 = reconstruct(Config(out_file_name=out2, mesh_devices=2, **base))
+    # same camera draws (same seed) -> same point sets up to f32 sharding
+    # nondeterminism; meshes should closely agree in size and geometry
+    assert abs(len(m1.faces) - len(m2.faces)) <= max(40, 0.1 * len(m1.faces))
+    v1 = m1.vertices[:, :3] / m1.vertices[:, 3:4]
+    v2 = m2.vertices[:, :3] / m2.vertices[:, 3:4]
+    c1, c2 = v1.mean(axis=0), v2.mean(axis=0)
+    assert np.linalg.norm(c1 - c2) < 0.2
