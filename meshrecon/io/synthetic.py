@@ -116,16 +116,78 @@ def fit_sphere(bundles: np.ndarray):
     return center.astype(np.float32), max(radius, 1e-3)
 
 
+def fit_plane(bundles: np.ndarray):
+    """Least-squares plane through the bundle cloud: (point, unit normal,
+    rms residual)."""
+    p3 = bundles[:, :3] / bundles[:, 3:4]
+    center = p3.mean(axis=0)
+    c = p3 - center
+    _, s, vt = np.linalg.svd(c, full_matrices=False)
+    normal = vt[-1]
+    resid = float(np.sqrt(np.mean((c @ normal) ** 2)))
+    return center.astype(np.float32), normal.astype(np.float32), resid
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width"))
+def _render_plane_frames(cameras, center, normal, extent, height, width, seed):
+    """Ray-trace a textured bounded plane for every camera (carpet-like
+    scenes such as koberec)."""
+    cams = jnp.asarray(cameras, jnp.float32)
+    cols = (jnp.arange(width, dtype=jnp.float32) - width / 2.0) * (2.0 / width)
+    rows = (height / 2.0 - jnp.arange(height, dtype=jnp.float32)) * (2.0 / height)
+    x = jnp.broadcast_to(cols[None, :], (height, width))
+    y = jnp.broadcast_to(rows[:, None], (height, width))
+
+    def one(cam):
+        inv = jnp.linalg.inv(cam)
+        a = jnp.einsum("ij,hwj->hwi", inv,
+                       jnp.stack([x, y, jnp.zeros_like(x), jnp.ones_like(x)],
+                                 axis=-1), precision=_HI)
+        b = inv[:, 2][None, None, :]
+
+        def at(t):
+            h = a + t * b
+            return h[..., :3] / h[..., 3:4]
+
+        o = at(-1.0)
+        d = at(1.0) - o
+        denom = jnp.einsum("hwi,i->hw", d, normal, precision=_HI)
+        denom = jnp.where(jnp.abs(denom) < 1e-9, 1e-9, denom)
+        t = jnp.einsum("hwi,i->hw", center[None, None] - o, normal,
+                       precision=_HI) / denom
+        p = o + t[..., None] * d
+        hit = (t > 0) & (jnp.linalg.norm(p - center, axis=-1) < extent)
+        tex = _value_noise(p, seed) * 175.0 + 60.0
+        bg = _value_noise(
+            jnp.stack([x * 4.0, y * 4.0, jnp.zeros_like(x)], axis=-1),
+            seed + 1) * 40.0 + 10.0
+        return jnp.where(hit, tex, bg)
+
+    return jax.lax.map(one, cams)
+
+
 def synthetic_frames(track: TrackFile, width: int, height: int,
                      mode: str = "sphere", seed: int = 0) -> np.ndarray:
-    """Render (F, H, W) float32 grayscale fixture frames for a scene."""
+    """Render (F, H, W) float32 grayscale fixture frames for a scene.
+
+    Modes: "sphere" (best-fit sphere), "plane" (best-fit bounded plane, for
+    carpet-like scenes), "auto" (plane when the cloud is near-planar).
+    """
     center, radius = fit_sphere(track.bundles)
-    if mode == "bundles":
-        # render the bundle cloud as one enclosing sphere per point is costly;
-        # approximate with the fitted sphere for now (same pipeline coverage)
-        pass
-    frames = _render_sphere_frames(
-        track.cameras, jnp.asarray(center), jnp.float32(radius),
-        height, width, seed,
-    )
+    if mode == "auto":
+        _, _, resid = fit_plane(track.bundles)
+        mode = "plane" if resid < 0.2 * radius else "sphere"
+    if mode == "plane":
+        pc, pn, _ = fit_plane(track.bundles)
+        p3 = track.bundles[:, :3] / track.bundles[:, 3:4]
+        extent = 1.3 * float(np.max(np.linalg.norm(p3 - pc, axis=1)))
+        frames = _render_plane_frames(
+            track.cameras, jnp.asarray(pc), jnp.asarray(pn),
+            jnp.float32(max(extent, 1e-3)), height, width, seed,
+        )
+    else:
+        frames = _render_sphere_frames(
+            track.cameras, jnp.asarray(center), jnp.float32(radius),
+            height, width, seed,
+        )
     return np.asarray(frames, np.float32)

@@ -135,7 +135,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-V", "--hyper-verbose", action="store_true")
     # framework extensions
     p.add_argument("--seed", type=int, default=0)
-    p.add_argument("--synthetic", choices=["sphere", "bundles"], default=None,
+    p.add_argument("--synthetic", choices=["sphere", "plane", "auto"],
+                   default=None,
                    help="render fixture frames instead of decoding the clip")
     p.add_argument("--depth-mode", choices=["flow", "plane-sweep"],
                    default="flow",

@@ -330,9 +330,16 @@ def reconstruct(config) -> Mesh:
         config.log(1, "Choosing cameras...")
         count = hint.choose_cameras(mesh, config.cameras, renderer)
         if count == 0:
-            raise RuntimeError(
-                "Heuristic has chosen no cameras, which is an error."
-            )
+            # the reference exits here unconditionally (recon.cpp:47-50); we
+            # only fail hard when no dense update ever succeeded, otherwise
+            # finish with the points accumulated so far
+            if hint.iteration <= 1:
+                raise RuntimeError(
+                    "Heuristic has chosen no cameras, which is an error."
+                )
+            config.log(1, "Heuristic chose no cameras; finishing with the "
+                          "current point cloud.")
+            break
         if config.verbosity >= 2:
             for fa, sides in hint.camera_bundles():
                 print(f"  main camera {fa}, side cameras "
