@@ -50,6 +50,7 @@ class Config:
     depth_mode: str = "flow"  # "flow" (reference algorithm) | "plane-sweep"
     sweep_depths: int = 64
     poisson_grid: int = 128
+    max_render_faces: int = 65536
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
     resume: bool = False
@@ -145,6 +146,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--sweep-depths", type=int, default=64,
                    help="number of plane-sweep depth hypotheses")
     p.add_argument("--poisson-grid", type=int, default=128)
+    p.add_argument("--max-render-faces", type=int, default=65536,
+                   help="decimate the render/policy proxy mesh above "
+                        "this face count (output mesh unaffected)")
     p.add_argument("--checkpoint-dir", default=None)
     p.add_argument("--resume", action="store_true")
     p.add_argument("--mesh-devices", type=int, default=1,
@@ -221,6 +225,7 @@ def config_from_args(argv=None) -> Config:
         depth_mode=args.depth_mode,
         sweep_depths=args.sweep_depths,
         poisson_grid=args.poisson_grid,
+        max_render_faces=args.max_render_faces,
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile,
         resume=args.resume,

@@ -325,10 +325,21 @@ def reconstruct(config) -> Mesh:
         if config.verbosity >= 3:
             save_mesh(mesh, "recon_orig.obj")
 
-        renderer.load_mesh(mesh)
+        # the renderer and camera policy use a decimated proxy when the
+        # mesh is huge (uniform-grid Poisson can emit 10^5+ faces; the saved
+        # output mesh stays full resolution)
+        render_mesh = mesh
+        cap = getattr(config, "max_render_faces", 65536)
+        if cap and len(mesh.faces) > cap:
+            from meshrecon.meshing.decimate import decimate_vertex_clustering
+
+            render_mesh = decimate_vertex_clustering(mesh, cap)
+            config.log(2, f" render proxy decimated to "
+                          f"{len(render_mesh.faces)} faces")
+        renderer.load_mesh(render_mesh)
 
         config.log(1, "Choosing cameras...")
-        count = hint.choose_cameras(mesh, config.cameras, renderer)
+        count = hint.choose_cameras(render_mesh, config.cameras, renderer)
         if count == 0:
             # the reference exits here unconditionally (recon.cpp:47-50); we
             # only fail hard when no dense update ever succeeded, otherwise

@@ -167,3 +167,21 @@ def test_meshing_extras():
 
     nn = normalize_normals_average(est * 3.0)
     assert abs(np.linalg.norm(nn, axis=1).mean() - 1.0) < 1e-5
+
+
+def test_decimate_vertex_clustering():
+    from meshrecon.meshing.decimate import decimate_vertex_clustering
+    from meshrecon.io.obj import Mesh
+
+    pts, normals = sphere_points(4000, seed=9, noise=0.005)
+    mesh = poisson_surface(pts, normals, grid=96)
+    assert len(mesh.faces) > 4000
+    dec = decimate_vertex_clustering(mesh, 2000)
+    assert 0 < len(dec.faces) <= 2400
+    # geometry preserved: decimated vertices stay near the unit sphere
+    v3 = dec.vertices[:, :3] / dec.vertices[:, 3:4]
+    r = np.linalg.norm(v3 - v3.mean(axis=0), axis=1)
+    assert abs(np.median(r) - 1.0) < 0.2
+    # no-op below the cap
+    same = decimate_vertex_clustering(dec, 10**6)
+    assert len(same.faces) == len(dec.faces)
