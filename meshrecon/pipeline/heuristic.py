@@ -144,6 +144,20 @@ class Heuristic:
             / (total_area * cfg.camera_threshold)
         )
 
+        # face-viewer far plane from the scene geometry. The reference
+        # hardcodes far=10 with the comment "fixme, may fail. Should be
+        # calculated from the scene geometry" (heuristic.cpp:454) — and it
+        # does fail on koberec-scale scenes whose cameras sit 10+ units out
+        # (their centers land beyond the frustum and every visibility test
+        # rejects). We compute it as the author intended.
+        verts3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
+        centroid = verts3.mean(axis=0)
+        bbox_r = float(np.linalg.norm(verts3 - centroid, axis=1).max())
+        centers_pre = np.stack([np_extract_camera_center(c) for c in cameras])
+        centers3_pre = centers_pre[:, :3] / centers_pre[:, 3:4]
+        cam_r = float(np.linalg.norm(centers3_pre - centroid, axis=1).max())
+        face_far = max(FACE_FAR, 2.0 * (bbox_r + cam_r))
+
         # --- batched geometry for all shots ---
         shots = SHOT_COUNT
         choice = self.rng.random(shots) * total_area
@@ -153,13 +167,14 @@ class Heuristic:
         u2 = self.rng.random(shots)
         viewers = np.stack(
             [
-                face_camera(mesh.vertices, mesh.faces[face_idx[s]], u1[s], u2[s])
+                face_camera(mesh.vertices, mesh.faces[face_idx[s]], u1[s],
+                            u2[s], far=face_far)
                 for s in range(shots)
             ]
         )
 
-        centers = np.stack([np_extract_camera_center(c) for c in cameras])
-        centers3 = centers[:, :3] / centers[:, 3:4]
+        centers = centers_pre
+        centers3 = centers3_pre
 
         # camera centers projected from every viewer: (S, C, 4)
         cfv = np.einsum("sij,cj->sci", viewers.astype(np.float64), centers)
