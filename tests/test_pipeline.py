@@ -343,3 +343,52 @@ def test_mesh_devices_pipeline(koule_small, tmp_path):
     v2 = m2.vertices[:, :3] / m2.vertices[:, 3:4]
     c1, c2 = v1.mean(axis=0), v2.mean(axis=0)
     assert np.linalg.norm(c1 - c2) < 0.2
+
+
+def test_zero_cameras_graceful_after_first_iteration(koule_small, tmp_path,
+                                                     monkeypatch):
+    """When the heuristic finds no pairs in a later iteration, the pipeline
+    finishes with the accumulated points instead of dying (divergence from
+    recon.cpp:47-50, which exits unconditionally)."""
+    track, frames = koule_small
+    out = str(tmp_path / "g.obj")
+    cfg = Config(track=track, frames=frames, iteration_count=3,
+                 out_file_name=out, seed=3, poisson_grid=48)
+
+    calls = {"n": 0}
+    orig = Heuristic.choose_cameras
+
+    def flaky(self, mesh, cameras, renderer):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            self.chosen = []
+            return 0
+        return orig(self, mesh, cameras, renderer)
+
+    monkeypatch.setattr(Heuristic, "choose_cameras", flaky)
+    mesh = reconstruct(cfg)
+    assert len(mesh.faces) > 0
+    assert os.path.exists(out)
+
+
+def test_geometric_far_enables_distant_cameras():
+    """Scenes whose cameras sit farther than the reference's hardcoded
+    far=10 viewer frustum must still produce camera pairs (koberec-scale)."""
+    from meshrecon.io.tracks import load_tracks
+    from meshrecon.io.synthetic import synthetic_frames
+
+    track = load_tracks("tracks/koberec.yaml")
+    frames = synthetic_frames(track, 80, 60, mode="auto", seed=4)
+    # the accumulate-to-threshold selection scales with pixel count
+    # (heuristic.cpp:441: "units: pixels per scene-space area"); at this tiny
+    # test resolution the reference-default threshold of 10 is unreachable,
+    # so use the -c knob exactly as the reference intends
+    cfg = Config(track=track, frames=frames, seed=4, camera_threshold=0.5)
+    hint = Heuristic(cfg)
+    hint.not_happy(track.bundles)
+    mesh = hint.tessellate(track.bundles, np.zeros((len(track.bundles), 3)))
+    r = Renderer(cfg.width, cfg.height)
+    r.load_mesh(mesh)
+    count = hint.choose_cameras(mesh, track.cameras, r)
+    assert count >= 1
+    assert len(hint.camera_bundles()) >= 1
