@@ -185,3 +185,17 @@ def test_decimate_vertex_clustering():
     # no-op below the cap
     same = decimate_vertex_clustering(dec, 10**6)
     assert len(same.faces) == len(dec.faces)
+
+
+def test_rbf_surface_sphere():
+    from meshrecon.meshing import rbf_surface
+
+    pts, normals = sphere_points(600, radius=1.0, seed=11, noise=0.005)
+    mesh = rbf_surface(pts, normals, grid=48)
+    assert len(mesh.faces) > 100
+    v3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
+    closed, manifold, volume = mesh_checks(v3, mesh.faces)
+    assert manifold
+    r = np.linalg.norm(v3 - v3.mean(axis=0), axis=1)
+    assert abs(np.median(r) - 1.0) < 0.1
+    assert volume > 0  # outward orientation
