@@ -48,6 +48,7 @@ class Config:
     in_mesh_file: Optional[str] = None
     seed: int = 0
     depth_mode: str = "flow"  # "flow" (reference algorithm) | "plane-sweep"
+    sampling: str = "taylor"  # flow-displaced depth sampling: taylor | exact
     sweep_depths: int = 64
     poisson_grid: int = 128
     max_render_faces: int = 65536
@@ -145,6 +146,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "Gauss-Newton, or plane-sweep photometric matching")
     p.add_argument("--sweep-depths", type=int, default=64,
                    help="number of plane-sweep depth hypotheses")
+    p.add_argument("--sampling", choices=["taylor", "exact"], default="taylor",
+                   help="depth sampling at flow-displaced positions: "
+                        "gather-free first-order taylor (default) or exact "
+                        "bilinear (reference semantics)")
     p.add_argument("--poisson-grid", type=int, default=128)
     p.add_argument("--max-render-faces", type=int, default=65536,
                    help="decimate the render/policy proxy mesh above "
@@ -223,6 +228,7 @@ def config_from_args(argv=None) -> Config:
         in_mesh_file=args.initial_mesh,
         seed=args.seed,
         depth_mode=args.depth_mode,
+        sampling=args.sampling,
         sweep_depths=args.sweep_depths,
         poisson_grid=args.poisson_grid,
         max_render_faces=args.max_render_faces,

@@ -166,6 +166,7 @@ def _process_main_fused(config, renderer, fa, sides, timer):
             side_frames, side_valid, centers_pad, cvalid, jnp.asarray(k),
             height=h, width=w, use_farneback=config.use_farneback,
             use_pallas=use_pallas,
+            sampling=getattr(config, "sampling", "taylor"),
         )
         done(out["point4"])
 
