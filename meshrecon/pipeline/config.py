@@ -51,6 +51,7 @@ class Config:
     sampling: str = "taylor"  # flow-displaced depth sampling: taylor | exact
     sweep_depths: int = 64
     poisson_grid: int = 128
+    poisson_sigma: float = 1.5
     max_render_faces: int = 65536
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
@@ -151,6 +152,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "gather-free first-order taylor (default) or exact "
                         "bilinear (reference semantics)")
     p.add_argument("--poisson-grid", type=int, default=128)
+    p.add_argument("--poisson-sigma", type=float, default=1.5,
+                   help="Gaussian smoothing (grid cells) of the FFT Poisson solve")
     p.add_argument("--max-render-faces", type=int, default=65536,
                    help="decimate the render/policy proxy mesh above "
                         "this face count (output mesh unaffected)")
@@ -232,6 +235,7 @@ def config_from_args(argv=None) -> Config:
         sweep_depths=args.sweep_depths,
         poisson_grid=args.poisson_grid,
         max_render_faces=args.max_render_faces,
+        poisson_sigma=args.poisson_sigma,
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile,
         resume=args.resume,

@@ -121,7 +121,8 @@ class Heuristic:
             faces, alpha = alpha_shape_faces(points)
             self.alpha_vals.append(alpha)
             return Mesh(points, faces)
-        mesh = poisson_surface(points, normals, grid=self.config.poisson_grid)
+        mesh = poisson_surface(points, normals, grid=self.config.poisson_grid,
+                               sigma=getattr(self.config, 'poisson_sigma', 1.5))
         self.alpha_vals.append(self.alpha_vals[-1] / 2.0)
         return mesh
 
