@@ -123,6 +123,11 @@ class Heuristic:
             return Mesh(points, faces)
         mesh = poisson_surface(points, normals, grid=self.config.poisson_grid,
                                sigma=getattr(self.config, 'poisson_sigma', 1.5))
+        # drop spurious detached sheets (CGAL's seeded mesher never grows
+        # them; our FFT indicator can — see meshing/components.py)
+        from meshrecon.meshing.components import keep_supported_components
+
+        mesh = keep_supported_components(mesh, points)
         self.alpha_vals.append(self.alpha_vals[-1] / 2.0)
         return mesh
 

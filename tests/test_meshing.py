@@ -199,3 +199,21 @@ def test_rbf_surface_sphere():
     r = np.linalg.norm(v3 - v3.mean(axis=0), axis=1)
     assert abs(np.median(r) - 1.0) < 0.1
     assert volume > 0  # outward orientation
+
+
+def test_keep_supported_components():
+    from meshrecon.meshing.components import keep_supported_components
+    from meshrecon.io.obj import Mesh
+
+    pts, normals = sphere_points(1500, seed=13, noise=0.01)
+    mesh = poisson_surface(pts, normals, grid=64)
+    # graft a fake detached sheet far away
+    far = mesh.vertices.copy()
+    far[:, 0] += 50.0
+    grafted = Mesh(np.concatenate([mesh.vertices, far]),
+                   np.concatenate([mesh.faces,
+                                   mesh.faces + len(mesh.vertices)]))
+    cleaned = keep_supported_components(grafted, pts)
+    assert len(cleaned.faces) == len(mesh.faces)
+    v3 = cleaned.vertices[:, :3] / cleaned.vertices[:, 3:4]
+    assert np.abs(v3[:, 0]).max() < 10.0  # the far sheet is gone
