@@ -262,6 +262,13 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
         (z0, center_valid & ok_pixel, jnp.int32(0)),
     )
 
+    # points whose solved depth leaves the main frustum are divergences of
+    # the GN (the initial z comes from the [-1, 1] depth buffer); the
+    # reference has no such guard but its outliers poison everything
+    # downstream (a single far point inflates the Poisson grid bbox until the
+    # real surface is sub-voxel)
+    ok_pixel &= (z_final >= -1.0) & (z_final <= 1.0)
+
     # density of the result (util.cpp:128-141)
     rx, ry, _ = residuals(z_final)
     quad = rx * (ic11 * rx + ic12 * ry) + ry * (ic12 * rx + ic22 * ry)

@@ -42,6 +42,10 @@ def _indicator_grid(points3, normals, valid, lo, scale, grid=128, sigma=1.5):
     pts = (points3 - lo) * scale  # grid coordinates
     base = jnp.floor(pts).astype(jnp.int32)
     frac = pts - base
+    # points outside the (robust) grid bbox must not splat: their unclipped
+    # trilinear weights would be unbounded
+    inb = jnp.all((pts >= 0.0) & (pts <= g - 1.001), axis=-1)
+    valid = valid * inb.astype(jnp.float32)
 
     vfield = jnp.zeros((g, g, g, 3), jnp.float32)
     wsum = jnp.zeros((), jnp.float32)
@@ -268,8 +272,11 @@ def poisson_surface(
     if len(pts) == 0:
         return Mesh(np.zeros((0, 4), np.float32), np.zeros((0, 3), np.int32))
 
-    lo = pts.min(axis=0)
-    hi = pts.max(axis=0)
+    # robust bbox: a handful of outlier points must not inflate the grid
+    # until the real surface is sub-voxel (CGAL's adaptive refinement is
+    # naturally robust to this; a uniform grid is not)
+    lo = np.percentile(pts, 0.5, axis=0)
+    hi = np.percentile(pts, 99.5, axis=0)
     span = float(np.max(hi - lo))
     span = max(span, 1e-6)
     lo = lo - margin * span

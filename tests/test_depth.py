@@ -100,7 +100,8 @@ def scalar_triangulate(flows, main_cam, side_cams, depth, gn_iters=50):
                 proddet *= np.linalg.det(icovs[i])
             pdfs[r, c] = 0.159 * proddet * np.exp(0.5 * expo)
             points[r, c] = main_inv @ np.array([x, y, z, 1.0])
-            valids[r, c] = True
+            # mirror the production frustum guard on the solved depth
+            valids[r, c] = -1.0 <= z <= 1.0
     return points, pdfs, valids
 
 
