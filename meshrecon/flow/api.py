@@ -12,6 +12,7 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from meshrecon.flow.pyramid import compare
+from meshrecon.flow.remap import flow_remap
 from meshrecon.flow.variational import variational_flow
 
 
@@ -38,12 +39,9 @@ def calculate_flow(prev, next_, use_farneback: bool = False):
                               poly_sigma=poly_sigma, win=int(win))
     else:
         flow = variational_flow(prev, next_)
-    # gather-free bicubic warp for the variance estimate (exact within the
-    # clamp radius; pipeline flows against rendered predictions are small)
-    from meshrecon.flow.shiftwarp import shift_warp_bicubic
-
-    warped = shift_warp_bicubic(next_, flow[..., 0], flow[..., 1], radius=8)
-    variance = compare(prev, warped)
+    # variance via the true bicubic warp (flow.cpp:34); a clamped warp would
+    # misreport variance exactly where flows are large
+    variance = compare(prev, flow_remap(flow, next_))
     zeros = jnp.zeros_like(variance)
     return jnp.concatenate(
         [flow, variance[..., None], zeros[..., None]], axis=-1

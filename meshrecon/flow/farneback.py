@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from meshrecon.flow.pyramid import pyr_down, pyr_up
+from meshrecon.raster.fragment import bilinear_sample
 
 
 def _poly_exp_setup(n: int, sigma: float):
@@ -101,14 +102,14 @@ def _flow_level(f1, f2, flow, poly, win, iters):
     cols = jnp.arange(wd, dtype=jnp.float32)[None, :]
     rows = jnp.arange(h, dtype=jnp.float32)[:, None]
 
-    from meshrecon.flow.shiftwarp import shift_warp_bilinear
-
     for _ in range(iters):
         dx, dy = flow[..., 0], flow[..., 1]
+        sc, sr = cols + dx, rows + dy
 
         def samp(img):
-            # gather-free warp; per-level displacements are pyramid-bounded
-            return shift_warp_bilinear(img, dx, dy, radius=6)
+            # true gather warp: the carried flow is full-magnitude at every
+            # level (see variational.py note on shift-warp clamping)
+            return bilinear_sample(img, sc, sr)
 
         # average the two quadratics, second one at the displaced position
         a11 = 0.5 * (a11a + samp(a11b))

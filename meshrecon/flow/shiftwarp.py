@@ -17,8 +17,12 @@ solver bound per-level displacements.
 The double loop over window offsets runs as ``lax.fori_loop`` so trace and
 compile sizes stay O(1) in the radius.
 
-Used by the Horn-Schunck warp loop, the Farneback displaced-quadratic
-sampling, and the variance remap of `compare` (flow.cpp:34) on all backends.
+APPLICABILITY: only where displacements are BOUNDED BY CONSTRUCTION (the
+clamp silently corrupts larger flows — a 20 px translation came back as
+36 px when these warps backed the pyramid solver, whose per-level warp
+carries FULL-magnitude flow). Correct uses: residual warps inside a single
+solver level (round-2 banded VMEM kernel) and small-displacement contexts.
+The production flow solvers use true gather warps.
 """
 
 from __future__ import annotations

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from meshrecon.flow.pyramid import pyr_down, pyr_up
+from meshrecon.flow.remap import bilinear_warp
 
 
 def _hs_average(u):
@@ -50,11 +51,13 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters):
     Data term: Ix*(u - u0) + Iy*(v - v0) + It = 0 with It evaluated at the
     warp point — omitting the -u0 anchoring is the classic pyramidal-HS bug.
     """
-    from meshrecon.flow.shiftwarp import shift_warp_bilinear
-
-    # gather-free warp (exact for |flow| <= radius; TPU gathers are ~9
-    # cycles/element, shifts are fused VPU slices)
-    warped = shift_warp_bilinear(next_, u0, v0, radius=6)
+    # NOTE: this must be a true gather warp. The shift-decomposed warp
+    # (flow/shiftwarp.py) clamps displacements at its radius, which silently
+    # destroys flows beyond ~R pixels (measured: a 20 px translation
+    # estimated as 36 px) — the pyramid carries FULL-magnitude flow into
+    # every level's warp. Bounded-displacement warping returns in round 2
+    # inside the banded VMEM kernel where the residual form applies.
+    warped = bilinear_warp(next_, jnp.stack([u0, v0], axis=-1))
     ix, iy = _gradients(prev, warped)
     it = warped - prev
     denom = alpha2 + ix * ix + iy * iy

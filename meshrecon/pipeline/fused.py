@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from meshrecon.depth import triangulate_pixels, estimate_normals
 from meshrecon.flow.pyramid import compare
+from meshrecon.flow.remap import flow_remap
 from meshrecon.flow.variational import variational_flow
 from meshrecon.flow.farneback import farneback_flow
 from meshrecon.raster.rasterizer import render_depth
@@ -70,10 +71,7 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
                                   win=max((h + w) // 200, 2))
         else:
             flow = variational_flow(frame_main, mixed)
-        from meshrecon.flow.shiftwarp import shift_warp_bicubic
-
-        warped = shift_warp_bicubic(mixed, flow[..., 0], flow[..., 1], radius=8)
-        var = compare(frame_main, warped)
+        var = compare(frame_main, flow_remap(flow, mixed))
         flow4 = jnp.concatenate(
             [flow, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
         )

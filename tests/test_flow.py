@@ -158,3 +158,16 @@ def test_pallas_hs_level_matches_xla_interpret():
     i8 = (slice(8, -8), slice(8, -8))
     assert np.abs(np.asarray(u_p)[i8] - np.asarray(u_x)[i8]).max() < 2e-3
     assert np.abs(np.asarray(v_p)[i8] - np.asarray(v_x)[i8]).max() < 2e-3
+
+
+def test_flow_recovers_large_translation():
+    """Regression: the pyramid must recover displacements far beyond any
+    warp clamp radius (a shift-decomposed warp in the solver once broke
+    this: 20 px came back as 36 px)."""
+    img = smooth_image(240, 320, seed=4)
+    for d in (20, 40):
+        moved = shift_image(img, d, 0)
+        flow = np.asarray(variational_flow(img, moved))
+        interior = flow[40:-40, 60:-60]
+        err = np.abs(interior[..., 0] - d)
+        assert np.median(err) < 1.0, f"shift {d}: med err {np.median(err)}"
