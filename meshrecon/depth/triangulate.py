@@ -138,7 +138,10 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
     # unstack flow channels once (transpose to plane layout)
     flx = flows[..., 0]
     fly = flows[..., 1]
-    variance = jnp.maximum(flows[..., 2], 1e-12)
+    # variance floor: uint8 quantization noise alone has variance ~1/12;
+    # synthetic or perfectly-predicted frames can drive compare() to ~0,
+    # which explodes det(icov) = 1/(det(S) var^2) and with it the pdf
+    variance = jnp.maximum(flows[..., 2], 1e-2)
 
     if sampling == "exact":
         fcol = cols[None] + flx
@@ -283,7 +286,9 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
         + jnp.sum(jnp.log(det_ic), axis=0)
         + 0.5 * exponent
     )
-    pdf = jnp.exp(jnp.clip(log_pdf, -80.0, 80.0))
+    # clip keeps per-camera confidence ratios bounded so no camera's points
+    # drown the others in the Poisson splat (f32-safe too)
+    pdf = jnp.exp(jnp.clip(log_pdf, -30.0, 30.0))
 
     # output point: M^-1 @ (x, y, z*, 1) as planes, stacked once at the API
     # boundary

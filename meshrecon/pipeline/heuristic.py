@@ -121,7 +121,14 @@ class Heuristic:
             faces, alpha = alpha_shape_faces(points)
             self.alpha_vals.append(alpha)
             return Mesh(points, faces)
-        mesh = poisson_surface(points, normals, grid=self.config.poisson_grid,
+        from meshrecon.meshing.extras import normalize_normals_average
+
+        # normal magnitude is per-point confidence; normalize the global
+        # scale (unit AVERAGE length, like pcl.cpp:39-44) so accumulated
+        # batches from different camera bundles weight comparably and the
+        # f32 splat cannot overflow
+        mesh = poisson_surface(points, normalize_normals_average(normals),
+                               grid=self.config.poisson_grid,
                                sigma=getattr(self.config, 'poisson_sigma', 1.5))
         # drop spurious detached sheets (CGAL's seeded mesher never grows
         # them; our FFT indicator can — see meshing/components.py)
