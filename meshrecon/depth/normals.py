@@ -235,4 +235,9 @@ def estimate_normals(point4, valid, pdf, camera_centers, centers_valid,
         jnp.sqrt(nx * nx + ny * ny + nz * nz), 1e-12
     )
     scale = pdf_root * inv_len * vmask
-    return jnp.stack([nx * scale, ny * scale, nz * scale], axis=-1)
+    out = jnp.stack([nx * scale, ny * scale, nz * scale], axis=-1)
+    # a handful of pathological pixels (degenerate covariances at f32 edge
+    # cases) can emit non-finite normals; one NaN would poison every
+    # global reduction downstream (average-length normalization, the Poisson
+    # splat), so sanitize here
+    return jnp.where(jnp.isfinite(out), out, 0.0)

@@ -70,8 +70,12 @@ def estimated_normals(points: np.ndarray, knn: int = 20,
 
 
 def normalize_normals_average(normals: np.ndarray) -> np.ndarray:
-    """Scale so the AVERAGE normal length is 1 (magnitude = confidence)."""
+    """Scale so the AVERAGE normal length is 1 (magnitude = confidence).
+
+    Non-finite rows are zeroed first: a single NaN would otherwise poison
+    the average and with it every normal."""
     n = np.asarray(normals, np.float32)
+    n = np.where(np.isfinite(n), n, 0.0)
     lengths = np.linalg.norm(n, axis=1)
     avg = float(lengths.mean()) if len(lengths) else 0.0
     if avg <= 0:

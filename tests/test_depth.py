@@ -285,3 +285,21 @@ def test_analytic_eigvec_matches_eigh(rng):
     # same line up to sign
     dots = np.abs(np.einsum("ni,ni->n", v_fast, v_ref))
     assert np.percentile(dots, 5) > 0.999, f"p5 alignment {np.percentile(dots,5)}"
+
+
+def test_normals_always_finite(rng):
+    """Pathological inputs (degenerate covariances, extreme pdf) must never
+    emit non-finite normals — one NaN poisons global reductions downstream."""
+    h, w = 12, 16
+    pts = rng.normal(size=(h, w, 4)).astype(np.float32)
+    pts[..., 3] = 1.0
+    pts[2, 3] = [1e30, -1e30, 1e30, 1.0]   # absurd point
+    pts[4, 5] = [0, 0, 0, 1e-30]           # near-zero w
+    valid = np.ones((h, w), bool)
+    pdf = rng.uniform(0, 1e30, size=(h, w)).astype(np.float32)
+    centers = np.zeros((2, 3), np.float32)
+    out = np.asarray(
+        estimate_normals(pts, jnp.asarray(valid), pdf, centers,
+                         np.ones(2, bool), jnp.asarray(3))
+    )
+    assert np.isfinite(out).all()
