@@ -45,19 +45,8 @@ def _gradients(a, b):
     return ix, iy
 
 
-def _hs_level(prev, next_, u0, v0, alpha2, iters):
-    """One warp iteration: linearize around (u0, v0) and relax the total flow.
-
-    Data term: Ix*(u - u0) + Iy*(v - v0) + It = 0 with It evaluated at the
-    warp point — omitting the -u0 anchoring is the classic pyramidal-HS bug.
-    """
-    # NOTE: this must be a true gather warp. The shift-decomposed warp
-    # (flow/shiftwarp.py) clamps displacements at its radius, which silently
-    # destroys flows beyond ~R pixels (measured: a 20 px translation
-    # estimated as 36 px) — the pyramid carries FULL-magnitude flow into
-    # every level's warp. Bounded-displacement warping returns in round 2
-    # inside the banded VMEM kernel where the residual form applies.
-    warped = bilinear_warp(next_, jnp.stack([u0, v0], axis=-1))
+def _hs_sweeps(prev, warped, u0, v0, alpha2, iters):
+    """Jacobi relaxation given the warped image (linearized at (u0, v0))."""
     ix, iy = _gradients(prev, warped)
     it = warped - prev
     denom = alpha2 + ix * ix + iy * iy
@@ -69,8 +58,30 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters):
         num = (ix * (ub - u0) + iy * (vb - v0) + it) / denom
         return ub - ix * num, vb - iy * num
 
-    u, v = jax.lax.fori_loop(0, iters, body, (u0, v0))
-    return u, v
+    return jax.lax.fori_loop(0, iters, body, (u0, v0))
+
+
+def _hs_level(prev, next_, u0, v0, alpha2, iters):
+    """One warp iteration: linearize around (u0, v0) and relax the total flow.
+
+    Data term: Ix*(u - u0) + Iy*(v - v0) + It = 0 with It evaluated at the
+    warp point — omitting the -u0 anchoring is the classic pyramidal-HS bug.
+
+    The warp must be a TRUE gather: the total flow is unbounded (a clamped
+    shift-warp here once corrupted a 20 px translation into 36 px). Residual
+    re-warps between iterations at the same level may be shift-decomposed —
+    see _hs_level_residual.
+    """
+    warped = bilinear_warp(next_, jnp.stack([u0, v0], axis=-1))
+    u, v = _hs_sweeps(prev, warped, u0, v0, alpha2, iters)
+    return u, v, warped
+
+
+# NOTE (round 2): a residual re-warp against the already-warped image
+# (shift-decomposed, bounded) was attempted to avoid the second gather per
+# level; it degraded flow quality in tests — per-level residuals after a full
+# relaxation pass are not reliably small. Revisit inside the banded VMEM
+# kernel where per-SWEEP residuals are bounded.
 
 
 @functools.partial(
@@ -112,5 +123,5 @@ def variational_flow(
             u = pyr_up(u, a.shape) * 2.0
             v = pyr_up(v, a.shape) * 2.0
         for _ in range(warps):
-            u, v = _hs_level(a, b, u, v, alpha2, iters)
+            u, v, _ = _hs_level(a, b, u, v, alpha2, iters)
     return jnp.stack([u, v], axis=-1)

@@ -153,8 +153,8 @@ def test_pallas_hs_level_matches_xla_interpret():
     u0 = rng.normal(scale=0.5, size=(h, w)).astype(np.float32)
     v0 = rng.normal(scale=0.5, size=(h, w)).astype(np.float32)
     u_p, v_p = hs_level_pallas(a, b, u0, v0, 144.0, iters=30, interpret=True)
-    u_x, v_x = _hs_level(a, b, jnp.asarray(u0), jnp.asarray(v0),
-                         jnp.float32(144.0), 30)
+    u_x, v_x, _ = _hs_level(a, b, jnp.asarray(u0), jnp.asarray(v0),
+                            jnp.float32(144.0), 30)
     i8 = (slice(8, -8), slice(8, -8))
     assert np.abs(np.asarray(u_p)[i8] - np.asarray(u_x)[i8]).max() < 2e-3
     assert np.abs(np.asarray(v_p)[i8] - np.asarray(v_x)[i8]).max() < 2e-3
