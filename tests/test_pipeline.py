@@ -392,3 +392,21 @@ def test_geometric_far_enables_distant_cameras():
     count = hint.choose_cameras(mesh, track.cameras, r)
     assert count >= 1
     assert len(hint.camera_bundles()) >= 1
+
+
+def test_initial_mesh_flag(koule_small, tmp_path):
+    """-m/--initial-mesh: iteration 1 uses the given OBJ instead of the
+    alpha shape (configuration.cpp:62-64, heuristic.cpp:528-534)."""
+    from meshrecon.io.obj import save_mesh, Mesh as M
+    from meshrecon.meshing import alpha_shape_faces
+
+    track, frames = koule_small
+    faces, _ = alpha_shape_faces(track.bundles)
+    path = str(tmp_path / "init.obj")
+    save_mesh(M(track.bundles, faces), path)
+    cfg = Config(track=track, frames=frames, in_mesh_file=path, seed=1)
+    hint = Heuristic(cfg)
+    hint.not_happy(track.bundles)
+    mesh = hint.tessellate(track.bundles, np.zeros((len(track.bundles), 3)))
+    assert len(mesh.faces) == len(faces)
+    assert hint.alpha_vals[-1] == 1.0  # heuristic.cpp:531
