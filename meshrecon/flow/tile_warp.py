@@ -1,0 +1,297 @@
+"""Tile-base-offset warp: gather-free bilinear resampling for smooth fields.
+
+TPU gathers cost ~9 cycles/element, so a 4-tap bilinear warp of a 640x480
+image costs ~12 ms — it dominated the round-1 flow solver (the reference's
+per-pixel remap loops, flow.cpp:19-42 / util.cpp:390-403, are free on a CPU
+but are the anti-pattern on TPU). This kernel exploits the smoothness of the
+sample-coordinate field instead:
+
+  1. XLA computes, per output tile (TH x TW), an integer base offset
+     (by, bx) = floor(min over the tile of (srow - row, scol - col)) — the
+     minimal displacement of the tile's samples.
+  2. The kernel DMAs the shifted source window
+     src[by+row0 : by+row0+WH, bx+col0 : bx+col0+WW] into VMEM and
+     accumulates the bilinear taps as a STATIC double loop over residual
+     offsets: out[i,j] = sum_d hat(ry-dy) hat(rx-dx) win[dy+i, dx+j],
+     where (ry, rx) = (srow - by - row, scol - bx - col) is the bounded
+     residual. Every term is a static VMEM slice + FMA on the VPU — no
+     data-dependent addressing (Mosaic forbids it anyway).
+
+The result matches fragment.bilinear_sample to f32 rounding (~1e-3 on a
+0..255 image; the window-relative coordinate arithmetic reassociates the
+interpolation weights), including its border clamp, wherever the
+within-tile spread of the displacement field fits the residual budget
+(R_ROW/R_COL); residuals beyond the budget clamp to the window edge, i.e.
+the sample degrades to the nearest representable coordinate. Callers warp
+with fields that are smooth BY CONSTRUCTION (flow after Jacobi relaxation
+with alpha=12; projective reprojection coordinates away from depth edges),
+so overflow is confined to motion/depth discontinuities where the flow
+variance channel already downweights the data.
+
+This is NOT the round-1 clamped shift-warp (reverted in commit 9f52b63):
+that clamped the TOTAL flow to a global radius, corrupting any large
+translation; here the per-tile base absorbs arbitrarily large smooth
+displacement and only the within-tile VARIATION is bounded.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Output tile and residual budget. TH=8 keeps the per-tile spread small and
+# matches the f32 sublane tile; TW=128 is the lane width. R_ROW/R_COL bound
+# the within-tile coordinate spread (see module docstring).
+TH, TW = 8, 128
+R_ROW, R_COL = 14, 14
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _hat_weight(t):
+    """Bilinear hat kernel."""
+    return jnp.maximum(1.0 - jnp.abs(t), 0.0)
+
+
+def _cubic_weight(t, a=-0.75):
+    """Keys bicubic kernel (OpenCV's a = -0.75); support |t| < 2."""
+    at = jnp.abs(t)
+    at2 = at * at
+    at3 = at2 * at
+    w1 = (a + 2.0) * at3 - (a + 3.0) * at2 + 1.0
+    w2 = a * at3 - 5.0 * a * at2 + 8.0 * a * at - 4.0 * a
+    return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
+
+
+def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref, remy_ref, remx_ref,
+                      py_ref, px_ref, src_ref, out_ref, win, sem):
+    """One output tile: DMA an ALIGNED window, realign with dynamic rolls,
+    accumulate static interpolation taps (bilinear taps=2, bicubic taps=4).
+
+    HBM DMA slice starts must be (8, 128)-aligned (Mosaic tiling), so the
+    XLA wrapper aligns the window base down and passes the remainders; the
+    kernel undoes them with two tpu.dynamic_rotate ops — far cheaper than
+    widening the static tap enumeration by the alignment slack.
+    """
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    wh2 = wh + 8  # aligned window incl. alignment slack
+    ww2 = _round_up(ww, 128) + 128  # lane dynamic_rotate needs 128-aligned
+
+    by = pl.multiple_of(by_ref[ti, tj], 8)
+    bx = pl.multiple_of(bx_ref[ti, tj], 128)
+    dma = pltpu.make_async_copy(
+        src_ref.at[pl.ds(by, wh2), pl.ds(bx, ww2)], win, sem,
+    )
+    dma.start()
+
+    # residuals (computed while the DMA is in flight); cap so every tap
+    # (floor(r) - taps/2 + 1 .. floor(r) + taps/2) stays inside the window
+    # for every output row/col
+    half = taps // 2 - 1
+    i_loc = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(
+        jnp.float32)
+    j_loc = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(
+        jnp.float32)
+    weight = _hat_weight if taps == 2 else _cubic_weight
+    ry = jnp.clip(py_ref[:] - i_loc, half, wh - TH - half - 1e-3)
+    rx = jnp.clip(px_ref[:] - j_loc, half, ww - TW - half - 1e-3)
+
+    dma.wait()
+    w = win[:]
+    # out[p] = in[p + rem]: roll by (-rem) mod n (same convention the
+    # validated round-1 warp kernel used)
+    rem_y = remy_ref[ti, tj]
+    rem_x = remx_ref[ti, tj]
+    w = pltpu.roll(w, jnp.mod(wh2 - rem_y, wh2), axis=0)
+    w = pltpu.roll(w, jnp.mod(ww2 - rem_x, ww2), axis=1)
+
+    # Loop structure matters: the lane-axis slice (dx) costs a cross-vreg
+    # shift of the whole window, so hoist it to the OUTER loop (done once
+    # per dx); the inner dy step is a cheap sublane slice + FMA. The naive
+    # dy-outer/dx-inner order re-sliced lanes 289 times and ran 29 ms — this
+    # order is the difference between losing and beating the gather.
+    wys = [weight(ry - dy) for dy in range(wh - TH + 1)]
+    acc = jnp.zeros((TH, TW), jnp.float32)
+    for dx in range(ww - TW + 1):
+        wx = weight(rx - dx)
+        wcol = w[:, dx:dx + TW]
+        for dy in range(wh - TH + 1):
+            acc = acc + (wys[dy] * wx) * wcol[dy:dy + TH]
+    out_ref[:] = acc
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_row", "r_col", "taps", "interpret")
+)
+def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
+                     r_col: int = R_COL, taps: int = 2,
+                     interpret: bool = False):
+    """Resample ``src`` at continuous (scol, srow) per output pixel.
+
+    src: (H, W) float32 source image; scol, srow: (Ho, Wo) float32 sample
+    coordinates in source pixel units. Returns (Ho, Wo) float32. taps=2 is
+    bilinear (matches ``fragment.bilinear_sample`` incl. border clamp to f32
+    rounding); taps=4 is Keys bicubic a=-0.75 (matches
+    ``remap.bicubic_sample``). Valid wherever the within-tile spread of
+    (srow - row, scol - col) is <= (r_row, r_col); larger residuals clamp
+    toward the window edge.
+
+    valid (optional, (Ho, Wo) bool): pixels whose coordinates are
+    meaningful. Invalid pixels (e.g. background fragments projected to
+    arbitrary positions) are EXCLUDED from the per-tile base estimation so
+    they cannot blow a tile's residual budget; their own samples are
+    undefined (callers mask them downstream).
+    """
+    src = jnp.asarray(src, jnp.float32)
+    h, w = src.shape
+    ho, wo = scol.shape
+
+    # Border handling: do NOT clamp coordinates at the image edge — a hard
+    # clamp flattens the coordinate field where it overhangs the border,
+    # creating an artificial within-tile spread as large as the overhang
+    # (which blew the residual budget of border tiles). Instead let
+    # coordinates run into the edge-replicated source padding below, where
+    # every tap reads the border value — the same result bilinear_sample's
+    # clamp produces, but with the displacement field left smooth. Only
+    # clamp at the pad limits.
+    scol = jnp.asarray(scol, jnp.float32)
+    srow = jnp.asarray(srow, jnp.float32)
+
+    hp = _round_up(ho, TH)
+    wp = _round_up(wo, TW)
+    # Pad the DISPLACEMENT fields (srow - row, scol - col) with edge mode —
+    # padding the raw coordinates would put a steep artificial gradient in
+    # the pad region (constant coord, increasing pixel index) and blow the
+    # per-tile residual budget of every edge tile.
+    rows_o = jnp.arange(ho, dtype=jnp.float32)[:, None]
+    cols_o = jnp.arange(wo, dtype=jnp.float32)[None, :]
+    pad2 = ((0, hp - ho), (0, wp - wo))
+    gy_p = jnp.pad(srow - rows_o, pad2, mode="edge")
+    gx_p = jnp.pad(scol - cols_o, pad2, mode="edge")
+    srow_p = gy_p + jnp.arange(hp, dtype=jnp.float32)[:, None]
+    scol_p = gx_p + jnp.arange(wp, dtype=jnp.float32)[None, :]
+
+    wh = _round_up(TH + r_row + taps, 8)
+    ww = TW + r_col + taps
+    # Edge-pad the source on ALL sides so no window start ever needs
+    # clamping: left/top pads cover windows reaching before the first
+    # sample (out[j] can only read win[>= j], so a tile whose samples sit
+    # left of its own column indices needs the window to start at negative
+    # source columns); right/bottom pads cover windows past the last one.
+    # Edge replication preserves the border-clamp sampling semantics.
+    wh2 = wh + 8  # aligned DMA window size
+    ww2 = _round_up(ww, 128) + 128
+    padt, padl = TH - 1 + wh, TW - 1 + ww
+    padb, padr = wh2, ww2
+    src_p = jnp.pad(src, ((padt, padb), (padl, padr)), mode="edge")
+    hs, ws = src_p.shape
+    # pad-limit clamp (the only clamp; see border note above): both taps of
+    # any in-range coordinate stay inside the replicated padding
+    srow_p = jnp.clip(srow_p + padt, 1.0, hs - 2.0)
+    scol_p = jnp.clip(scol_p + padl, 1.0, ws - 2.0)
+
+    nty, ntx = hp // TH, wp // TW
+    rows = jnp.arange(hp, dtype=jnp.float32)[:, None]
+    cols = jnp.arange(wp, dtype=jnp.float32)[None, :]
+    gy = srow_p - rows  # displacement fields
+    gx = scol_p - cols
+    # per-tile minimal displacement -> integer window base
+    gy_t = gy.reshape(nty, TH, ntx, TW)
+    gx_t = gx.reshape(nty, TH, ntx, TW)
+    half = taps // 2 - 1  # bicubic: shift base so the -1 tap stays inside
+    if valid is not None:
+        big = jnp.float32(3e8)
+        vmask = jnp.pad(jnp.asarray(valid, bool), pad2)
+        v_t = vmask.reshape(nty, TH, ntx, TW)
+        gy_min = jnp.where(v_t, gy_t, big).min(axis=(1, 3))
+        gx_min = jnp.where(v_t, gx_t, big).min(axis=(1, 3))
+        # all-invalid tiles: any in-bounds base works, samples are masked
+        gy_min = jnp.where(gy_min > big * 0.5, 0.0, gy_min)
+        gx_min = jnp.where(gx_min > big * 0.5, 0.0, gx_min)
+    else:
+        gy_min = gy_t.min(axis=(1, 3))
+        gx_min = gx_t.min(axis=(1, 3))
+    by = jnp.floor(gy_min).astype(jnp.int32) - half
+    bx = jnp.floor(gx_min).astype(jnp.int32) - half
+    # absolute window start = tile origin + base, clamped into the source
+    ty0 = (jnp.arange(nty, dtype=jnp.int32) * TH)[:, None]
+    tx0 = (jnp.arange(ntx, dtype=jnp.int32) * TW)[None, :]
+    by = jnp.clip(by + ty0, 0, hs - wh2)
+    bx = jnp.clip(bx + tx0, 0, ws - ww2)
+    # align the DMA starts down to the (8, 128) tiling; the kernel rolls the
+    # remainders back out
+    by_al = (by // 8) * 8
+    bx_al = (bx // 128) * 128
+    rem_y = by - by_al
+    rem_x = bx - bx_al
+    # window-relative sample coordinates (broadcast per-tile bases back out)
+    byf = jnp.broadcast_to(by.astype(jnp.float32)[:, None, :, None],
+                           (nty, TH, ntx, TW)).reshape(hp, wp)
+    bxf = jnp.broadcast_to(bx.astype(jnp.float32)[:, None, :, None],
+                           (nty, TH, ntx, TW)).reshape(hp, wp)
+    py = srow_p - byf
+    px = scol_p - bxf
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(nty, ntx),
+        in_specs=[
+            pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((wh + 8, _round_up(ww, 128) + 128), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_warp_tile_kernel, wh, ww, taps),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+        interpret=interpret,
+    )(by_al, bx_al, rem_y, rem_x, py, px, src_p)
+    return out[:ho, :wo]
+
+
+def tile_warp_bilinear(src, scol, srow, r_row: int = R_ROW,
+                       r_col: int = R_COL, interpret: bool = False):
+    """Bilinear tile-warp (see tile_warp_sample)."""
+    return tile_warp_sample(src, scol, srow, r_row=r_row, r_col=r_col,
+                            taps=2, interpret=interpret)
+
+
+def tile_warp_bicubic(src, scol, srow, r_row: int = R_ROW,
+                      r_col: int = R_COL, interpret: bool = False):
+    """Keys bicubic (a=-0.75) tile-warp, the OpenCV CV_INTER_CUBIC kernel
+    (reference remap use: util.cpp:390-403)."""
+    return tile_warp_sample(src, scol, srow, r_row=r_row, r_col=r_col,
+                            taps=4, interpret=interpret)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_row", "r_col", "taps", "interpret")
+)
+def tile_warp_flow(image, flow, r_row: int = R_ROW, r_col: int = R_COL,
+                   taps: int = 2, interpret: bool = False):
+    """Warp ``image`` by a dense flow field (same contract as
+    remap.bilinear_warp / remap.flow_remap): out(r, c) is the image sampled
+    at (c + fx, r + fy)."""
+    h, w = image.shape
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    return tile_warp_sample(
+        image, cols + flow[..., 0], rows + flow[..., 1],
+        r_row=r_row, r_col=r_col, taps=taps, interpret=interpret,
+    )

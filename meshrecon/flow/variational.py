@@ -28,6 +28,24 @@ from meshrecon.flow.pyramid import pyr_down, pyr_up
 from meshrecon.flow.remap import bilinear_warp
 
 
+def _tpu_backend() -> bool:
+    """True when the default backend is a real TPU (incl. the axon tunnel).
+
+    Decided at trace time: the Pallas kernels compile only for Mosaic, so CPU
+    runs (the test suite's virtual mesh) take the pure-XLA path.
+    """
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
+
+
+# Pallas production kernels (tile-base-offset warp + banded VMEM Jacobi).
+# Minimum level size for the kernel path: below this the (8, 128) tile
+# padding dominates and plain XLA is faster.
+_PALLAS_MIN_DIM = 64
+
+
 def _hs_average(u):
     """Horn-Schunck neighborhood average: 4-neighbors 1/6, diagonals 1/12."""
     p = jnp.pad(u, 1, mode="edge")
@@ -61,17 +79,28 @@ def _hs_sweeps(prev, warped, u0, v0, alpha2, iters):
     return jax.lax.fori_loop(0, iters, body, (u0, v0))
 
 
-def _hs_level(prev, next_, u0, v0, alpha2, iters):
+def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla"):
     """One warp iteration: linearize around (u0, v0) and relax the total flow.
 
     Data term: Ix*(u - u0) + Iy*(v - v0) + It = 0 with It evaluated at the
     warp point — omitting the -u0 anchoring is the classic pyramidal-HS bug.
 
-    The warp must be a TRUE gather: the total flow is unbounded (a clamped
-    shift-warp here once corrupted a 20 px translation into 36 px). Residual
-    re-warps between iterations at the same level may be shift-decomposed —
-    see _hs_level_residual.
+    The warp handles UNBOUNDED total flow (a clamped shift-warp here once
+    corrupted a 20 px translation into 36 px): either a true gather (XLA
+    engine) or the tile-base-offset kernel whose per-tile base absorbs any
+    smooth displacement (flow/tile_warp.py). engine == "pallas" additionally
+    runs the relaxation in the banded VMEM kernel (flow/pallas_jacobi.py).
     """
+    if engine == "pallas" and min(prev.shape) >= _PALLAS_MIN_DIM:
+        from meshrecon.flow.tile_warp import tile_warp_flow
+        from meshrecon.flow.pallas_jacobi import hs_jacobi
+
+        warped = tile_warp_flow(next_, jnp.stack([u0, v0], axis=-1))
+        ix, iy = _gradients(prev, warped)
+        it = warped - prev
+        c = it - ix * u0 - iy * v0
+        u, v = hs_jacobi(ix, iy, c, u0, v0, float(alpha2), iters=iters)
+        return u, v, warped
     warped = bilinear_warp(next_, jnp.stack([u0, v0], axis=-1))
     u, v = _hs_sweeps(prev, warped, u0, v0, alpha2, iters)
     return u, v, warped
@@ -85,7 +114,9 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("levels", "iters", "warps", "min_size")
+    jax.jit,
+    static_argnames=("levels", "iters", "warps", "alpha", "min_size",
+                     "engine"),
 )
 def variational_flow(
     prev,
@@ -95,16 +126,21 @@ def variational_flow(
     warps: int = 2,
     alpha: float = 12.0,
     min_size: int = 12,
+    engine: str = "auto",
 ):
     """Dense flow prev -> next: next(x + flow(x)) ~= prev(x).
 
     prev, next_: (H, W) grayscale float (0..255 scale). Returns (H, W, 2)
     float32 (fx, fy) in pixels, the same convention as the reference's
     cv::DenseOpticalFlow::calc output (flow.cpp:31-32).
+
+    engine: "auto" (Pallas kernels on TPU, XLA elsewhere), "pallas", "xla".
     """
+    if engine == "auto":
+        engine = "pallas" if _tpu_backend() else "xla"
     prev = jnp.asarray(prev, jnp.float32)
     next_ = jnp.asarray(next_, jnp.float32)
-    alpha2 = jnp.float32(alpha * alpha)
+    alpha2 = float(alpha * alpha)
 
     pyr_a = [prev]
     pyr_b = [next_]

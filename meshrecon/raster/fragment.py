@@ -23,10 +23,19 @@ Conventions replicated from shader.frag:
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from meshrecon import BACKGROUND_DEPTH
+
+
+def _tpu_backend() -> bool:
+    try:
+        return jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        return False
 
 
 def dilate3x3_max(depth):
@@ -71,14 +80,23 @@ def nearest_sample(image, col, row):
     return image[r, c]
 
 
-@jax.jit
-def projected_image(camera, depth_main, frame, projector, depth_side):
+@functools.partial(jax.jit, static_argnames=("engine",))
+def projected_image(camera, depth_main, frame, projector, depth_side,
+                    engine: str = "auto"):
     """Reproject `frame` (seen by `projector`) into `camera`'s view.
 
     camera, projector: (4, 4); depth_main, depth_side: (H, W) NDC depth;
     frame: (H, W) grayscale (any float/int scale, passed through).
     Returns (intensity (H, W) float32, mask (H, W) bool). mask False where the
     fragment is shadowed, outside the projector frustum, or background.
+
+    engine "pallas" (default on TPU) replaces the five per-pixel gathers
+    (1 nearest shadow + 4 bilinear frame taps; ~13 ms real at 640x480) with
+    the tile-base-offset warp kernel (flow/tile_warp.py). The reprojection
+    coordinate field is smooth except across depth discontinuities, where
+    the clamped samples land on fragments that the shadow test masks anyway;
+    background pixels are excluded from the tile base fit via the kernel's
+    valid mask.
     """
     h, w = depth_main.shape
     depth_main = jnp.asarray(depth_main, jnp.float32)
@@ -111,11 +129,21 @@ def projected_image(camera, depth_main, frame, projector, depth_side):
     # shadow sampler
     scol = (sx + 1.0) * 0.5 * w
     srow = (1.0 - sy) * 0.5 * h
-    shadow_z = nearest_sample(shadow, scol, srow)
-    visible = shadow_z + 0.01 > sz
     inframe = (sx > -1.0) & (sx < 1.0) & (sy > -1.0) & (sy < 1.0) & ~behind
 
-    intensity = bilinear_sample(frame, scol, srow)
+    if engine == "auto":
+        engine = "pallas" if _tpu_backend() else "xla"
+    if engine == "pallas":
+        from meshrecon.flow.tile_warp import tile_warp_sample
+
+        coord_ok = valid & inframe
+        shadow_z = tile_warp_sample(shadow, jnp.round(scol), jnp.round(srow),
+                                    valid=coord_ok)
+        intensity = tile_warp_sample(frame, scol, srow, valid=coord_ok)
+    else:
+        shadow_z = nearest_sample(shadow, scol, srow)
+        intensity = bilinear_sample(frame, scol, srow)
+    visible = shadow_z + 0.01 > sz
     mask = valid & visible & inframe
     return jnp.where(mask, intensity, 0.0), mask
 

@@ -1,0 +1,59 @@
+"""Banded VMEM Jacobi solver vs the XLA reference sweeps."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+import meshrecon.flow.pallas_jacobi as pj
+from meshrecon.flow.pallas_jacobi import hs_jacobi
+from meshrecon.flow.variational import _hs_sweeps
+
+
+def _problem(rng, h, w):
+    prev = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
+    warped = (prev + rng.normal(scale=4.0, size=(h, w))).astype(np.float32)
+    u0 = rng.normal(scale=1.5, size=(h, w)).astype(np.float32)
+    v0 = rng.normal(scale=1.5, size=(h, w)).astype(np.float32)
+    return prev, warped, u0, v0
+
+
+def _fields(prev, warped, u0, v0):
+    m = 0.5 * (prev + warped)
+    p = jnp.pad(m, 1, mode="edge")
+    ix = (p[1:-1, 2:] - p[1:-1, :-2]) * 0.5
+    iy = (p[2:, 1:-1] - p[:-2, 1:-1]) * 0.5
+    it = warped - prev
+    c = it - ix * u0 - iy * v0
+    return ix, iy, c
+
+
+@pytest.mark.parametrize("h,w,iters", [(64, 128, 20), (40, 100, 13)])
+def test_matches_xla_single_band(rng, h, w, iters):
+    prev, warped, u0, v0 = _problem(rng, h, w)
+    ix, iy, c = _fields(prev, warped, u0, v0)
+    alpha2 = 144.0
+    u_ref, v_ref = _hs_sweeps(prev, warped, u0, v0, jnp.float32(alpha2),
+                              iters)
+    u, v = hs_jacobi(ix, iy, c, u0, v0, alpha2, iters=iters, interpret=True)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=0, atol=1e-3)
+
+
+def test_matches_xla_multi_band(rng, monkeypatch):
+    """Force banding (tiny VMEM budget) — the halo chunking must be exact."""
+    h, w, iters = 96, 128, 25
+    monkeypatch.setattr(pj, "_VMEM_FIELD_BUDGET", 5 * w * 4 * 40)
+    prev, warped, u0, v0 = _problem(rng, h, w)
+    ix, iy, c = _fields(prev, warped, u0, v0)
+    alpha2 = 144.0
+    u_ref, v_ref = _hs_sweeps(prev, warped, u0, v0, jnp.float32(alpha2),
+                              iters)
+    u, v = hs_jacobi(ix, iy, c, u0, v0, alpha2, iters=iters, halo=8,
+                     interpret=True)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                               rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=0, atol=1e-3)

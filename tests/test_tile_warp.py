@@ -1,0 +1,127 @@
+"""Tile-base-offset warp kernel: exactness vs the gather-based sampler.
+
+The kernel must reproduce fragment.bilinear_sample bit-for-bit wherever the
+within-tile spread of the displacement field fits the residual budget —
+including arbitrarily LARGE smooth displacements (the round-1 clamped
+shift-warp failed exactly this, corrupting a 20 px translation; see
+flow/tile_warp.py docstring).
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from meshrecon.flow.tile_warp import tile_warp_bilinear, tile_warp_flow
+from meshrecon.raster.fragment import bilinear_sample
+
+
+def _ref(img, scol, srow):
+    return np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(scol),
+                                      jnp.asarray(srow)))
+
+
+def _grid(h, w):
+    c, r = np.meshgrid(np.arange(w, dtype=np.float32),
+                       np.arange(h, dtype=np.float32))
+    return c, r
+
+
+@pytest.fixture
+def img(rng):
+    return rng.uniform(0, 255, size=(96, 160)).astype(np.float32)
+
+
+def test_identity(img):
+    c, r = _grid(*img.shape)
+    out = tile_warp_bilinear(img, c, r, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), img)
+
+
+def test_large_constant_translation(img):
+    """A 37.3 px shift must be EXACT — the per-tile base absorbs it."""
+    c, r = _grid(*img.shape)
+    scol = c + 37.3
+    srow = r - 21.7
+    out = tile_warp_bilinear(img, scol, srow, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref(img, scol, srow),
+                               rtol=0, atol=1e-2)
+
+
+def test_smooth_varying_field(img):
+    """Smooth sinusoidal displacement (spread < budget) is exact."""
+    h, w = img.shape
+    c, r = _grid(h, w)
+    scol = c + 15.0 * np.sin(r / 40.0) + 3.0 * np.sin(c / 50.0)
+    srow = r + 3.5 * np.cos(c / 45.0)
+    out = tile_warp_bilinear(img, scol, srow, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref(img, scol, srow),
+                               rtol=0, atol=1e-2)
+
+
+def test_border_clamp_semantics(img):
+    """Coordinates outside the image clamp to the border like the gather."""
+    h, w = img.shape
+    c, r = _grid(h, w)
+    scol = c * 1.1 - 20.0  # runs past both borders (spread 0.1/px)
+    srow = r * 1.1 - 15.0
+    out = tile_warp_bilinear(img, scol, srow, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref(img, scol, srow),
+                               rtol=0, atol=1e-2)
+
+
+def test_flow_wrapper_matches_bilinear_warp(img, rng):
+    from meshrecon.flow.remap import bilinear_warp
+
+    h, w = img.shape
+    # smooth flow: coarse noise upsampled
+    coarse = rng.normal(scale=1.5, size=(h // 16, w // 16, 2)).astype(
+        np.float32)
+    flow = np.stack(
+        [np.kron(coarse[..., i], np.ones((16, 16), np.float32))
+         for i in range(2)], axis=-1)
+    out = tile_warp_flow(img, jnp.asarray(flow), interpret=True)
+    ref = np.asarray(bilinear_warp(jnp.asarray(img), jnp.asarray(flow)))
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-2)
+
+
+def test_overflow_degrades_gracefully(img):
+    """Residual overflow (spread >> budget) clamps instead of exploding."""
+    h, w = img.shape
+    c, r = _grid(h, w)
+    # 60 px swing inside single tiles: way past the budget
+    scol = c + 60.0 * np.sign(np.sin(c)).astype(np.float32)
+    srow = r
+    out = np.asarray(tile_warp_bilinear(img, scol, srow, interpret=True))
+    assert np.isfinite(out).all()
+    assert out.min() >= img.min() - 1e-3 and out.max() <= img.max() + 1e-3
+
+
+def test_nonaligned_shapes(rng):
+    """Output sizes not multiples of (8, 128) pad and crop correctly."""
+    img = rng.uniform(0, 255, size=(45, 77)).astype(np.float32)
+    c, r = _grid(45, 77)
+    scol = c + 2.3
+    srow = r + 1.1
+    out = tile_warp_bilinear(img, scol, srow, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), _ref(img, scol, srow),
+                               rtol=0, atol=1e-2)
+
+
+def test_bicubic_matches_gather(img):
+    """taps=4 must match remap.bicubic_sample (OpenCV CV_INTER_CUBIC)."""
+    from meshrecon.flow.tile_warp import tile_warp_bicubic
+    from meshrecon.flow.remap import bicubic_sample
+
+    h, w = img.shape
+    c, r = _grid(h, w)
+    scol = c + 11.3 + 2.0 * np.sin(r / 37.0)
+    srow = r - 6.7 + 1.5 * np.cos(c / 53.0)
+    out = tile_warp_bicubic(img, scol, srow, interpret=True)
+    ref = np.asarray(bicubic_sample(jnp.asarray(img), jnp.asarray(scol),
+                                    jnp.asarray(srow)))
+    # interior must match tightly; the border rows differ by design (the
+    # gather clamps each tap index, we sample the replicated pad — identical
+    # for constant extrapolation, which bicubic weights preserve)
+    np.testing.assert_allclose(np.asarray(out)[2:-2, 2:-2], ref[2:-2, 2:-2],
+                               rtol=0, atol=1e-2)
