@@ -10,6 +10,8 @@ programs serves every bundle shape across iterations.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 import jax.numpy as jnp
 
@@ -30,6 +32,33 @@ def _bucket(k: int) -> int:
     while b < k:
         b *= 2
     return b
+
+
+# main cameras vmapped per dispatch on a single chip (compile-shape stable;
+# amortizes the fixed per-dispatch tunnel latency and the flow solver's
+# kernel-launch sequencing across the batch)
+_SINGLE_CHIP_BATCH = 4
+
+
+@functools.lru_cache(maxsize=None)
+def _vmapped_step(h, w, use_farneback, sampling):
+    """Single-chip batched dense update, cached so repeated pipeline
+    iterations reuse one compiled program per shape."""
+    import jax
+
+    from meshrecon.pipeline.fused import fused_main_update
+
+    @jax.jit
+    def step(soup, soup_valid, mains, fms, scs, sfs, svs, ctrs, cvs, ks):
+        return jax.vmap(
+            lambda mc, f0, sc, sf, sv_, c_, cv_, k_: fused_main_update(
+                soup, soup_valid, mc, f0, sc, sf, sv_, c_, cv_, k_,
+                height=h, width=w, use_farneback=use_farneback,
+                sampling=sampling,
+            )
+        )(mains, fms, scs, sfs, svs, ctrs, cvs, ks)
+
+    return step
 
 
 def process_main_camera(config, renderer, fa: int, sides: list[int],
@@ -174,22 +203,33 @@ def _process_main_fused(config, renderer, fa, sides, timer):
     return pts.astype(np.float32), nrm.astype(np.float32), int(valid.sum())
 
 
-def _process_bundles_sharded(config, renderer, bundles, timer):
-    """Process all camera bundles in device-count-sized batches over a
-    (camera,) jax.sharding mesh — the multi-chip path (--mesh-devices).
+def _process_bundles_batched(config, renderer, bundles, timer):
+    """Process camera bundles in BATCHES per dispatch.
+
+    Multi-chip (--mesh-devices > 1): batches of device-count size over a
+    (camera,) jax.sharding mesh. Single chip: vmapped batches of
+    ``_SINGLE_CHIP_BATCH`` — the reference's main cameras are independent
+    (recon.cpp:65-119) and the axon tunnel costs ~30 ms per dispatch, so
+    one-camera dispatches leave wall time on the table.
 
     Bundles are padded to a common K bucket and batches padded by repeating
     the last bundle (fake entries' outputs are dropped).
     """
     import jax
 
-    from meshrecon.sharding import make_device_mesh, sharded_fused_update
-
-    n_dev = config.mesh_devices
-    mesh = make_device_mesh(n_dev, 1, devices=jax.devices()[:n_dev])
     h, w = config.height, config.width
-    step = sharded_fused_update(mesh, height=h, width=w,
-                                use_farneback=config.use_farneback)
+    if config.mesh_devices > 1:
+        from meshrecon.sharding import make_device_mesh, sharded_fused_update
+
+        n_dev = config.mesh_devices
+        mesh = make_device_mesh(n_dev, 1, devices=jax.devices()[:n_dev])
+        step = sharded_fused_update(mesh, height=h, width=w,
+                                    use_farneback=config.use_farneback)
+    else:
+        n_dev = _SINGLE_CHIP_BATCH
+        step = _vmapped_step(h, w, config.use_farneback,
+                             getattr(config, "sampling", "taylor"))
+
     npix = h * w
 
     kb = _bucket(max(len(s) for _, s in bundles))
@@ -359,9 +399,9 @@ def reconstruct(config) -> Mesh:
         new_pts = [points]
         new_nrm = [normals]
         bundles = hint.camera_bundles()
-        if config.mesh_devices > 1 and config.depth_mode == "flow" \
-                and config.verbosity < 3:
-            results = _process_bundles_sharded(config, renderer, bundles,
+        if config.depth_mode == "flow" and config.verbosity < 3 \
+                and len(bundles) > 1:
+            results = _process_bundles_batched(config, renderer, bundles,
                                                timer)
             for (fa, _), (pts, nrm, n) in zip(bundles, results):
                 new_pts.append(pts)

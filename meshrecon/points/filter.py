@@ -205,22 +205,42 @@ def filter_points(points4: np.ndarray, normals: np.ndarray, radius_sq: float):
         return points4, normals, np.zeros(0, np.int64)
     p3 = points4[:, :3] / points4[:, 3:4]
 
-    # large clouds: kd-tree graph build (pruned kNN; a pure grid scan
-    # degenerates on dense surface clouds) + one native C++ call for the
-    # density iteration and greedy suppression
-    if n > 20_000:
+    # Beyond a few thousand points, ONE native call does everything — C++
+    # grid-hash capped neighbor search, density iteration, greedy
+    # suppression. The previous split (scipy cKDTree graph on the 1-core
+    # host + native iteration) spent ~512 s of the koberec- e2e in the
+    # kd-tree queries alone, and the device while_loop path costs ~29 s for
+    # 17k points through the axon tunnel (measured; tiny sequential kernels).
+    if n > 5_000:
+        if n > 500_000:
+            cap = 16
+        elif n > 100_000:
+            cap = 32
+        else:
+            cap = MAX_NEIGHBORS
         kept = None
         try:
-            from meshrecon.meshing.native import density_greedy_native
+            from meshrecon.meshing.native import filter_points_full_native
 
-            ei, ej, w = build_half_edges(p3, radius_sq)
-            srt = np.argsort(ei, kind="stable")
-            out = density_greedy_native(ei[srt], ej[srt], w[srt], n,
-                                        DENSITY_LIMIT, 60)
+            out = filter_points_full_native(p3, radius_sq, DENSITY_LIMIT,
+                                            max_neighbors=cap, max_iters=60)
             if out is not None:
                 kept = out[0]
         except Exception:
             kept = None
+        if kept is None:
+            # fallback: scipy graph + native (or numpy) iteration
+            try:
+                from meshrecon.meshing.native import density_greedy_native
+
+                ei, ej, w = build_half_edges(p3, radius_sq)
+                srt = np.argsort(ei, kind="stable")
+                out = density_greedy_native(ei[srt], ej[srt], w[srt], n,
+                                            DENSITY_LIMIT, 60)
+                if out is not None:
+                    kept = out[0]
+            except Exception:
+                kept = None
         if kept is not None:
             return points4[kept], normals[kept], kept
 
