@@ -1,0 +1,132 @@
+"""Cumulative-stage timing inside fused_main_update at 640x480, K=3.
+
+Times progressively larger prefixes of the fused program (in-program reps,
+same honest-barrier scheme as perf_breakdown.py) so each stage's MARGINAL
+cost in its real context (vmapped over K, fused with neighbors) is visible.
+
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/fused_breakdown.py [H W K reps B]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    H = int(sys.argv[1]) if len(sys.argv) > 1 else 480
+    W = int(sys.argv[2]) if len(sys.argv) > 2 else 640
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 3
+    reps = int(sys.argv[4]) if len(sys.argv) > 4 else 10
+    B = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+
+    import jax
+    import jax.numpy as jnp
+
+    import __graft_entry__ as g
+    from meshrecon.pipeline import fused as F
+
+    print(f"# {jax.devices()}  {H}x{W} K={K} reps={reps} B={B}", flush=True)
+
+    (soup, soup_valid, mains, fm, sides, fs, sv, centers, cvalid, ns) = (
+        g._fused_problem(b=B, k=K, h=H, w=W, seed=0)
+    )
+    args = jax.device_put(
+        (soup, soup_valid, mains, fm, sides, fs, sv, centers, cvalid, ns))
+
+    def stage_fn(upto):
+        def one(eps, soup, soup_valid, cam_main, frame_main, side_cams,
+                side_frames, side_valid, centers, centers_valid, n_side):
+            frame_main = jnp.asarray(frame_main, jnp.float32) + eps
+            depth_of = F._depth_fn(None, H, W)
+            depth0 = depth_of(cam_main, soup, soup_valid)
+            if upto == "depth0":
+                return depth0
+
+            def side_project(depth, inp):
+                cam_s, frame_s, valid_s = inp
+                d_side = depth_of(cam_s, soup, soup_valid)
+                inten, mask = F.projected_image(cam_main, depth, frame_s,
+                                                cam_s, d_side)
+                mixed, new_depth = F.mix_background(inten, mask, frame_main,
+                                                    depth)
+                return jnp.where(valid_s, new_depth, depth), mixed
+
+            depth_final, mixed_all = jax.lax.scan(
+                side_project, depth0,
+                (jnp.asarray(side_cams, jnp.float32),
+                 jnp.asarray(side_frames, jnp.float32),
+                 jnp.asarray(side_valid)))
+            if upto == "scan":
+                return depth_final, mixed_all
+
+            flows2 = jax.vmap(
+                lambda mixed: F.variational_flow(frame_main, mixed)
+            )(mixed_all)
+            if upto == "flow":
+                return depth_final, flows2
+
+            if F._sampling_engine() == "pallas":
+                from meshrecon.flow.tile_warp import tile_warp_flow
+                rewarp = lambda fl, im: tile_warp_flow(im, fl, taps=4)  # noqa
+            else:
+                rewarp = F.flow_remap
+            var = jax.vmap(
+                lambda fl, im: F.compare(frame_main, rewarp(fl, im))
+            )(flows2, mixed_all)
+            flows = jnp.concatenate(
+                [flows2, var[..., None], jnp.zeros_like(var)[..., None]],
+                axis=-1)
+            if upto == "var":
+                return depth_final, flows
+
+            out = F.triangulate_pixels(flows, cam_main, side_cams, side_valid,
+                                       depth_final, sampling="taylor")
+            if upto == "tri":
+                return out
+            normals = F.estimate_normals(out["point4"], out["valid"],
+                                         out["pdf"], centers, centers_valid,
+                                         n_side)
+            return out["point4"], normals, out["pdf"], out["valid"]
+
+        def batched(eps, soup, soup_valid, mcs, f0s, scs, sfs, svv, ctr, cv,
+                    k):
+            return jax.vmap(
+                lambda mc, f0, sc, sf, s_, c_, cv_, k_: one(
+                    eps, soup, soup_valid, mc, f0, sc, sf, s_, c_, cv_, k_)
+            )(mcs, f0s, scs, sfs, svv, ctr, cv, k)
+        return batched
+
+    prev = 0.0
+    for name in ["depth0", "scan", "flow", "var", "tri", "all"]:
+        fn = stage_fn(name)
+
+        def red(eps, *a):
+            return jnp.sum(sum(
+                jnp.sum(x) for x in jax.tree_util.tree_leaves(fn(eps, *a))
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)))
+
+        def many(*a):
+            def body(i, acc):
+                return acc * 1e-30 + red(acc * 1e-30, *a)
+            return jax.lax.fori_loop(0, reps, body, jnp.float32(0.0))
+
+        fjit = jax.jit(many)
+        t0 = time.perf_counter()
+        float(np.asarray(fjit(*args)))
+        tc = time.perf_counter() - t0
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(np.asarray(fjit(*args)))
+            best = min(best, time.perf_counter() - t0)
+        per = (best * 1e3 - 30.0) / reps
+        print(f"upto {name:<6} {per:9.2f} ms  (+{per - prev:7.2f})"
+              f"  compile {tc:5.1f} s", flush=True)
+        prev = per
+
+
+if __name__ == "__main__":
+    main()
