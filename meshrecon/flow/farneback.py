@@ -133,7 +133,11 @@ def _flow_level(f1, f2, flow, poly, win, iters):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("levels", "iters", "poly_n", "win", "min_size")
+    jax.jit,
+    # poly_sigma is static: it parameterizes the host-side numpy setup of
+    # the polynomial-expansion basis (_poly_exp_setup), not device math
+    static_argnames=("levels", "iters", "poly_n", "poly_sigma", "win",
+                     "min_size"),
 )
 def farneback_flow(
     prev,

@@ -47,7 +47,11 @@ class Config:
     out_file_name: str = "output.obj"
     in_mesh_file: Optional[str] = None
     seed: int = 0
-    depth_mode: str = "flow"  # "flow" (reference algorithm) | "plane-sweep"
+    # dense-depth estimator: "flow" (pure reference algorithm),
+    # "plane-sweep", or "hybrid" (plane-sweep on iteration 1 where the
+    # alpha-shape surface is too crude for flow, then flow refinement —
+    # measured 1.7x more accurate single-shot, NOTES_ROUND2.md)
+    depth_mode: str = "flow"
     sampling: str = "taylor"  # flow-displaced depth sampling: taylor | exact
     sweep_depths: int = 64
     poisson_grid: int = 128
@@ -141,10 +145,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", choices=["sphere", "plane", "auto"],
                    default=None,
                    help="render fixture frames instead of decoding the clip")
-    p.add_argument("--depth-mode", choices=["flow", "plane-sweep"],
-                   default="flow",
+    p.add_argument("--depth-mode",
+                   choices=["flow", "plane-sweep", "hybrid"],
+                   default="hybrid",
                    help="dense depth estimator: reference-style flow + "
-                        "Gauss-Newton, or plane-sweep photometric matching")
+                        "Gauss-Newton, plane-sweep photometric matching, or "
+                        "hybrid (plane-sweep bootstrap on iteration 1, flow "
+                        "refinement after; the default — most accurate)")
     p.add_argument("--sweep-depths", type=int, default=64,
                    help="number of plane-sweep depth hypotheses")
     p.add_argument("--sampling", choices=["taylor", "exact"], default="taylor",

@@ -72,27 +72,39 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
     """
     depth_of = _depth_fn(use_pallas, height, width)
     frame_main = jnp.asarray(frame_main, jnp.float32)
-    depth0 = depth_of(cam_main, soup, soup_valid)
+    side_cams = jnp.asarray(side_cams, jnp.float32)
+    side_frames = jnp.asarray(side_frames, jnp.float32)
+    side_valid = jnp.asarray(side_valid)
 
-    # Stage 1 — SEQUENTIAL projection chain (the reference mutates `depth`
-    # in place across side projections, util.cpp:366-387, so each side's
-    # background mix must see the previous side's masked depth). This part
-    # is cheap (~0.4 ms/side real).
-    def side_project(depth, inp):
-        cam_s, frame_s, valid_s = inp
-        d_side = depth_of(cam_s, soup, soup_valid)
-        inten, mask = projected_image(cam_main, depth, frame_s, cam_s, d_side)
-        mixed, new_depth = mix_background(inten, mask, frame_main, depth)
+    # Stage 1a — ALL depth renders (main + K sides) in one batched raster
+    # dispatch. The reference renders each from the same static mesh
+    # (render_glx.cpp:261-397), so they are independent.
+    all_cams = jnp.concatenate([cam_main[None], side_cams], axis=0)
+    all_depths = jax.vmap(lambda c: depth_of(c, soup, soup_valid))(all_cams)
+    depth0 = all_depths[0]
+
+    # Stage 1b — BATCHED projective texturing. The reference's projected()
+    # rasterizes the PRISTINE mesh for every side (render_glx.cpp:261-367);
+    # only mixBackground's carried depth couples the sides
+    # (util.cpp:366-387), so the K projections vmap and the sequential part
+    # reduces to the cheap elementwise mix chain below.
+    intens, masks = jax.vmap(
+        lambda cs, fs_, ds: projected_image(cam_main, depth0, fs_, cs, ds)
+    )(side_cams, side_frames, all_depths[1:])
+
+    # Stage 1c — sequential background-mix chain (each side's mix sees the
+    # previous side's masked depth, exactly like the in-place mutation at
+    # util.cpp:366-387). K is a small static bucket: unrolled Python loop.
+    depth = depth0
+    mixed_list = []
+    for i in range(side_cams.shape[0]):
+        mixed, new_depth = mix_background(intens[i], masks[i], frame_main,
+                                          depth)
         # padded sides: leave the depth untouched, weight the flow out later
-        depth_out = jnp.where(valid_s, new_depth, depth)
-        return depth_out, mixed
-
-    depth_final, mixed_all = jax.lax.scan(
-        side_project, depth0,
-        (jnp.asarray(side_cams, jnp.float32),
-         jnp.asarray(side_frames, jnp.float32),
-         jnp.asarray(side_valid)),
-    )
+        depth = jnp.where(side_valid[i], new_depth, depth)
+        mixed_list.append(mixed)
+    depth_final = depth
+    mixed_all = jnp.stack(mixed_list)
 
     # Stage 2 — BATCHED flow solve over all K sides at once. The pyramidal
     # solver is LAUNCH-bound on TPU (6 levels x 2 warps x 60 Jacobi sweeps

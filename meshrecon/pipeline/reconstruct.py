@@ -61,8 +61,24 @@ def _vmapped_step(h, w, use_farneback, sampling):
     return step
 
 
+def _effective_depth_mode(config, iteration: int) -> str:
+    """Resolve the per-iteration dense-depth estimator.
+
+    "hybrid" (the default) runs plane-sweep photometric matching on the
+    FIRST iteration — the alpha-shape mesh of the sparse bundles is too
+    crude for flow against its reprojection to beat direct matching
+    (measured 1.7x more accurate single-shot, NOTES_ROUND2.md) — then the
+    reference's flow + Gauss-Newton refinement (recon.cpp:65-119) once a
+    real surface estimate exists.
+    """
+    mode = getattr(config, "depth_mode", "flow")
+    if mode == "hybrid":
+        return "plane-sweep" if iteration <= 1 else "flow"
+    return mode
+
+
 def process_main_camera(config, renderer, fa: int, sides: list[int],
-                        timer=None):
+                        timer=None, depth_mode: str | None = None):
     """Dense update for one main camera: returns (points4, normals, count).
 
     Mirrors the hot loop at recon.cpp:65-119. The depth map is progressively
@@ -74,18 +90,23 @@ def process_main_camera(config, renderer, fa: int, sides: list[int],
     timer = timer or StageTimer(enabled=False)
     npix = config.height * config.width
 
+    mode = depth_mode or getattr(config, "depth_mode", "flow")
+    if mode == "hybrid":  # unresolved (direct caller): refinement semantics
+        mode = "flow"
+
     cam_main = config.camera(fa)
     original = jnp.asarray(config.frame(fa), jnp.float32)
 
-    if getattr(config, "depth_mode", "flow") == "flow" and config.verbosity < 3:
+    if mode == "flow" and config.verbosity < 3:
         # fast path: the whole loop body is one device program (no per-stage
         # dispatches); the unfused path below is kept for -V artifact dumps
         return _process_main_fused(config, renderer, fa, sides, timer)
 
     with timer.stage("render.depth", npix) as done:
-        depth = done(renderer.depth(cam_main))
+        depth0 = done(renderer.depth(cam_main))
+    depth = depth0
 
-    if getattr(config, "depth_mode", "flow") == "plane-sweep":
+    if mode == "plane-sweep":
         return _process_main_plane_sweep(config, fa, sides, depth, timer)
 
     if config.verbosity >= 3:
@@ -96,8 +117,13 @@ def process_main_camera(config, renderer, fa: int, sides: list[int],
     side_cams = []
     for fb in sides:
         with timer.stage("render.projected", npix) as done:
+            # projection always sees the PRISTINE rendered geometry (the
+            # reference re-rasterizes the mesh per side,
+            # render_glx.cpp:261-367); only the background mix carries the
+            # progressively masked depth (util.cpp:366-387)
             inten, mask = renderer.projected(
-                cam_main, config.frame(fb), config.camera(fb), depth_main=depth
+                cam_main, config.frame(fb), config.camera(fb),
+                depth_main=depth0
             )
             mixed, depth = mix_background(inten, mask, original, depth)
             done(mixed)
@@ -399,7 +425,8 @@ def reconstruct(config) -> Mesh:
         new_pts = [points]
         new_nrm = [normals]
         bundles = hint.camera_bundles()
-        if config.depth_mode == "flow" and config.verbosity < 3 \
+        depth_mode = _effective_depth_mode(config, hint.iteration)
+        if depth_mode == "flow" and config.verbosity < 3 \
                 and len(bundles) > 1:
             results = _process_bundles_batched(config, renderer, bundles,
                                                timer)
@@ -411,7 +438,8 @@ def reconstruct(config) -> Mesh:
         else:
             for fa, sides in bundles:
                 pts, nrm, n = process_main_camera(config, renderer, fa, sides,
-                                                  timer=timer)
+                                                  timer=timer,
+                                                  depth_mode=depth_mode)
                 new_pts.append(pts)
                 new_nrm.append(nrm)
                 config.log(2, f" After processing main frame {fa}: "

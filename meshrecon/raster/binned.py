@@ -9,15 +9,15 @@ pair, losing to XLA. This version adds BINNING so the kernel only ever walks
 triangles near its tile:
 
   1. Host-side (Renderer.load_mesh): triangles are Morton-sorted by world
-     centroid once per mesh, so consecutive CHUNKs of 64 are spatially
+     centroid once per mesh, so consecutive CHUNK-sized bins are spatially
      coherent and their bbox unions stay tight after projection.
   2. XLA per render: near-clip + screen setup (shared with rasterizer.py),
      per-chunk screen bbox union, chunk-vs-tile interval tests, and a
-     per-tile LIST of active chunk ids (a 64-element sort per tile — the
-     list is complete by construction, no overflow case).
+     per-tile LIST of active chunk ids (a (SLAB/CHUNK)-element sort per
+     tile — the list is complete by construction, no overflow case).
   3. Pallas kernel: grid over (8, 128) image tiles; for each tile a
      ``fori_loop`` walks only the listed chunks, and an unrolled scalar loop
-     evaluates the chunk's 64 triangles (edge functions, barycentric z,
+     evaluates the chunk's CHUNK triangles (edge functions, barycentric z,
      z-buffer min) with a per-triangle bbox skip. All triangle data rides
      scalar-prefetch SMEM (Mosaic rejects dynamic lane-axis VMEM loads).
 
@@ -39,9 +39,15 @@ from meshrecon.raster.rasterizer import clip_triangles_near, _setup_screen
 
 TILE_H = 8
 TILE_W = 128
-CHUNK = 64           # triangles per bin unit
+# Triangles per bin unit. Smaller chunks bin tighter (fewer wasted triangle
+# evaluations per tile) at the cost of a longer per-tile list in SMEM and
+# more fori_loop trips. Measured at 640x480 on v5e (ms/render, eps-forced):
+#   tris    chunk=8   16     32     64    xla-brute
+#   578      0.33    0.77   1.26   2.48    2.86
+#   3200     1.02    1.34   1.88   2.80
+#   16384    4.76    5.64   6.83   8.62   ~91
+CHUNK = 8
 SLAB = 4096          # triangles per pallas_call (SMEM budget)
-NCH = SLAB // CHUNK  # chunks per slab
 
 
 def morton_order(soup: np.ndarray) -> np.ndarray:
@@ -66,8 +72,8 @@ def morton_order(soup: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
-def _raster_kernel(height, width, tri_ref, lists_ref, counts_ref, dummy_ref,
-                   out_ref):
+def _raster_kernel(height, width, chunk, tri_ref, lists_ref, counts_ref,
+                   dummy_ref, out_ref):
     """One image tile: walk the tile's chunk list, z-buffer its triangles."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -92,8 +98,8 @@ def _raster_kernel(height, width, tri_ref, lists_ref, counts_ref, dummy_ref,
 
     def chunk_body(k, zbuf):
         c = lists_ref[tile, k]
-        base = c * CHUNK
-        for tt in range(CHUNK):
+        base = c * chunk
+        for tt in range(chunk):
             t = base + tt
             overlap = (
                 (fld(10, t) <= tile_x_max)
@@ -120,9 +126,10 @@ def _raster_kernel(height, width, tri_ref, lists_ref, counts_ref, dummy_ref,
     out_ref[:] = jax.lax.fori_loop(0, counts_ref[tile], chunk_body, zbuf0)
 
 
-def _rasterize_slab(packed, lists, counts, height, width, interpret):
+def _rasterize_slab(packed, lists, counts, height, width, chunk, interpret):
     grid = (pl.cdiv(height, TILE_H), pl.cdiv(width, TILE_W))
-    kernel = functools.partial(_raster_kernel, float(height), float(width))
+    kernel = functools.partial(_raster_kernel, float(height), float(width),
+                               chunk)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
@@ -140,9 +147,10 @@ def _rasterize_slab(packed, lists, counts, height, width, interpret):
     )(packed, lists, counts, dummy)
 
 
-@functools.partial(jax.jit, static_argnames=("height", "width", "interpret"))
+@functools.partial(jax.jit, static_argnames=("height", "width", "chunk",
+                                             "interpret"))
 def render_depth_binned(camera, soup, soup_valid, height, width,
-                        interpret: bool = False):
+                        chunk: int = CHUNK, interpret: bool = False):
     """Full-frame z-buffer depth render via the binned Pallas kernel.
 
     Same contract as rasterizer.render_depth. ``soup`` should be Morton-
@@ -202,30 +210,33 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
          inv_area, xmin, xmax, ymin, ymax]
     ).reshape(14, n_slabs, SLAB)
 
-    # per-chunk bbox unions, (n_slabs, NCH)
+    nch = SLAB // chunk
+
+    # per-chunk bbox unions, (n_slabs, nch)
     def cmin(a):
-        return a.reshape(n_slabs, NCH, CHUNK).min(axis=2)
+        return a.reshape(n_slabs, nch, chunk).min(axis=2)
 
     def cmax(a):
-        return a.reshape(n_slabs, NCH, CHUNK).max(axis=2)
+        return a.reshape(n_slabs, nch, chunk).max(axis=2)
 
     cxmin, cxmax = cmin(xmin), cmax(xmax)
     cymin, cymax = cmin(ymin), cmax(ymax)
 
     zbuf = None
     for s in range(n_slabs):
-        # chunk-vs-tile interval overlap -> (n_tiles, NCH) activity
+        # chunk-vs-tile interval overlap -> (n_tiles, nch) activity
         ax = ((cxmin[s][None, :] <= tx1[:, None])
-              & (cxmax[s][None, :] >= tx0[:, None]))  # (ntx, NCH)
+              & (cxmax[s][None, :] >= tx0[:, None]))  # (ntx, nch)
         ay = ((cymin[s][None, :] <= ty1[:, None])
-              & (cymax[s][None, :] >= ty0[:, None]))  # (nty, NCH)
-        active = (ay[:, None, :] & ax[None, :, :]).reshape(n_tiles, NCH)
-        keys = jnp.where(active, jnp.arange(NCH, dtype=jnp.int32)[None, :],
-                         jnp.int32(NCH))
+              & (cymax[s][None, :] >= ty0[:, None]))  # (nty, nch)
+        active = (ay[:, None, :] & ax[None, :, :]).reshape(n_tiles, nch)
+        keys = jnp.where(active, jnp.arange(nch, dtype=jnp.int32)[None, :],
+                         jnp.int32(nch))
         lists = jnp.sort(keys, axis=1)  # active chunk ids first, in order
         counts = jnp.sum(active, axis=1).astype(jnp.int32)
         packed = packed_all[:, s, :].reshape(-1)
-        zb = _rasterize_slab(packed, lists, counts, height, width, interpret)
+        zb = _rasterize_slab(packed, lists, counts, height, width, chunk,
+                             interpret)
         zbuf = zb if zbuf is None else jnp.minimum(zbuf, zb)
 
     zbuf = zbuf[:height, :width]

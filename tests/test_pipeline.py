@@ -264,10 +264,12 @@ def test_fused_matches_unfused(koule_small):
     from meshrecon.raster import mix_background
     from meshrecon.depth import triangulate_pixels, estimate_normals
 
+    depth0 = depth
     flows, side_cams = [], []
     for fb in sides:
+        # projection sees pristine geometry; only the mix chains the depth
         inten, mask = r.projected(cam_main, cfg.frame(fb), cfg.camera(fb),
-                                  depth_main=depth)
+                                  depth_main=depth0)
         mixed, depth = mix_background(inten, mask, original, depth)
         flows.append(np.asarray(calculate_flow(original, mixed, False)))
         side_cams.append(cfg.camera(fb))

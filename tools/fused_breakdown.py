@@ -39,26 +39,37 @@ def main():
     def stage_fn(upto):
         def one(eps, soup, soup_valid, cam_main, frame_main, side_cams,
                 side_frames, side_valid, centers, centers_valid, n_side):
+            # eps perturbs EVERY input so no stage is loop-invariant (XLA
+            # would hoist an eps-free render chain out of the rep loop,
+            # silently crediting its cost to whichever stage first consumes
+            # a perturbed value)
+            soup = jnp.asarray(soup, jnp.float32) + eps
+            side_frames = jnp.asarray(side_frames, jnp.float32) + eps
             frame_main = jnp.asarray(frame_main, jnp.float32) + eps
+            side_cams = jnp.asarray(side_cams, jnp.float32)
+            side_frames = jnp.asarray(side_frames, jnp.float32)
+            side_valid = jnp.asarray(side_valid)
             depth_of = F._depth_fn(None, H, W)
-            depth0 = depth_of(cam_main, soup, soup_valid)
+            all_cams = jnp.concatenate([cam_main[None], side_cams], axis=0)
+            all_depths = jax.vmap(
+                lambda c: depth_of(c, soup, soup_valid))(all_cams)
+            depth0 = all_depths[0]
             if upto == "depth0":
-                return depth0
+                return all_depths
 
-            def side_project(depth, inp):
-                cam_s, frame_s, valid_s = inp
-                d_side = depth_of(cam_s, soup, soup_valid)
-                inten, mask = F.projected_image(cam_main, depth, frame_s,
-                                                cam_s, d_side)
-                mixed, new_depth = F.mix_background(inten, mask, frame_main,
-                                                    depth)
-                return jnp.where(valid_s, new_depth, depth), mixed
-
-            depth_final, mixed_all = jax.lax.scan(
-                side_project, depth0,
-                (jnp.asarray(side_cams, jnp.float32),
-                 jnp.asarray(side_frames, jnp.float32),
-                 jnp.asarray(side_valid)))
+            intens, masks = jax.vmap(
+                lambda cs, fs_, ds: F.projected_image(cam_main, depth0, fs_,
+                                                      cs, ds)
+            )(side_cams, side_frames, all_depths[1:])
+            depth = depth0
+            mixed_list = []
+            for i in range(side_cams.shape[0]):
+                mixed, new_depth = F.mix_background(intens[i], masks[i],
+                                                    frame_main, depth)
+                depth = jnp.where(side_valid[i], new_depth, depth)
+                mixed_list.append(mixed)
+            depth_final = depth
+            mixed_all = jnp.stack(mixed_list)
             if upto == "scan":
                 return depth_final, mixed_all
 

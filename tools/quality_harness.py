@@ -36,6 +36,11 @@ CONFIGS = {
     "n2": {"iteration_count": 2},
     "smooth": {"poisson_sigma": 2.5},
     "grid96": {"poisson_grid": 96},
+    # the CLI default: plane-sweep bootstrap, then flow refinement
+    "hybrid": {"depth_mode": "hybrid", "iteration_count": 2,
+               "sweep_depths": 48},
+    "hybrid-n3": {"depth_mode": "hybrid", "iteration_count": 3,
+                  "sweep_depths": 48},
 }
 
 
