@@ -27,6 +27,10 @@ test_poisson:
 	mkdir -p test
 	/usr/bin/time -f '%e seconds, %M kBytes' $(PY) -m meshrecon.meshing.driver poisson
 
+test_greedy:
+	mkdir -p test
+	$(PY) -m meshrecon.meshing.driver greedy
+
 test_raster:
 	mkdir -p test
 	$(PY) -m meshrecon.raster.driver

@@ -3,7 +3,7 @@ and cgal_poisson.cpp:139-167. The reference's fixtures (bunny_5000, suzanne)
 are not shipped; we generate equivalent fixtures (sampled sphere / torus with
 normals) when absent.
 
-Usage: python -m meshrecon.meshing.driver alpha|poisson
+Usage: python -m meshrecon.meshing.driver alpha|poisson|greedy
 """
 
 from __future__ import annotations
@@ -46,6 +46,14 @@ def main(argv=None):
         verts4 = np.concatenate([pts, np.ones((len(pts), 1), np.float32)], 1)
         save_mesh(Mesh(verts4, faces), "test/torus_alpha.obj")
         print("wrote test/torus_alpha.obj")
+    elif mode == "greedy":
+        from meshrecon.meshing import greedy_projection
+
+        print(f"Greedy projection triangulation of {len(pts)} points...")
+        mesh = greedy_projection(pts, normals)
+        print(f"{len(mesh.vertices)} vertices, {len(mesh.faces)} faces")
+        save_mesh(mesh, "test/torus_greedy.obj")
+        print("wrote test/torus_greedy.obj")
     else:
         from meshrecon.meshing import poisson_surface
 

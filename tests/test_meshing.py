@@ -217,3 +217,41 @@ def test_keep_supported_components():
     assert len(cleaned.faces) == len(mesh.faces)
     v3 = cleaned.vertices[:, :3] / cleaned.vertices[:, 3:4]
     assert np.abs(v3[:, 0]).max() < 10.0  # the far sheet is gone
+
+
+def test_greedy_projection_sphere():
+    """Greedy projection (pcl.cpp:247-280 counterpart) stitches a dense
+    sphere cloud into a surface whose vertices ARE the input points."""
+    from meshrecon.meshing import greedy_projection
+
+    pts, normals = sphere_points(1200, radius=1.0, seed=21, noise=0.0)
+    mesh = greedy_projection(pts, normals)
+    assert len(mesh.faces) > 400
+    # vertices are exactly the input cloud (greedy keeps points verbatim)
+    np.testing.assert_allclose(
+        mesh.vertices[:, :3], np.asarray(pts, np.float32)[:, :3]
+        if np.asarray(pts).shape[1] == 4 else np.asarray(pts, np.float32),
+        rtol=1e-6)
+    soup = mesh.triangle_soup
+    # edge-length constraint: no edge exceeds the auto search radius
+    e = np.concatenate([
+        np.linalg.norm(soup[:, 1] - soup[:, 0], axis=1),
+        np.linalg.norm(soup[:, 2] - soup[:, 1], axis=1),
+        np.linalg.norm(soup[:, 0] - soup[:, 2], axis=1)])
+    from scipy.spatial import cKDTree
+    d, _ = cKDTree(np.asarray(pts)).query(np.asarray(pts), k=2)
+    assert e.max() <= 2.5 * np.median(d[:, 1]) + 1e-6
+    # faces oriented outward along the sphere normals
+    fn = np.cross(soup[:, 1] - soup[:, 0], soup[:, 2] - soup[:, 1])
+    ctr = soup.mean(axis=1)
+    assert np.mean(np.einsum("ij,ij->i", fn, ctr) > 0) > 0.95
+    # most input points participate in the surface
+    used = np.unique(mesh.faces)
+    assert len(used) > 0.7 * len(pts)
+
+
+def test_greedy_projection_degenerate():
+    from meshrecon.meshing import greedy_projection
+
+    m = greedy_projection(np.zeros((2, 3), np.float32))
+    assert len(m.faces) == 0
