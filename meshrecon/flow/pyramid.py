@@ -32,8 +32,9 @@ def _sep5(img, axis):
 
 
 def gauss5(img):
-    """5x5 binomial blur with reflect-101 borders."""
-    return _sep5(_sep5(img, 0), 1)
+    """5x5 binomial blur with reflect-101 borders (last two axes; leading
+    axes are batch)."""
+    return _sep5(_sep5(img, -2), -1)
 
 
 def pyr_down(img):

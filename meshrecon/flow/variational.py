@@ -46,20 +46,28 @@ def _tpu_backend() -> bool:
 _PALLAS_MIN_DIM = 64
 
 
+def _pad_hw(u):
+    pad = [(0, 0)] * (u.ndim - 2) + [(1, 1), (1, 1)]
+    return jnp.pad(u, pad, mode="edge")
+
+
 def _hs_average(u):
-    """Horn-Schunck neighborhood average: 4-neighbors 1/6, diagonals 1/12."""
-    p = jnp.pad(u, 1, mode="edge")
-    s4 = p[:-2, 1:-1] + p[2:, 1:-1] + p[1:-1, :-2] + p[1:-1, 2:]
-    s8 = p[:-2, :-2] + p[:-2, 2:] + p[2:, :-2] + p[2:, 2:]
+    """Horn-Schunck neighborhood average: 4-neighbors 1/6, diagonals 1/12.
+    Operates on the last two axes; leading axes are batch."""
+    p = _pad_hw(u)
+    s4 = (p[..., :-2, 1:-1] + p[..., 2:, 1:-1]
+          + p[..., 1:-1, :-2] + p[..., 1:-1, 2:])
+    s8 = (p[..., :-2, :-2] + p[..., :-2, 2:]
+          + p[..., 2:, :-2] + p[..., 2:, 2:])
     return s4 / 6.0 + s8 / 12.0
 
 
 def _gradients(a, b):
     """Spatial gradients of the temporal average (central differences)."""
     m = 0.5 * (a + b)
-    p = jnp.pad(m, 1, mode="edge")
-    ix = (p[1:-1, 2:] - p[1:-1, :-2]) * 0.5
-    iy = (p[2:, 1:-1] - p[:-2, 1:-1]) * 0.5
+    p = _pad_hw(m)
+    ix = (p[..., 1:-1, 2:] - p[..., 1:-1, :-2]) * 0.5
+    iy = (p[..., 2:, 1:-1] - p[..., :-2, 1:-1]) * 0.5
     return ix, iy
 
 
@@ -91,13 +99,20 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla"):
     smooth displacement (flow/tile_warp.py). engine == "pallas" additionally
     runs the relaxation in the banded VMEM kernel (flow/pallas_jacobi.py).
     """
-    if engine == "pallas" and min(prev.shape) >= _PALLAS_MIN_DIM:
-        from meshrecon.flow.tile_warp import tile_warp_flow
+    if engine == "pallas" and min(next_.shape[-2:]) >= _PALLAS_MIN_DIM:
+        from meshrecon.flow.tile_warp import (tile_warp_flow,
+                                              tile_warp_flow_batched)
 
         # the gather is the expensive part (12.6 ms vs 0.18 ms at 640x480);
         # the XLA Jacobi loop itself measured 0.25 ms for 60 sweeps, so the
         # banded VMEM solver (flow/pallas_jacobi.py) is not needed here
-        warped = tile_warp_flow(next_, jnp.stack([u0, v0], axis=-1))
+        uv = jnp.stack([u0, v0], axis=-1)
+        if next_.ndim == 3:
+            warped = tile_warp_flow_batched(next_, uv)
+        else:
+            warped = tile_warp_flow(next_, uv)
+    elif next_.ndim == 3:
+        warped = jax.vmap(bilinear_warp)(next_, jnp.stack([u0, v0], axis=-1))
     else:
         warped = bilinear_warp(next_, jnp.stack([u0, v0], axis=-1))
     u, v = _hs_sweeps(prev, warped, u0, v0, alpha2, iters)
@@ -128,9 +143,16 @@ def variational_flow(
 ):
     """Dense flow prev -> next: next(x + flow(x)) ~= prev(x).
 
-    prev, next_: (H, W) grayscale float (0..255 scale). Returns (H, W, 2)
-    float32 (fx, fy) in pixels, the same convention as the reference's
-    cv::DenseOpticalFlow::calc output (flow.cpp:31-32).
+    prev: (H, W) grayscale float (0..255 scale); next_: (H, W) or a BATCH
+    (K, H, W) of targets sharing the same source. Returns (H, W, 2) (or
+    (K, H, W, 2)) float32 (fx, fy) in pixels, the same convention as the
+    reference's cv::DenseOpticalFlow::calc output (flow.cpp:31-32).
+
+    The batched form solves all K flows in ONE program: relaxation sweeps
+    and pyramid ops are elementwise (K just widens them), and the warps use
+    the vertically-stacked tile-warp kernel — one Pallas launch per level
+    instead of K (jax.vmap over a pallas_call measured ~3x the kernel cost
+    per element on v5e).
 
     engine: "auto" (Pallas kernels on TPU, XLA elsewhere), "pallas", "xla".
     """
@@ -143,19 +165,19 @@ def variational_flow(
     pyr_a = [prev]
     pyr_b = [next_]
     for _ in range(levels - 1):
-        if min(pyr_a[-1].shape) <= min_size:
+        if min(pyr_a[-1].shape[-2:]) <= min_size:
             break
         pyr_a.append(pyr_down(pyr_a[-1]))
         pyr_b.append(pyr_down(pyr_b[-1]))
 
-    u = jnp.zeros_like(pyr_a[-1])
-    v = jnp.zeros_like(pyr_a[-1])
+    u = jnp.zeros_like(pyr_b[-1])
+    v = jnp.zeros_like(pyr_b[-1])
     for lvl in range(len(pyr_a) - 1, -1, -1):
         a, b = pyr_a[lvl], pyr_b[lvl]
-        if u.shape != a.shape:
+        if u.shape[-2:] != a.shape[-2:]:
             # pyr_up preserves magnitude; flow VALUES double at 2x resolution
-            u = pyr_up(u, a.shape) * 2.0
-            v = pyr_up(v, a.shape) * 2.0
+            u = pyr_up(u, a.shape[-2:]) * 2.0
+            v = pyr_up(v, a.shape[-2:]) * 2.0
         for _ in range(warps):
             u, v, _ = _hs_level(a, b, u, v, alpha2, iters, engine=engine)
     return jnp.stack([u, v], axis=-1)

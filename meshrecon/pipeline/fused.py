@@ -114,26 +114,29 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
     if use_farneback:
         h, w = frame_main.shape
         sigma = max((h + w) / 1000.0, 0.7)
-        flow_of = lambda mixed: farneback_flow(  # noqa: E731
-            frame_main, mixed,
-            poly_n=5 if sigma < 1.5 else 7,
-            poly_sigma=sigma,
-            win=max((h + w) // 200, 2))
+        flows2 = jax.vmap(
+            lambda mixed: farneback_flow(
+                frame_main, mixed,
+                poly_n=5 if sigma < 1.5 else 7,
+                poly_sigma=sigma,
+                win=max((h + w) // 200, 2))
+        )(mixed_all)
     else:
-        flow_of = lambda mixed: variational_flow(frame_main, mixed)  # noqa: E731
-    flows2 = jax.vmap(flow_of)(mixed_all)
+        # one batched solve for all K sides: sweeps/pyramids widen
+        # elementwise, warps share one stacked Pallas launch per level
+        flows2 = variational_flow(frame_main, mixed_all)
 
     # bicubic re-warp for the variance estimate: 16 gathers/pixel cost
     # ~49 ms real at 640x480 — the tile-warp kernel does it in <1 ms
     # (flow fields are smooth by construction after relaxation)
     if _sampling_engine() == "pallas":
-        from meshrecon.flow.tile_warp import tile_warp_flow
+        from meshrecon.flow.tile_warp import tile_warp_flow_batched
 
-        rewarp = lambda fl, im: tile_warp_flow(im, fl, taps=4)  # noqa: E731
+        rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4)
     else:
-        rewarp = flow_remap
-    var = jax.vmap(lambda fl, im: compare(frame_main, rewarp(fl, im)))(
-        flows2, mixed_all)
+        rewarped = jax.vmap(lambda fl, im: flow_remap(fl, im))(
+            flows2, mixed_all)
+    var = jax.vmap(lambda rw: compare(frame_main, rw))(rewarped)
     flows = jnp.concatenate(
         [flows2, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
     )

@@ -6,6 +6,8 @@ from meshrecon.sharding.meshes import (
     sharded_fused_update,
     multi_scene_update,
     sharded_multi_scene_update,
+    sharded_plane_sweep,
+    make_window_mesh,
 )
 
 __all__ = [
@@ -16,4 +18,6 @@ __all__ = [
     "sharded_fused_update",
     "multi_scene_update",
     "sharded_multi_scene_update",
+    "sharded_plane_sweep",
+    "make_window_mesh",
 ]

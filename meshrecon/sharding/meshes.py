@@ -219,3 +219,45 @@ def sharded_multi_scene_update(mesh: Mesh, flow_quality: str = "fast"):
 
     return jax.jit(step, in_shardings=in_shardings,
                    out_shardings=out_shardings)
+
+
+def sharded_plane_sweep(mesh: Mesh, num_depths: int = 64,
+                        engine: str = "auto"):
+    """Window-sharded plane sweep: the K side frames of one main camera are
+    split across the mesh's ``window`` axis; each device scores its frames
+    against the same depth plane and the photometric evidence (cost
+    numerator + view support) reduces with one ``psum`` per plane over ICI.
+    This is the framework's long-context axis (BASELINE config #4: a
+    32-frame window at 1080p): memory per chip stays O(K/n * H * W), the
+    depth scan rides sequentially, and the evidence reduction is the
+    pass-the-block pattern of ring attention.
+
+    Returns a jitted step
+    ``(frame_main, frames_side, cam_main, cams_side, side_valid, z_min,
+    z_max) -> {depth, cost, valid}`` where frames_side/cams_side/side_valid
+    are sharded on their leading window axis; outputs are replicated.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from meshrecon.depth.plane_sweep import plane_sweep_depth
+
+    axis = "window"
+    assert axis in mesh.axis_names, f"mesh needs a '{axis}' axis"
+
+    fn = shard_map(
+        partial(plane_sweep_depth, num_depths=num_depths, engine=engine,
+                axis_name=axis),
+        mesh=mesh,
+        in_specs=(P(), P(axis), P(), P(axis), P(axis), P(), P()),
+        out_specs={"depth": P(), "cost": P(), "valid": P()},
+        check_rep=False,
+    )
+    return jax.jit(fn)
+
+
+def make_window_mesh(n_window: int, devices=None) -> Mesh:
+    """1-D device mesh over the plane-sweep frame window."""
+    devices = devices if devices is not None else jax.devices()[:n_window]
+    return Mesh(np.asarray(devices).reshape(n_window), ("window",))

@@ -119,3 +119,35 @@ def test_sharded_fused_update():
     np.testing.assert_allclose(np.asarray(out["point4"])[sel],
                                np.asarray(ref["point4"])[sel],
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_plane_sweep_matches_unsharded():
+    """Window-sharded sweep (K frames split over 8 devices, psum evidence
+    reduction) must equal the single-device solve."""
+    from meshrecon.depth.plane_sweep import plane_sweep_depth
+    from meshrecon.sharding import sharded_plane_sweep, make_window_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+
+    h, w, k = 16, 32, 8
+    rng = np.random.default_rng(4)
+    main = make_camera(eye=(0, 0, 0), near=1.0, far=30.0)
+    cams = np.stack([
+        make_camera(eye=(0.5 + 0.2 * j, 0.3 * (j % 3), 0), near=1.0, far=30.0)
+        for j in range(k)
+    ]).astype(np.float32)
+    fm = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
+    fs = (fm[None] + rng.normal(scale=5.0, size=(k, h, w))).astype(np.float32)
+    sv = np.ones(k, bool)
+
+    ref = plane_sweep_depth(fm, fs, main, cams, sv, -0.8, 0.6, num_depths=16)
+    mesh = make_window_mesh(8)
+    step = sharded_plane_sweep(mesh, num_depths=16)
+    out = step(fm, fs, main, cams, sv, jnp.float32(-0.8), jnp.float32(0.6))
+    np.testing.assert_allclose(np.asarray(out["depth"]),
+                               np.asarray(ref["depth"]), rtol=0, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out["cost"]),
+                               np.asarray(ref["cost"]), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(out["valid"]),
+                                  np.asarray(ref["valid"]))

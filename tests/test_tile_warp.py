@@ -125,3 +125,51 @@ def test_bicubic_matches_gather(img):
     # for constant extrapolation, which bicubic weights preserve)
     np.testing.assert_allclose(np.asarray(out)[2:-2, 2:-2], ref[2:-2, 2:-2],
                                rtol=0, atol=1e-2)
+
+
+def test_batched_flow_warp_matches_unbatched(img):
+    """Vertical stacking (one kernel for K images) must agree with the
+    per-image warp: interior exactly, borders within the clamp epsilon."""
+    from meshrecon.flow.tile_warp import tile_warp_flow, tile_warp_flow_batched
+
+    h, w = img.shape
+    rng = np.random.default_rng(3)
+    imgs = np.stack([img, img[::-1].copy(), np.roll(img, 7, axis=1)])
+    flows = rng.normal(scale=3.0, size=(3, h, w, 2)).astype(np.float32)
+    # add smooth large displacement (the production regime)
+    flows[..., 0] += 6.0
+    flows[..., 1] -= 4.0
+
+    for taps in (2, 4):
+        got = np.asarray(tile_warp_flow_batched(
+            jnp.asarray(imgs), jnp.asarray(flows), taps=taps, interpret=True))
+        for k in range(3):
+            ref = np.asarray(tile_warp_flow(
+                jnp.asarray(imgs[k]), jnp.asarray(flows[k]), taps=taps,
+                interpret=True))
+            # rows whose sigma=3 noise tail can exceed the 12-row smooth
+            # overhang budget behave differently at the stack borders; the
+            # interior (one tile row in) must match exactly
+            np.testing.assert_allclose(got[k][16:-16], ref[16:-16],
+                                       rtol=0, atol=1e-2,
+                                       err_msg=f"k={k} taps={taps}")
+            # border rows: overhang-clamped coordinates, looser bound
+            assert np.mean(np.abs(got[k] - ref) < 1e-2) > 0.97
+
+
+def test_batched_flow_warp_no_cross_image_bleed(img):
+    """A flow pushing past the image edge must clamp inside ITS image, not
+    sample the neighbor stacked below/above."""
+    from meshrecon.flow.tile_warp import tile_warp_flow_batched
+
+    h, w = img.shape
+    white = np.full((h, w), 255.0, np.float32)
+    black = np.zeros((h, w), np.float32)
+    imgs = np.stack([black, white])
+    flows = np.zeros((2, h, w, 2), np.float32)
+    flows[0, ..., 1] = 50.0   # push far below image 0 (toward image 1)
+    flows[1, ..., 1] = -50.0  # push far above image 1 (toward image 0)
+    out = np.asarray(tile_warp_flow_batched(
+        jnp.asarray(imgs), jnp.asarray(flows), taps=2, interpret=True))
+    assert np.all(out[0] < 1.0), "black image bled white neighbor values"
+    assert np.all(out[1] > 254.0), "white image bled black neighbor values"

@@ -39,6 +39,13 @@ def main():
 
     for name, kw in variants.items():
         F.variational_flow = functools.partial(orig, **kw)
+        # the fused step and the batched-step builder cache compiled
+        # executables keyed only on shapes/statics — the monkeypatched flow
+        # is baked in at trace time, so drop both caches per variant
+        F.fused_main_update.clear_cache()
+        from meshrecon.pipeline import reconstruct as R
+
+        R._vmapped_step.cache_clear()
         cfg = Config(track=track, frames=frames, iteration_count=1,
                      depth_mode="flow", poisson_grid=96,
                      out_file_name=f"/tmp/fq_{name}.obj", seed=3)

@@ -73,20 +73,16 @@ def main():
             if upto == "scan":
                 return depth_final, mixed_all
 
-            flows2 = jax.vmap(
-                lambda mixed: F.variational_flow(frame_main, mixed)
-            )(mixed_all)
+            flows2 = F.variational_flow(frame_main, mixed_all)
             if upto == "flow":
                 return depth_final, flows2
 
             if F._sampling_engine() == "pallas":
-                from meshrecon.flow.tile_warp import tile_warp_flow
-                rewarp = lambda fl, im: tile_warp_flow(im, fl, taps=4)  # noqa
+                from meshrecon.flow.tile_warp import tile_warp_flow_batched
+                rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4)
             else:
-                rewarp = F.flow_remap
-            var = jax.vmap(
-                lambda fl, im: F.compare(frame_main, rewarp(fl, im))
-            )(flows2, mixed_all)
+                rewarped = jax.vmap(F.flow_remap)(flows2, mixed_all)
+            var = jax.vmap(lambda rw: F.compare(frame_main, rw))(rewarped)
             flows = jnp.concatenate(
                 [flows2, var[..., None], jnp.zeros_like(var)[..., None]],
                 axis=-1)
