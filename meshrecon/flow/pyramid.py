@@ -43,11 +43,19 @@ def pyr_down(img):
 
 
 def pyr_up(img, out_shape):
-    """Zero-stuff upsample to `out_shape` then blur with the 2x-gain kernel."""
-    h, w = img.shape[-2], img.shape[-1]
+    """Zero-stuff upsample to `out_shape` then blur with the 2x-gain kernel.
+
+    Zero-stuffing uses ``lax.pad`` INTERIOR padding — the strided-scatter
+    form (``zeros.at[..., ::2, ::2].set(img)``) lowered to a real scatter
+    and cost ~3.2 ms per (3, 240, 320) -> (3, 480, 640) call on v5e (it
+    dominated the whole flow solver); interior padding is a native XLA
+    dilation and costs microseconds.
+    """
+    import jax
+
     oh, ow = out_shape
-    up = jnp.zeros(img.shape[:-2] + (2 * h, 2 * w), img.dtype)
-    up = up.at[..., ::2, ::2].set(img)
+    cfg = [(0, 0, 0)] * (img.ndim - 2) + [(0, 1, 1), (0, 1, 1)]
+    up = jax.lax.pad(img, jnp.zeros((), img.dtype), cfg)
     up = up[..., :oh, :ow]
     return gauss5(up) * 4.0
 

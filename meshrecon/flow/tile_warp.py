@@ -81,11 +81,16 @@ def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref, remy_ref, remx_ref,
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    # scalar-prefetch arrays are 1-D tile-indexed: SMEM pads the last axis
+    # to 128 lanes, so a (nty, ntx) layout with tiny ntx cost nty*128*4
+    # bytes PER OPERAND (1.4 MB total at 12 stacked images — over the 1 MB
+    # SMEM budget); flat (nty*ntx,) arrays pad once overall
+    tile = ti * pl.num_programs(1) + tj
     wh2 = wh + 8  # aligned window incl. alignment slack
     ww2 = _round_up(ww, 128) + 128  # lane dynamic_rotate needs 128-aligned
 
-    by = pl.multiple_of(by_ref[ti, tj], 8)
-    bx = pl.multiple_of(bx_ref[ti, tj], 128)
+    by = pl.multiple_of(by_ref[tile], 8)
+    bx = pl.multiple_of(bx_ref[tile], 128)
     dma = pltpu.make_async_copy(
         src_ref.at[pl.ds(by, wh2), pl.ds(bx, ww2)], win, sem,
     )
@@ -107,8 +112,8 @@ def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref, remy_ref, remx_ref,
     w = win[:]
     # out[p] = in[p + rem]: roll by (-rem) mod n (same convention the
     # validated round-1 warp kernel used)
-    rem_y = remy_ref[ti, tj]
-    rem_x = remx_ref[ti, tj]
+    rem_y = remy_ref[tile]
+    rem_x = remx_ref[tile]
     w = pltpu.roll(w, jnp.mod(wh2 - rem_y, wh2), axis=0)
     w = pltpu.roll(w, jnp.mod(ww2 - rem_x, ww2), axis=1)
 
@@ -261,7 +266,8 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         interpret=interpret,
-    )(by_al, bx_al, rem_y, rem_x, py, px, src_p)
+    )(by_al.reshape(-1), bx_al.reshape(-1), rem_y.reshape(-1),
+      rem_x.reshape(-1), py, px, src_p)
     return out[:ho, :wo]
 
 
@@ -300,57 +306,89 @@ def tile_warp_flow(image, flow, r_row: int = R_ROW, r_col: int = R_COL,
 @functools.partial(
     jax.jit, static_argnames=("r_row", "r_col", "taps", "interpret")
 )
-def tile_warp_flow_batched(images, flows, r_row: int = R_ROW,
-                           r_col: int = R_COL, taps: int = 2,
-                           interpret: bool = False):
-    """Batched flow warp: (K, H, W) images, (K, H, W, 2) flows -> (K, H, W).
+def tile_warp_sample_batched(srcs, scols, srows, valid=None,
+                             r_row: int = R_ROW, r_col: int = R_COL,
+                             taps: int = 2, interpret: bool = False):
+    """Batched resample: (..., H, W) sources, matching per-image coordinate
+    fields (source pixel units, local to each image) -> (..., H, W).
 
     ``jax.vmap`` over the Pallas call costs ~3x the kernel itself on v5e
     (measured: one 640x480 bicubic warp 0.47 ms, vmapped K=3 ~1.4 ms each).
-    Instead the K images stack VERTICALLY into one (K*H, W) source and one
-    kernel invocation warps them all: H is a multiple of the 8-row tile, so
-    no output tile straddles two images and the per-tile base machinery is
-    unaffected. Sample rows are clamped inside each image (with a margin
-    covering the interpolation support) so no tap ever bleeds into a
-    neighboring image; this matches the border-clamp semantics of the
-    unbatched warp to within an O(1e-3)-pixel coordinate epsilon at the
-    extreme border rows.
+    Instead all leading axes flatten and the images stack VERTICALLY into
+    one (N*stride, W) source, and ONE kernel invocation samples them all:
+    H is a multiple of the 8-row tile, so no output tile straddles two
+    images and the per-tile base machinery is unaffected.
+
+    Guard bands of edge-replicated rows separate the images. Two jobs:
+    (1) border coordinates may OVERHANG an image by up to 12 rows and
+        still sample smoothly into its own replicated rows — a hard clamp
+        at the image edge would flatten the coordinate field and blow the
+        tile residual budget (exactly the artifact the unbatched warp's
+        edge-pad design avoids, see the border note in tile_warp_sample);
+    (2) the DMA window extends past the sampled row by up to wh2-1 rows
+        and residual-budget overflow clamps taps to the window edge —
+        the guards keep every reachable tap inside the image's own block.
+    Bound check (worst case taps=4: wh=32, wh2=40, 8-row DMA alignment):
+    reads stay within [min_srow-9, min_srow+30] ⊂ [-21, h-1+42] local.
+    This matches the unbatched border-clamp semantics to within an
+    O(1e-3)-pixel coordinate epsilon at the extreme border rows.
     """
-    k, h, w = images.shape
+    lead = srcs.shape[:-2]
+    h, w = srcs.shape[-2:]
+    srcs = srcs.reshape((-1, h, w))
+    scols = scols.reshape((-1, h, w))
+    srows = srows.reshape((-1, h, w))
+    vflat = None if valid is None else jnp.asarray(valid).reshape((-1, h, w))
+    k = srcs.shape[0]
     if h % TH != 0:
         # output tiles would straddle images: fall back to the vmapped kernel
-        return jax.vmap(
-            lambda im, fl: tile_warp_flow(im, fl, r_row=r_row, r_col=r_col,
-                                          taps=taps, interpret=interpret)
-        )(images, flows)
-    # Guard bands of edge-replicated rows between images. Two jobs:
-    # (1) border coordinates may OVERHANG an image by up to 12 rows and
-    #     still sample smoothly into its own replicated rows — a hard clamp
-    #     at the image edge would flatten the coordinate field and blow the
-    #     tile residual budget (exactly the artifact the unbatched warp's
-    #     edge-pad design avoids, see the border note in tile_warp_sample);
-    # (2) the DMA window extends past the sampled row by up to wh2-1 rows
-    #     and residual-budget overflow clamps taps to the window edge —
-    #     the guards keep every reachable tap inside the image's own block.
-    # Bound check (worst case taps=4: wh=32, wh2=40, 8-row DMA alignment):
-    # reads stay within [min_srow-9, min_srow+30] ⊂ [-21, h-1+42] local.
+        if vflat is None:
+            out = jax.vmap(
+                lambda im, sc, sr: tile_warp_sample(
+                    im, sc, sr, r_row=r_row, r_col=r_col, taps=taps,
+                    interpret=interpret)
+            )(srcs, scols, srows)
+        else:
+            out = jax.vmap(
+                lambda im, sc, sr, v: tile_warp_sample(
+                    im, sc, sr, valid=v, r_row=r_row, r_col=r_col, taps=taps,
+                    interpret=interpret)
+            )(srcs, scols, srows, vflat)
+        return out.reshape(lead + (h, w))
+
     gt, gb = 24, 48  # top/bottom guards; stride stays a multiple of 8
     stride = gt + h + gb
     src = jnp.concatenate(
-        [jnp.broadcast_to(images[:, :1], (k, gt, w)),
-         images,
-         jnp.broadcast_to(images[:, -1:], (k, gb, w))], axis=1
+        [jnp.broadcast_to(srcs[:, :1], (k, gt, w)),
+         srcs,
+         jnp.broadcast_to(srcs[:, -1:], (k, gb, w))], axis=1
     ).reshape(k * stride, w)
 
-    cols = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    rows = jnp.arange(h, dtype=jnp.float32)[None, :, None]
     over = 12.0  # allowed smooth overhang into the replicated guards
-    srow_local = jnp.clip(rows + flows[..., 1], -over, h - 1 + over)
-    scol = (cols + flows[..., 0]).reshape(k * h, w)
+    srow_local = jnp.clip(srows, -over, h - 1 + over)
     srow = (srow_local + gt
             + (jnp.arange(k, dtype=jnp.float32) * stride)[:, None, None]
             ).reshape(k * h, w)
-    out = tile_warp_sample(src, scol, srow,
+    out = tile_warp_sample(src, scols.reshape(k * h, w), srow,
+                           valid=None if vflat is None
+                           else vflat.reshape(k * h, w),
                            r_row=r_row, r_col=r_col, taps=taps,
                            interpret=interpret)
-    return out.reshape(k, h, w)
+    return out.reshape(lead + (h, w))
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_row", "r_col", "taps", "interpret")
+)
+def tile_warp_flow_batched(images, flows, r_row: int = R_ROW,
+                           r_col: int = R_COL, taps: int = 2,
+                           interpret: bool = False):
+    """Batched flow warp: (..., H, W) images, (..., H, W, 2) flows ->
+    (..., H, W). All leading axes flatten into one vertically-stacked
+    kernel invocation (see tile_warp_sample_batched)."""
+    h, w = images.shape[-2:]
+    cols = jnp.arange(w, dtype=jnp.float32)[None, :]
+    rows = jnp.arange(h, dtype=jnp.float32)[:, None]
+    return tile_warp_sample_batched(
+        images, cols + flows[..., 0], rows + flows[..., 1],
+        r_row=r_row, r_col=r_col, taps=taps, interpret=interpret)

@@ -107,12 +107,16 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla"):
         # the XLA Jacobi loop itself measured 0.25 ms for 60 sweeps, so the
         # banded VMEM solver (flow/pallas_jacobi.py) is not needed here
         uv = jnp.stack([u0, v0], axis=-1)
-        if next_.ndim == 3:
+        if next_.ndim >= 3:
             warped = tile_warp_flow_batched(next_, uv)
         else:
             warped = tile_warp_flow(next_, uv)
-    elif next_.ndim == 3:
-        warped = jax.vmap(bilinear_warp)(next_, jnp.stack([u0, v0], axis=-1))
+    elif next_.ndim >= 3:
+        h, w = next_.shape[-2:]
+        uv = jnp.stack([u0, v0], axis=-1)
+        warped = jax.vmap(bilinear_warp)(
+            next_.reshape(-1, h, w), uv.reshape(-1, h, w, 2)
+        ).reshape(next_.shape)
     else:
         warped = bilinear_warp(next_, jnp.stack([u0, v0], axis=-1))
     u, v = _hs_sweeps(prev, warped, u0, v0, alpha2, iters)

@@ -38,6 +38,59 @@ def sample_box(image: np.ndarray, radius_sq: float, x: float, y: float,
     return float(patch[m].mean())
 
 
+def _solve_exposure_device(sampled, valid):
+    """Alternating brightness/exposure solve ON DEVICE.
+
+    Batched counterpart of the reference's per-frame loop
+    (configuration.cpp:345-392): one jitted ``while_loop`` alternating
+    (a) per-point brightness given exposure and (b) per-frame, per-channel
+    exposure by masked least squares (rows of invalid samples are zeroed,
+    which leaves the minimum-norm solution unchanged), with the same 0.4
+    over-relaxation and the same mean-residual stopping rule (< 0.1, max
+    100 iterations). All F frames solve as one vmapped SVD lstsq batch.
+
+    sampled: (F, N, C) host array (-1 where unsampled); valid: (F, N) bool.
+    Returns (exposure (C, F) np.float64, brightness (N,) np.float64).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f_count, p_count, ch = sampled.shape
+    s = jnp.asarray(np.where(valid[..., None], sampled, 0.0), jnp.float32)
+    v = jnp.asarray(valid, jnp.float32)
+    sum_brightness = jnp.sum(s) / ch
+    wsum = jnp.sum(v, axis=0)
+    nvalid = jnp.maximum(jnp.sum(v, axis=1), 1.0)  # per-frame sample count
+
+    def step(carry):
+        exposure, _bright, err, it = carry
+        # (a) assume exposure correct -> per-point brightness
+        per_fp = jnp.einsum("fpc,cf->fp", s, exposure)
+        brightness = jnp.where(wsum > 0, jnp.sum(per_fp, axis=0)
+                               / jnp.maximum(wsum, 1.0), 0.0)
+        brightness = brightness * (sum_brightness
+                                   / jnp.maximum(jnp.sum(per_fp), 1e-12))
+        # (b) assume brightness correct -> per-frame exposure (lstsq)
+        b = brightness[None, :] * v  # (F, N); zero rows match zeroed A rows
+        sol = jax.vmap(lambda a_, b_: jnp.linalg.lstsq(a_, b_)[0])(s, b)
+        omega = 0.4
+        new = sol.T * (1 + omega) - exposure * omega  # (C, F)
+        resid = jnp.einsum("fpc,cf->fp", s, new) - b
+        err = jnp.mean(jnp.linalg.norm(resid, axis=1) / nvalid)
+        return new, brightness, err, it + 1
+
+    def cond(carry):
+        _e, _b, err, it = carry
+        return (err >= 0.1) & (it < 100)
+
+    init = (jnp.full((ch, f_count), 1.0 / ch, jnp.float32),
+            jnp.ones(p_count, jnp.float32), jnp.float32(jnp.inf),
+            jnp.int32(0))
+    exposure, brightness, _err, _it = jax.lax.while_loop(cond, step, init)
+    return (np.asarray(exposure, np.float64),
+            np.asarray(brightness, np.float64))
+
+
 def estimate_exposure(frames, cameras, bundles, bundles_enabled, lens_distortion,
                       center_x, center_y, width, height, verbose=False,
                       dump_tab: bool = False):
@@ -72,33 +125,7 @@ def estimate_exposure(frames, cameras, bundles, bundles_enabled, lens_distortion
                 "(configuration.cpp:315-318 aborts here too)"
             )
 
-    sum_brightness = sampled[valid].sum() / ch
-    exposure = np.full((ch, f_count), 1.0 / ch)
-    brightness = np.ones(p_count)
-    for _ in range(100):
-        # assume exposure correct -> per-point brightness
-        per_fp = np.einsum("fpc,cf->fp", np.where(valid[..., None], sampled, 0.0),
-                           exposure)
-        wsum = valid.sum(axis=0)
-        with np.errstate(invalid="ignore"):
-            brightness = np.where(wsum > 0, per_fp.sum(axis=0) / np.maximum(wsum, 1),
-                                  0.0)
-        current = per_fp.sum()
-        brightness *= sum_brightness / max(current, 1e-12)
-
-        # assume brightness correct -> per-frame exposure (SVD lstsq, relaxed)
-        error = 0.0
-        omega = 0.4
-        for i in range(f_count):
-            rows = valid[i]
-            a = sampled[i, rows]  # (S, ch)
-            b = brightness[rows]
-            sol, *_ = np.linalg.lstsq(a, b, rcond=None)
-            old = exposure[:, i].copy()
-            exposure[:, i] = sol * (1 + omega) - old * omega
-            error += np.linalg.norm(a @ exposure[:, i] - b) / max(len(b), 1)
-        if error / f_count < 0.1:
-            break
+    exposure, brightness = _solve_exposure_device(sampled, valid)
 
     if dump_tab:
         # exposure.tab: per frame the channel gains + residual stddev

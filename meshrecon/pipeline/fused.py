@@ -25,7 +25,9 @@ from meshrecon.flow.remap import flow_remap
 from meshrecon.flow.variational import variational_flow
 from meshrecon.flow.farneback import farneback_flow
 from meshrecon.raster.rasterizer import render_depth
-from meshrecon.raster.fragment import projected_image, mix_background
+from meshrecon.raster.fragment import (projected_image,
+                                       projected_image_batched,
+                                       mix_background)
 
 
 def _sampling_engine() -> str:
@@ -57,74 +59,80 @@ def _depth_fn(use_pallas, height: int, width: int):
     static_argnames=("height", "width", "use_farneback", "use_pallas",
                      "sampling"),
 )
-def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
-                      side_frames, side_valid, centers, centers_valid, n_side,
-                      height: int, width: int, use_farneback: bool = False,
-                      use_pallas=None, sampling: str = "taylor"):
-    """Full dense update for one main camera against K (padded) sides.
+def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
+                              side_cams, side_frames, side_valid, centers,
+                              centers_valid, n_side, height: int, width: int,
+                              use_farneback: bool = False, use_pallas=None,
+                              sampling: str = "taylor"):
+    """Full dense update for B main cameras x K (padded) sides each — the
+    production step of reconstruct.py's camera-bundle batching.
 
-    soup: (T, 3, 3) world triangles + (T,) validity; cam_main: (4, 4);
-    frame_main: (H, W); side_cams: (K, 4, 4); side_frames: (K, H, W);
-    side_valid: (K,); centers: (C, 3) camera centers (main first);
-    centers_valid: (C,); n_side: scalar int.
+    soup: (T, 3, 3) world triangles + (T,) validity (shared — the mesh is
+    global state like the reference's single VBO, render_glx.cpp:230-258);
+    cam_mains: (B, 4, 4); frames_main: (B, H, W); side_cams: (B, K, 4, 4);
+    side_frames: (B, K, H, W); side_valid: (B, K); centers: (B, C, 3);
+    centers_valid: (B, C); n_side: (B,).
 
-    Returns dict(point4, normals, pdf, valid, depth).
+    Natively batched rather than ``jax.vmap`` of the single-camera update:
+    vmap turns every Pallas call into a batch grid dimension (~3x the
+    kernel cost per element, measured v5e), while here the B*K dense
+    sampling passes ride ONE vertically-stacked kernel each and the
+    B*(K+1) depth renders one raster dispatch.
+
+    Returns dict(point4, normals, pdf, valid, depth), all with leading B.
     """
     depth_of = _depth_fn(use_pallas, height, width)
-    frame_main = jnp.asarray(frame_main, jnp.float32)
+    frames_main = jnp.asarray(frames_main, jnp.float32)
     side_cams = jnp.asarray(side_cams, jnp.float32)
     side_frames = jnp.asarray(side_frames, jnp.float32)
     side_valid = jnp.asarray(side_valid)
+    b, k = side_frames.shape[:2]
 
-    # Stage 1a — ALL depth renders (main + K sides) in one batched raster
-    # dispatch. The reference renders each from the same static mesh
+    # Stage 1a — ALL depth renders (B mains + B*K sides) in one batched
+    # raster dispatch. The reference renders each from the same static mesh
     # (render_glx.cpp:261-397), so they are independent.
-    all_cams = jnp.concatenate([cam_main[None], side_cams], axis=0)
-    all_depths = jax.vmap(lambda c: depth_of(c, soup, soup_valid))(all_cams)
-    depth0 = all_depths[0]
+    all_cams = jnp.concatenate([cam_mains[:, None], side_cams], axis=1)
+    all_depths = jax.vmap(lambda c: depth_of(c, soup, soup_valid))(
+        all_cams.reshape(b * (k + 1), 4, 4)
+    ).reshape(b, k + 1, height, width)
+    depth0 = all_depths[:, 0]
 
     # Stage 1b — BATCHED projective texturing. The reference's projected()
     # rasterizes the PRISTINE mesh for every side (render_glx.cpp:261-367);
     # only mixBackground's carried depth couples the sides
-    # (util.cpp:366-387), so the K projections vmap and the sequential part
-    # reduces to the cheap elementwise mix chain below.
-    intens, masks = jax.vmap(
-        lambda cs, fs_, ds: projected_image(cam_main, depth0, fs_, cs, ds)
-    )(side_cams, side_frames, all_depths[1:])
+    # (util.cpp:366-387), so all B*K projections run in one pass and the
+    # sequential part reduces to the cheap elementwise mix chain below.
+    intens, masks = projected_image_batched(cam_mains, depth0, side_frames,
+                                            side_cams, all_depths[:, 1:])
 
     # Stage 1c — sequential background-mix chain (each side's mix sees the
     # previous side's masked depth, exactly like the in-place mutation at
     # util.cpp:366-387). K is a small static bucket: unrolled Python loop.
     depth = depth0
     mixed_list = []
-    for i in range(side_cams.shape[0]):
-        mixed, new_depth = mix_background(intens[i], masks[i], frame_main,
-                                          depth)
+    for i in range(k):
+        mixed, new_depth = mix_background(intens[:, i], masks[:, i],
+                                          frames_main, depth)
         # padded sides: leave the depth untouched, weight the flow out later
-        depth = jnp.where(side_valid[i], new_depth, depth)
+        depth = jnp.where(side_valid[:, i, None, None], new_depth, depth)
         mixed_list.append(mixed)
     depth_final = depth
-    mixed_all = jnp.stack(mixed_list)
+    mixed_all = jnp.stack(mixed_list, axis=1)  # (B, K, H, W)
 
-    # Stage 2 — BATCHED flow solve over all K sides at once. The pyramidal
-    # solver is LAUNCH-bound on TPU (6 levels x 2 warps x 60 Jacobi sweeps
-    # = 720 sequential micro-kernels, ~36 ms/side measured while the
-    # arithmetic itself sums to ~2 ms); vmapping the sides multiplies the
-    # work per launch by K without adding launches.
+    # Stage 2 — ONE batched flow solve over all B*K (main, side) pairs:
+    # relaxation sweeps and pyramid ops widen elementwise, warps share one
+    # stacked Pallas launch per level.
     if use_farneback:
-        h, w = frame_main.shape
-        sigma = max((h + w) / 1000.0, 0.7)
-        flows2 = jax.vmap(
-            lambda mixed: farneback_flow(
-                frame_main, mixed,
+        sigma = max((height + width) / 1000.0, 0.7)
+        flows2 = jax.vmap(jax.vmap(
+            lambda fm, mixed: farneback_flow(
+                fm, mixed,
                 poly_n=5 if sigma < 1.5 else 7,
                 poly_sigma=sigma,
-                win=max((h + w) // 200, 2))
-        )(mixed_all)
+                win=max((height + width) // 200, 2)),
+            in_axes=(None, 0)))(frames_main, mixed_all)
     else:
-        # one batched solve for all K sides: sweeps/pyramids widen
-        # elementwise, warps share one stacked Pallas launch per level
-        flows2 = variational_flow(frame_main, mixed_all)
+        flows2 = variational_flow(frames_main[:, None], mixed_all)
 
     # bicubic re-warp for the variance estimate: 16 gathers/pixel cost
     # ~49 ms real at 640x480 — the tile-warp kernel does it in <1 ms
@@ -134,17 +142,19 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
 
         rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4)
     else:
-        rewarped = jax.vmap(lambda fl, im: flow_remap(fl, im))(
-            flows2, mixed_all)
-    var = jax.vmap(lambda rw: compare(frame_main, rw))(rewarped)
+        rewarped = jax.vmap(jax.vmap(flow_remap))(flows2, mixed_all)
+    var = compare(frames_main[:, None], rewarped)  # (B, K, H, W)
     flows = jnp.concatenate(
         [flows2, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
     )
 
-    out = triangulate_pixels(flows, cam_main, side_cams, side_valid,
-                             depth_final, sampling=sampling)
-    normals = estimate_normals(out["point4"], out["valid"], out["pdf"],
-                               centers, centers_valid, n_side)
+    out = jax.vmap(
+        lambda fl, cm, sc, sv, d: triangulate_pixels(fl, cm, sc, sv, d,
+                                                     sampling=sampling)
+    )(flows, cam_mains, side_cams, side_valid, depth_final)
+    normals = jax.vmap(estimate_normals)(out["point4"], out["valid"],
+                                         out["pdf"], centers, centers_valid,
+                                         n_side)
     return {
         "point4": out["point4"],
         "normals": normals,
@@ -152,3 +162,38 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
         "valid": out["valid"],
         "depth": depth_final,
     }
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "use_farneback", "use_pallas",
+                     "sampling"),
+)
+def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
+                      side_frames, side_valid, centers, centers_valid, n_side,
+                      height: int, width: int, use_farneback: bool = False,
+                      use_pallas=None, sampling: str = "taylor"):
+    """Full dense update for ONE main camera against K (padded) sides —
+    the B=1 slice of :func:`fused_main_update_batched` (same program,
+    same semantics; see there for the stage structure).
+
+    soup: (T, 3, 3) world triangles + (T,) validity; cam_main: (4, 4);
+    frame_main: (H, W); side_cams: (K, 4, 4); side_frames: (K, H, W);
+    side_valid: (K,); centers: (C, 3) camera centers (main first);
+    centers_valid: (C,); n_side: scalar int.
+
+    Returns dict(point4, normals, pdf, valid, depth).
+    """
+    out = fused_main_update_batched(
+        soup, soup_valid, jnp.asarray(cam_main, jnp.float32)[None],
+        jnp.asarray(frame_main, jnp.float32)[None],
+        jnp.asarray(side_cams, jnp.float32)[None],
+        jnp.asarray(side_frames, jnp.float32)[None],
+        jnp.asarray(side_valid)[None],
+        jnp.asarray(centers, jnp.float32)[None],
+        jnp.asarray(centers_valid)[None],
+        jnp.asarray(n_side)[None],
+        height=height, width=width, use_farneback=use_farneback,
+        use_pallas=use_pallas, sampling=sampling,
+    )
+    return jax.tree_util.tree_map(lambda x: x[0], out)

@@ -46,17 +46,17 @@ def _vmapped_step(h, w, use_farneback, sampling):
     iterations reuse one compiled program per shape."""
     import jax
 
-    from meshrecon.pipeline.fused import fused_main_update
+    from meshrecon.pipeline.fused import fused_main_update_batched
 
     @jax.jit
     def step(soup, soup_valid, mains, fms, scs, sfs, svs, ctrs, cvs, ks):
-        return jax.vmap(
-            lambda mc, f0, sc, sf, sv_, c_, cv_, k_: fused_main_update(
-                soup, soup_valid, mc, f0, sc, sf, sv_, c_, cv_, k_,
-                height=h, width=w, use_farneback=use_farneback,
-                sampling=sampling,
-            )
-        )(mains, fms, scs, sfs, svs, ctrs, cvs, ks)
+        # natively batched (not vmapped): all dense Pallas passes run as
+        # single stacked launches over the whole camera batch
+        return fused_main_update_batched(
+            soup, soup_valid, mains, fms, scs, sfs, svs, ctrs, cvs, ks,
+            height=h, width=w, use_farneback=use_farneback,
+            sampling=sampling,
+        )
 
     return step
 

@@ -148,6 +148,74 @@ def projected_image(camera, depth_main, frame, projector, depth_side,
     return jnp.where(mask, intensity, 0.0), mask
 
 
+@functools.partial(jax.jit, static_argnames=("engine",))
+def projected_image_batched(cam_mains, depth_mains, frames, projectors,
+                            depth_sides, engine: str = "auto"):
+    """Batched projective texturing: B main cameras x K sides in ONE pass.
+
+    cam_mains: (B, 4, 4); depth_mains: (B, H, W); frames: (B, K, H, W);
+    projectors: (B, K, 4, 4); depth_sides: (B, K, H, W).
+    Returns (intensity (B, K, H, W), mask (B, K, H, W) bool).
+
+    Same math as :func:`projected_image`, with the two per-pixel sampling
+    passes going through ONE vertically-stacked tile-warp kernel over all
+    B*K images (vmapping the Pallas call costs ~3x the kernel, measured
+    v5e) and the shadow dilation batched through one reduce_window.
+    """
+    b, k, h, w = frames.shape
+    depth_mains = jnp.asarray(depth_mains, jnp.float32)
+    frames = jnp.asarray(frames, jnp.float32)
+    shadow = jax.lax.reduce_window(
+        jnp.asarray(depth_sides, jnp.float32), -jnp.inf, jax.lax.max,
+        window_dimensions=(1, 1, 3, 3), window_strides=(1, 1, 1, 1),
+        padding="SAME")
+
+    cols = (jnp.arange(w, dtype=jnp.float32) - w / 2.0) * (2.0 / w)
+    rows = (h / 2.0 - jnp.arange(h, dtype=jnp.float32)) * (2.0 / h)
+    x = jnp.broadcast_to(cols[None, :], (h, w))
+    y = jnp.broadcast_to(rows[:, None], (h, w))
+    z = depth_mains[:, None]  # (B, 1, H, W)
+    valid = z != BACKGROUND_DEPTH
+
+    main_inv = jnp.linalg.inv(jnp.asarray(cam_mains, jnp.float32))
+    side = jnp.einsum("bkij,bjl->bkil",
+                      jnp.asarray(projectors, jnp.float32), main_inv)
+
+    def apply_side(row):
+        return (side[:, :, row, 0, None, None] * x
+                + side[:, :, row, 1, None, None] * y
+                + side[:, :, row, 2, None, None] * z
+                + side[:, :, row, 3, None, None])
+
+    s0, s1, s2, sw = apply_side(0), apply_side(1), apply_side(2), apply_side(3)
+    behind = sw <= 1e-6
+    sw_safe = jnp.where(jnp.abs(sw) < 1e-6, 1e-6, sw)
+    sx = s0 / sw_safe
+    sy = s1 / sw_safe
+    sz = s2 / sw_safe
+
+    scol = (sx + 1.0) * 0.5 * w
+    srow = (1.0 - sy) * 0.5 * h
+    inframe = (sx > -1.0) & (sx < 1.0) & (sy > -1.0) & (sy < 1.0) & ~behind
+
+    if engine == "auto":
+        engine = "pallas" if _tpu_backend() else "xla"
+    if engine == "pallas":
+        from meshrecon.flow.tile_warp import tile_warp_sample_batched
+
+        coord_ok = valid & inframe
+        shadow_z = tile_warp_sample_batched(
+            shadow, jnp.round(scol), jnp.round(srow), valid=coord_ok)
+        intensity = tile_warp_sample_batched(frames, scol, srow,
+                                             valid=coord_ok)
+    else:
+        shadow_z = jax.vmap(jax.vmap(nearest_sample))(shadow, scol, srow)
+        intensity = jax.vmap(jax.vmap(bilinear_sample))(frames, scol, srow)
+    visible = shadow_z + 0.01 > sz
+    mask = valid & visible & inframe
+    return jnp.where(mask, intensity, 0.0), mask
+
+
 @jax.jit
 def mix_background(intensity, mask, background, depth):
     """Fill invalid reprojected pixels from the main frame itself.

@@ -88,6 +88,7 @@ def test_end_to_end_sphere(koule_small, tmp_path):
         out_file_name=out,
         seed=3,
         poisson_grid=64,
+        depth_mode="hybrid",  # the CLI default (plane-sweep bootstrap)
         checkpoint_dir=str(tmp_path / "ckpt"),
         verbosity=0,
     )
@@ -98,9 +99,13 @@ def test_end_to_end_sphere(koule_small, tmp_path):
     v3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
     radii = np.linalg.norm(v3 - center, axis=1)
     med = np.median(radii)
-    assert abs(med - radius) / radius < 0.25, (
+    # regression bound: measured 0.0955 at this config (80x60, n=1, seed 3);
+    # the round-1 guard was 0.25
+    assert abs(med - radius) / radius < 0.10, (
         f"median radius {med} vs true {radius}"
     )
+    med_abs = np.median(np.abs(radii - radius))
+    assert med_abs / radius < 0.12, f"median abs surface error {med_abs}"
     # checkpoint written and resumable
     from meshrecon.pipeline.checkpoint import load_checkpoint
 

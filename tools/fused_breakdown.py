@@ -37,43 +37,44 @@ def main():
         (soup, soup_valid, mains, fm, sides, fs, sv, centers, cvalid, ns))
 
     def stage_fn(upto):
-        def one(eps, soup, soup_valid, cam_main, frame_main, side_cams,
-                side_frames, side_valid, centers, centers_valid, n_side):
+        def batched(eps, soup, soup_valid, cam_mains, frames_main, side_cams,
+                    side_frames, side_valid, centers, centers_valid, n_side):
             # eps perturbs EVERY input so no stage is loop-invariant (XLA
             # would hoist an eps-free render chain out of the rep loop,
             # silently crediting its cost to whichever stage first consumes
             # a perturbed value)
             soup = jnp.asarray(soup, jnp.float32) + eps
             side_frames = jnp.asarray(side_frames, jnp.float32) + eps
-            frame_main = jnp.asarray(frame_main, jnp.float32) + eps
+            frames_main = jnp.asarray(frames_main, jnp.float32) + eps
             side_cams = jnp.asarray(side_cams, jnp.float32)
-            side_frames = jnp.asarray(side_frames, jnp.float32)
             side_valid = jnp.asarray(side_valid)
+            b, k = side_frames.shape[:2]
             depth_of = F._depth_fn(None, H, W)
-            all_cams = jnp.concatenate([cam_main[None], side_cams], axis=0)
+            all_cams = jnp.concatenate([cam_mains[:, None], side_cams],
+                                       axis=1)
             all_depths = jax.vmap(
-                lambda c: depth_of(c, soup, soup_valid))(all_cams)
-            depth0 = all_depths[0]
+                lambda c: depth_of(c, soup, soup_valid)
+            )(all_cams.reshape(b * (k + 1), 4, 4)).reshape(b, k + 1, H, W)
+            depth0 = all_depths[:, 0]
             if upto == "depth0":
                 return all_depths
 
-            intens, masks = jax.vmap(
-                lambda cs, fs_, ds: F.projected_image(cam_main, depth0, fs_,
-                                                      cs, ds)
-            )(side_cams, side_frames, all_depths[1:])
+            intens, masks = F.projected_image_batched(
+                cam_mains, depth0, side_frames, side_cams, all_depths[:, 1:])
             depth = depth0
             mixed_list = []
-            for i in range(side_cams.shape[0]):
-                mixed, new_depth = F.mix_background(intens[i], masks[i],
-                                                    frame_main, depth)
-                depth = jnp.where(side_valid[i], new_depth, depth)
+            for i in range(k):
+                mixed, new_depth = F.mix_background(intens[:, i], masks[:, i],
+                                                    frames_main, depth)
+                depth = jnp.where(side_valid[:, i, None, None], new_depth,
+                                  depth)
                 mixed_list.append(mixed)
             depth_final = depth
-            mixed_all = jnp.stack(mixed_list)
+            mixed_all = jnp.stack(mixed_list, axis=1)
             if upto == "scan":
                 return depth_final, mixed_all
 
-            flows2 = F.variational_flow(frame_main, mixed_all)
+            flows2 = F.variational_flow(frames_main[:, None], mixed_all)
             if upto == "flow":
                 return depth_final, flows2
 
@@ -81,29 +82,24 @@ def main():
                 from meshrecon.flow.tile_warp import tile_warp_flow_batched
                 rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4)
             else:
-                rewarped = jax.vmap(F.flow_remap)(flows2, mixed_all)
-            var = jax.vmap(lambda rw: F.compare(frame_main, rw))(rewarped)
+                rewarped = jax.vmap(jax.vmap(F.flow_remap))(flows2, mixed_all)
+            var = F.compare(frames_main[:, None], rewarped)
             flows = jnp.concatenate(
                 [flows2, var[..., None], jnp.zeros_like(var)[..., None]],
                 axis=-1)
             if upto == "var":
                 return depth_final, flows
 
-            out = F.triangulate_pixels(flows, cam_main, side_cams, side_valid,
-                                       depth_final, sampling="taylor")
+            out = jax.vmap(
+                lambda fl, cm, sc, sv, d: F.triangulate_pixels(
+                    fl, cm, sc, sv, d, sampling="taylor")
+            )(flows, cam_mains, side_cams, side_valid, depth_final)
             if upto == "tri":
                 return out
-            normals = F.estimate_normals(out["point4"], out["valid"],
-                                         out["pdf"], centers, centers_valid,
-                                         n_side)
+            normals = jax.vmap(F.estimate_normals)(
+                out["point4"], out["valid"], out["pdf"], centers,
+                centers_valid, n_side)
             return out["point4"], normals, out["pdf"], out["valid"]
-
-        def batched(eps, soup, soup_valid, mcs, f0s, scs, sfs, svv, ctr, cv,
-                    k):
-            return jax.vmap(
-                lambda mc, f0, sc, sf, s_, c_, cv_, k_: one(
-                    eps, soup, soup_valid, mc, f0, sc, sf, s_, c_, cv_, k_)
-            )(mcs, f0s, scs, sfs, svv, ctr, cv, k)
         return batched
 
     prev = 0.0
