@@ -469,3 +469,20 @@ def reconstruct(config) -> Mesh:
     save_mesh(mesh, config.out_file_name)
     config.log(2, " Saved, done.")
     return mesh
+
+
+def reconstruct_scenes(configs) -> list[Mesh]:
+    """Reconstruct several scenes (clips) in one process.
+
+    The reference handles one clip per process (configuration.cpp:169).
+    Scenes here share every compiled device program (same frame shape and
+    K buckets -> one XLA executable serves all scenes, so only the first
+    scene pays compilation), which is the practical win of batch
+    processing on a single chip; ACROSS chips, scene-parallel execution of
+    the dense stage is available via sharding.sharded_multi_scene_update
+    (scenes are fully independent — no cross-scene collective exists).
+
+    configs: iterable of Config (each with its own frames/track/output).
+    Returns the list of output meshes, in order.
+    """
+    return [reconstruct(cfg) for cfg in configs]

@@ -417,3 +417,22 @@ def test_initial_mesh_flag(koule_small, tmp_path):
     mesh = hint.tessellate(track.bundles, np.zeros((len(track.bundles), 3)))
     assert len(mesh.faces) == len(faces)
     assert hint.alpha_vals[-1] == 1.0  # heuristic.cpp:531
+
+
+def test_reconstruct_scenes(koule_small, tmp_path):
+    """Multi-scene convenience driver: both scenes reconstruct, programs
+    are shared (second scene must not recompile: same shapes)."""
+    from meshrecon.pipeline.reconstruct import reconstruct_scenes
+
+    track, frames = koule_small
+    cfgs = [
+        Config(track=track, frames=frames, iteration_count=1, seed=s,
+               poisson_grid=64, depth_mode="hybrid",
+               out_file_name=str(tmp_path / f"scene{s}.obj"))
+        for s in (3, 4)
+    ]
+    meshes = reconstruct_scenes(cfgs)
+    assert len(meshes) == 2
+    for s, m in zip((3, 4), meshes):
+        assert len(m.faces) > 50
+        assert os.path.exists(str(tmp_path / f"scene{s}.obj"))
