@@ -229,20 +229,49 @@ int64_t filter_points_native(const float *pts, int64_t n, float radius_sq,
                              float *out_density, float *out_score) {
     if (n <= 0) return 0;
     const double radius = std::sqrt((double)radius_sq);
-    const double inv_cell = 1.0 / std::max(radius, 1e-12);
 
     // --- grid hash: 21 bits per axis ---
     double mins[3] = {1e300, 1e300, 1e300};
     for (int64_t i = 0; i < n; i++)
         for (int d = 0; d < 3; d++)
             mins[d] = std::min(mins[d], (double)pts[3 * i + d]);
+
+    // Adaptive cell size. cell == radius is right for sparse clouds, but a
+    // DENSE cloud (dense per-pixel depth at full resolution: spacing <<
+    // radius) puts thousands of points into each of the 27 scanned cells
+    // and the capped search degenerates to O(n * cell population) — a
+    // 460k-point sphere measured tens of minutes. Shrink the cell until
+    // mean occupancy is a small multiple of the neighbor cap and scan
+    // rings outward with early termination instead.
+    double cell = std::max(radius, 1e-12);
     std::vector<uint64_t> keys(n);
+    auto pack = [](int64_t cx, int64_t cy, int64_t cz) -> uint64_t {
+        return ((uint64_t)cx << 42) | ((uint64_t)cy << 21) | (uint64_t)cz;
+    };
+    {
+        std::unordered_map<uint64_t, int64_t> occ;
+        for (int shrink = 0; shrink < 5; shrink++) {
+            occ.clear();
+            occ.reserve(n / 4 + 16);
+            const double inv = 1.0 / cell;
+            for (int64_t i = 0; i < n; i++) {
+                int64_t c[3];
+                for (int d = 0; d < 3; d++)
+                    c[d] = (int64_t)(((double)pts[3 * i + d] - mins[d]) * inv);
+                occ[pack(c[0], c[1], c[2])]++;
+            }
+            double mean_occ = (double)n / (double)occ.size();
+            if (mean_occ <= 2.0 * (double)max_neighbors) break;
+            cell *= 0.5;
+        }
+    }
+    const double inv_cell = 1.0 / cell;
+    // ring radius in cells covering the search sphere
+    const int64_t rmax = (int64_t)std::ceil(radius * inv_cell);
+
     auto cell_of = [&](int64_t i, int64_t *c) {
         for (int d = 0; d < 3; d++)
             c[d] = (int64_t)(((double)pts[3 * i + d] - mins[d]) * inv_cell);
-    };
-    auto pack = [](int64_t cx, int64_t cy, int64_t cz) -> uint64_t {
-        return ((uint64_t)cx << 42) | ((uint64_t)cy << 21) | (uint64_t)cz;
     };
     std::vector<int64_t> order_pts(n);
     for (int64_t i = 0; i < n; i++) {
@@ -271,33 +300,59 @@ int64_t filter_points_native(const float *pts, int64_t n, float radius_sq,
     std::vector<float> half_w;
     half_w.reserve((size_t)n * 8);
     std::vector<Cand> cands;
-    for (int64_t i = 0; i < n; i++) {
-        int64_t c[3];
-        cell_of(i, c);
-        cands.clear();
-        for (int dx = -1; dx <= 1; dx++)
-            for (int dy = -1; dy <= 1; dy++)
-                for (int dz = -1; dz <= 1; dz++) {
-                    if (c[0] + dx < 0 || c[1] + dy < 0 || c[2] + dz < 0)
-                        continue;
-                    auto it = cells.find(pack(c[0] + dx, c[1] + dy, c[2] + dz));
-                    if (it == cells.end()) continue;
-                    for (int64_t s = it->second.first; s < it->second.second; s++) {
-                        int64_t j = order_pts[s];
-                        if (j == i) continue;
-                        float ddx = pts[3 * i] - pts[3 * j];
-                        float ddy = pts[3 * i + 1] - pts[3 * j + 1];
-                        float ddz = pts[3 * i + 2] - pts[3 * j + 2];
-                        float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
-                        if (d2 <= radius_sq) cands.push_back({d2, j});
-                    }
-                }
+    auto prune = [&](void) -> float {
+        // keep the max_neighbors nearest; return their max d2
         if ((int64_t)cands.size() > max_neighbors) {
             std::nth_element(cands.begin(), cands.begin() + max_neighbors,
                              cands.end(),
                              [](const Cand &a, const Cand &b) { return a.d2 < b.d2; });
             cands.resize(max_neighbors);
         }
+        float kth = 0.0f;
+        for (const Cand &cd : cands) kth = std::max(kth, cd.d2);
+        return kth;
+    };
+    for (int64_t i = 0; i < n; i++) {
+        int64_t c[3];
+        cell_of(i, c);
+        cands.clear();
+        // scan rings of cells outward (Chebyshev shells); a ring at cell
+        // distance r cannot contain a point nearer than (r-1)*cell, so once
+        // the neighbor cap is full of nearer points the search stops —
+        // dense clouds terminate after a couple of fine-cell rings
+        for (int64_t r = 0; r <= rmax; r++) {
+            if ((int64_t)cands.size() >= max_neighbors) {
+                double ring_min = (double)(r - 1) * cell;
+                if (ring_min > 0.0) {
+                    float kth = prune();
+                    if ((double)kth <= ring_min * ring_min) break;
+                }
+            }
+            for (int64_t dx = -r; dx <= r; dx++)
+                for (int64_t dy = -r; dy <= r; dy++)
+                    for (int64_t dz = -r; dz <= r; dz++) {
+                        // shell only: at least one coordinate at +-r
+                        if (std::max({std::llabs(dx), std::llabs(dy),
+                                      std::llabs(dz)}) != r)
+                            continue;
+                        if (c[0] + dx < 0 || c[1] + dy < 0 || c[2] + dz < 0)
+                            continue;
+                        auto it = cells.find(
+                            pack(c[0] + dx, c[1] + dy, c[2] + dz));
+                        if (it == cells.end()) continue;
+                        for (int64_t s = it->second.first;
+                             s < it->second.second; s++) {
+                            int64_t j = order_pts[s];
+                            if (j == i) continue;
+                            float ddx = pts[3 * i] - pts[3 * j];
+                            float ddy = pts[3 * i + 1] - pts[3 * j + 1];
+                            float ddz = pts[3 * i + 2] - pts[3 * j + 2];
+                            float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                            if (d2 <= radius_sq) cands.push_back({d2, j});
+                        }
+                    }
+        }
+        prune();
         for (const Cand &cd : cands) {
             int64_t a = std::max(i, cd.j), b = std::min(i, cd.j);
             half.push_back(((uint64_t)a << 32) | (uint64_t)b);
