@@ -35,7 +35,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from meshrecon.raster.rasterizer import clip_triangles_near, _setup_screen
+from meshrecon.raster.rasterizer import clip_project_planes
 
 TILE_H = 8
 TILE_W = 128
@@ -157,38 +157,35 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
     sorted (Renderer.load_mesh does this); an unsorted soup is still correct,
     just slower (looser chunk bboxes -> longer tile lists).
     """
-    camera = jnp.asarray(camera, jnp.float32)
-    soup = jnp.asarray(soup, jnp.float32)
-    tri_clip = jnp.einsum(
-        "ij,tvj->tvi", camera[:, :3], soup,
-        precision=jax.lax.Precision.HIGHEST,
-    ) + camera[:, 3]
-    tris, cvalid = clip_triangles_near(tri_clip)
-    cvalid &= soup_valid[:, None]
-    # interleave the two clip outputs so both stay in the source triangle's
-    # spatial neighborhood (reshape keeps pair adjacency)
-    tris = tris.reshape(-1, 3, 4)
-    cvalid = cvalid.reshape(-1)
-    x, y, z, area, ok, _ = _setup_screen(tris, cvalid)
+    # slot-interleaved per-component planes (the (T, 2, 3, 4) array form
+    # carries trailing small dims that TPU tiling pads 32x; see
+    # clip_project_planes)
+    (x0, x1, x2, y0, y1, y2, z0, z1, z2, area, ok) = clip_project_planes(
+        camera, soup, soup_valid)
 
-    t = x.shape[0]
+    t = x0.shape[0]
     pad = (-t) % SLAB
 
     def padc(a, fill=0.0):
-        return jnp.pad(a, [(0, pad)] + [(0, 0)] * (a.ndim - 1),
-                       constant_values=fill)
+        return jnp.pad(a, (0, pad), constant_values=fill)
 
-    x, y, z = padc(x), padc(y), padc(z)
+    x0, x1, x2 = padc(x0), padc(x1), padc(x2)
+    y0, y1, y2 = padc(y0), padc(y1), padc(y2)
+    z0, z1, z2 = padc(z0), padc(z1), padc(z2)
     area = padc(area, 1.0)
     ok = padc(ok)
-    n_slabs = x.shape[0] // SLAB
+    n_slabs = x0.shape[0] // SLAB
 
     inv_area = jnp.where(ok & (jnp.abs(area) > 1e-12), 1.0 / area, 0.0)
     big = jnp.float32(3e38)
-    xmin = jnp.where(ok, jnp.min(x, axis=1), big)
-    xmax = jnp.where(ok, jnp.max(x, axis=1), -big)
-    ymin = jnp.where(ok, jnp.min(y, axis=1), big)
-    ymax = jnp.where(ok, jnp.max(y, axis=1), -big)
+    xmn = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmx = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymn = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymx = jnp.maximum(jnp.maximum(y0, y1), y2)
+    xmin = jnp.where(ok, xmn, big)
+    xmax = jnp.where(ok, xmx, -big)
+    ymin = jnp.where(ok, ymn, big)
+    ymax = jnp.where(ok, ymx, -big)
 
     nty = -(-height // TILE_H)
     ntx = -(-width // TILE_W)
@@ -204,9 +201,7 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
                            + TILE_H - 1)) * (2.0 / height)
 
     packed_all = jnp.concatenate(
-        [x[:, 0], x[:, 1], x[:, 2],
-         y[:, 0], y[:, 1], y[:, 2],
-         z[:, 0], z[:, 1], z[:, 2],
+        [x0, x1, x2, y0, y1, y2, z0, z1, z2,
          inv_area, xmin, xmax, ymin, ymax]
     ).reshape(14, n_slabs, SLAB)
 
