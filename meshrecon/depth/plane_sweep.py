@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from meshrecon import BACKGROUND_DEPTH
-from meshrecon.raster.fragment import bilinear_sample
+from meshrecon.raster.fragment import bilinear_sample, nearest_sample
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -51,7 +51,7 @@ def _tpu_backend() -> bool:
 def plane_sweep_depth(frame_main, frames_side, cam_main, cams_side, side_valid,
                       z_min, z_max, num_depths: int = 64,
                       engine: str = "auto", interpret: bool = False,
-                      axis_name: str | None = None):
+                      axis_name: str | None = None, side_weight=None):
     """Dense NDC depth for the main frame by plane-sweep matching.
 
     frame_main: (H, W); frames_side: (K, H, W); cam_main: (4, 4); cams_side:
@@ -67,6 +67,18 @@ def plane_sweep_depth(frame_main, frames_side, cam_main, cams_side, side_valid,
     whole cost of the sweep on TPU (~12 ms/warp at 640x480 vs <0.5 ms).
     The column residual budget is widened: an oblique homography's scale
     deviation accumulates over the 128-lane tile width.
+
+    side_weight (optional, (K, H, W) in [0, 1]): per-(side, pixel) vote
+    weight, typically the CURRENT surface estimate's visibility mask of
+    each main pixel in each side view (the reference's shadow test,
+    shader.frag:17-18 / raster/fragment.projected_image). Self-occluded
+    views otherwise vote with unrelated texture and bias the depth
+    (measured -0.09 r median on the koule sphere, worst face-on where
+    wide-baseline sides see past the limb). The weight is deliberately
+    CONSTANT across depth planes: a per-plane occlusion test bends each
+    pixel's cost curve where the side set changes and corrupts the
+    parabolic refinement (measured 0.0005 -> 0.02 NDC error on the plane
+    scene).
     """
     fm = jnp.asarray(frame_main, jnp.float32)
     fs = jnp.asarray(frames_side, jnp.float32)
@@ -76,6 +88,8 @@ def plane_sweep_depth(frame_main, frames_side, cam_main, cams_side, side_valid,
     cm = jnp.einsum("kij,jl->kil", jnp.asarray(cams_side, jnp.float32),
                     main_inv, precision=_HI)
     vmask = jnp.asarray(side_valid).astype(jnp.float32)
+    swt = (None if side_weight is None
+           else jnp.asarray(side_weight, jnp.float32))
     use_pallas = (engine == "pallas"
                   or (engine == "auto" and _tpu_backend()
                       and h >= 64 and w >= 128))
@@ -107,17 +121,16 @@ def plane_sweep_depth(frame_main, frames_side, cam_main, cams_side, side_valid,
         scol = (sx + 1.0) * 0.5 * w
         srow = (1.0 - sy) * 0.5 * h
         if use_pallas:
-            from meshrecon.flow.tile_warp import tile_warp_sample
+            from meshrecon.flow.tile_warp import tile_warp_sample_batched
 
-            samp = jax.vmap(
-                lambda f, sc, sr, v: tile_warp_sample(f, sc, sr, valid=v,
-                                                      r_col=24,
-                                                      interpret=interpret)
-            )(fs, scol, srow, ok)  # (K, H, W)
+            samp = tile_warp_sample_batched(fs, scol, srow, valid=ok,
+                                            r_col=24, interpret=interpret)
         else:
             samp = jax.vmap(bilinear_sample)(fs, scol, srow)  # (K, H, W)
         diff = jnp.abs(samp - fm[None])
         wgt = ok.astype(jnp.float32) * vmask[:, None, None]
+        if swt is not None:
+            wgt = wgt * swt
         num = jnp.sum(diff * wgt, axis=0)
         den = jnp.sum(wgt, axis=0)
         if axis_name is not None:

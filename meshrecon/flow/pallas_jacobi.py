@@ -36,17 +36,29 @@ from jax.experimental.pallas import tpu as pltpu
 # VMEM budget for the five banded fields (bytes); leaves headroom for the
 # sweep temporaries, the double-buffered output blocks, and Mosaic's own
 # scratch inside the 16 MB core budget (a single 640x480 band measured
-# 17.4 MB scoped with an 8 MB budget — 4 MB forces banding there).
-_VMEM_FIELD_BUDGET = 4 * 1024 * 1024
+# 17.4 MB scoped with an 8 MB budget; a 240-row band at width 640 under a
+# 4 MB budget measured 16.48 MB scoped — 488 KB over).
+_VMEM_FIELD_BUDGET = 3 * 1024 * 1024
 
 
-def _sweep_kernel(band, halo, height, width, sweeps, alpha2,
+def _sweep_kernel(band, halo, height, stride_h, width, sweeps, alpha2,
                   ix_hbm, iy_hbm, c_hbm, u_hbm, v_hbm,
                   u_out, v_out, ixb, iyb, cb, ub, vb, sems):
-    """One band: DMA fields+halo, run ``sweeps`` Jacobi sweeps, write center."""
+    """One band: DMA fields+halo, run ``sweeps`` Jacobi sweeps, write center.
+
+    ``height`` is the height of ONE image; the arrays may hold a vertical
+    STACK of images (total rows = N*height), with band dividing height so
+    no band straddles two images. The border masks are per-image (local
+    row 0 / height-1), which blocks Jacobi propagation across image
+    boundaries — halo rows read from a neighboring image never influence
+    this image's interior.
+    """
     i = pl.program_id(0)
     ext = band + 2 * halo
-    row0 = i * band  # start row in the halo-padded arrays
+    row0 = i * band  # start row in the halo-padded arrays (stack coords)
+    # image-local base row of this band (scalar arithmetic; stride_h is
+    # the per-image padded height of the stack)
+    img_local0 = row0 - (row0 // stride_h) * stride_h
 
     copies = [
         pltpu.make_async_copy(src.at[pl.ds(row0, ext)], dst, sems.at[k])
@@ -59,9 +71,11 @@ def _sweep_kernel(band, halo, height, width, sweeps, alpha2,
         cp.start()
 
     w = ixb.shape[1]
-    # masks in GLOBAL image coordinates (halo-padded row0 - halo = global)
+    # masks in IMAGE-LOCAL coordinates (halo rows may carry negative /
+    # beyond-height values; they are outside any mask and their content
+    # cannot cross the row-0 / row-(height-1) barriers)
     g_row = (jax.lax.broadcasted_iota(jnp.int32, (ext, w), 0)
-             + (row0 - halo))
+             + (img_local0 - halo))
     col = jax.lax.broadcasted_iota(jnp.int32, (ext, w), 1)
     top = g_row == 0
     bot = g_row == height - 1
@@ -121,21 +135,32 @@ def hs_jacobi(ix, iy, c, u0, v0, alpha2: float, iters: int = 60,
               halo: int = 12, interpret: bool = False):
     """Run ``iters`` Horn-Schunck Jacobi sweeps; returns (u, v).
 
-    ix, iy, c, u0, v0: (H, W) float32 with c = It - Ix*u0 - Iy*v0. Matches
-    variational._hs_sweeps numerics (edge-clamped borders). H, W need not be
-    tile-aligned (padded internally; the border masks use the true
-    height/width so results are unaffected).
+    ix, iy, c, u0, v0: (H, W) — or a BATCH (..., H, W) — float32 with
+    c = It - Ix*u0 - Iy*v0. Matches variational._hs_sweeps numerics
+    (edge-clamped borders). Batches stack vertically into one kernel
+    (jax.vmap over a pallas_call with scratch currently fails to lower);
+    the per-image border masks keep each image's relaxation independent.
+    Batched inputs require H % 8 == 0 (bands must tile every image);
+    unbatched H, W need not be aligned (padded internally).
     """
-    h, w = ix.shape
-    hp = -(-h // 8) * 8
+    lead = ix.shape[:-2]
+    h, w = ix.shape[-2:]
+    n_img = 1
+    for d in lead:
+        n_img *= d
+    if lead and h % 8 != 0:
+        raise ValueError(f"batched hs_jacobi needs H % 8 == 0, got {h}")
+    hp1 = -(-h // 8) * 8  # per-image padded height (== h when batched)
     wp = -(-w // 128) * 128
+    hp = n_img * hp1
 
     def prep(x):
-        return jnp.pad(jnp.asarray(x, jnp.float32),
-                       ((0, hp - h), (0, wp - w)))
+        x = jnp.asarray(x, jnp.float32).reshape((n_img, h, w))
+        return jnp.pad(x, ((0, 0), (0, hp1 - h), (0, wp - w))).reshape(
+            hp, wp)
 
     ix, iy, c, u, v = map(prep, (ix, iy, c, u0, v0))
-    band = _pick_band(hp, wp, halo)
+    band = _pick_band(hp1, wp, halo)
     n_bands = hp // band
     if n_bands == 1:
         halo_eff = 0
@@ -175,11 +200,14 @@ def hs_jacobi(ix, iy, c, u0, v0, alpha2: float, iters: int = 60,
             ],
         )
         u, v = pl.pallas_call(
-            functools.partial(_sweep_kernel, band, halo_eff, h, w, sweeps,
-                              alpha2),
+            functools.partial(_sweep_kernel, band, halo_eff, h, hp1, w,
+                              sweeps, alpha2),
             grid_spec=grid_spec,
             out_shape=(jax.ShapeDtypeStruct((hp, wp), jnp.float32),
                        jax.ShapeDtypeStruct((hp, wp), jnp.float32)),
             interpret=interpret,
         )(ixp, iyp, cp, up, vp)
-    return u[:h, :w], v[:h, :w]
+    out_shape = lead + (h, w)
+    u = u.reshape(n_img, hp1, wp)[:, :h, :w].reshape(out_shape)
+    v = v.reshape(n_img, hp1, wp)[:, :h, :w].reshape(out_shape)
+    return u, v

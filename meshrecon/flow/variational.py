@@ -103,14 +103,23 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla"):
         from meshrecon.flow.tile_warp import (tile_warp_flow,
                                               tile_warp_flow_batched)
 
-        # the gather is the expensive part (12.6 ms vs 0.18 ms at 640x480);
-        # the XLA Jacobi loop itself measured 0.25 ms for 60 sweeps, so the
-        # banded VMEM solver (flow/pallas_jacobi.py) is not needed here
         uv = jnp.stack([u0, v0], axis=-1)
         if next_.ndim >= 3:
             warped = tile_warp_flow_batched(next_, uv)
         else:
             warped = tile_warp_flow(next_, uv)
+        if next_.shape[-2] % 8 == 0:
+            # banded VMEM relaxation: the XLA sweep loop is HBM-bound once
+            # the batch working set exceeds VMEM (6.8 ms/60 sweeps at 12
+            # stacked 640x480 images vs 1.7 at 3); the kernel runs 12
+            # sweeps per HBM round trip
+            from meshrecon.flow.pallas_jacobi import hs_jacobi
+
+            ix, iy = _gradients(prev, warped)
+            it = warped - prev
+            cc = it - ix * u0 - iy * v0
+            u, v = hs_jacobi(ix, iy, cc, u0, v0, alpha2, iters=iters)
+            return u, v, warped
     elif next_.ndim >= 3:
         h, w = next_.shape[-2:]
         uv = jnp.stack([u0, v0], axis=-1)

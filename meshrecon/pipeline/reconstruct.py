@@ -107,7 +107,8 @@ def process_main_camera(config, renderer, fa: int, sides: list[int],
     depth = depth0
 
     if mode == "plane-sweep":
-        return _process_main_plane_sweep(config, fa, sides, depth, timer)
+        return _process_main_plane_sweep(config, renderer, fa, sides,
+                                         depth, timer)
 
     if config.verbosity >= 3:
         save_image(np.asarray(original), f"frame{fa}.png")
@@ -308,7 +309,7 @@ def _process_bundles_batched(config, renderer, bundles, timer):
     return results
 
 
-def _process_main_plane_sweep(config, fa, sides, depth, timer):
+def _process_main_plane_sweep(config, renderer, fa, sides, depth, timer):
     """Alternative dense-depth path: plane-sweep photometric matching over
     the side window (BASELINE config #4). Sweeps the NDC depth range of the
     current surface estimate widened by a margin; matching cost maps to a
@@ -327,13 +328,25 @@ def _process_main_plane_sweep(config, fa, sides, depth, timer):
     dv = d[d < BACKGROUND_DEPTH]
     if dv.size == 0:
         return np.zeros((0, 4), np.float32), np.zeros((0, 3), np.float32), 0
-    margin = 0.1 * max(float(dv.max() - dv.min()), 0.05)
+    span = max(float(dv.max() - dv.min()), 0.05)
+    margin = 0.1 * span
     zlo, zhi = float(dv.min()) - margin, float(dv.max()) + margin
 
+    # Per-(side, pixel) visibility of the CURRENT surface estimate (the
+    # reference's shadow test, shader.frag:17-18) weights each side's
+    # photometric vote: self-occluded side views otherwise vote with
+    # unrelated texture and bias the sweep (measured -0.09 r median on the
+    # koule sphere, worst where wide-baseline sides see past the limb).
     with timer.stage("plane_sweep", npix) as done:
+        side_vis = jnp.stack([
+            renderer.projected(cam_main, config.frame(fb),
+                               config.camera(fb), depth_main=depth)[1]
+            for fb in sides
+        ]).astype(jnp.float32)
         out = plane_sweep_depth(fm, fs, cam_main, cams,
                                 np.ones(len(sides), bool), zlo, zhi,
-                                num_depths=config.sweep_depths)
+                                num_depths=config.sweep_depths,
+                                side_weight=side_vis)
         done(out["depth"])
 
     h, w = config.height, config.width

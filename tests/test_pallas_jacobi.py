@@ -57,3 +57,34 @@ def test_matches_xla_multi_band(rng, monkeypatch):
                                rtol=0, atol=1e-3)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
                                rtol=0, atol=1e-3)
+
+
+def test_hs_jacobi_batched_matches_xla():
+    """Stacked-batch solve (per-image border masks) must equal per-image
+    XLA sweeps — no cross-image propagation through the stack."""
+    from meshrecon.flow.pallas_jacobi import hs_jacobi
+    from meshrecon.flow.variational import _hs_sweeps
+
+    rng = np.random.default_rng(7)
+    k, h, w = 3, 48, 64
+    a = rng.uniform(0, 255, size=(k, h, w)).astype(np.float32)
+    b = rng.uniform(0, 255, size=(k, h, w)).astype(np.float32)
+    u0 = rng.normal(scale=2.0, size=(k, h, w)).astype(np.float32)
+    v0 = rng.normal(scale=2.0, size=(k, h, w)).astype(np.float32)
+    m = 0.5 * (a + b)
+    p = np.pad(m, [(0, 0), (1, 1), (1, 1)], mode="edge")
+    ix = (p[:, 1:-1, 2:] - p[:, 1:-1, :-2]) * 0.5
+    iy = (p[:, 2:, 1:-1] - p[:, :-2, 1:-1]) * 0.5
+    c = (b - a) - ix * u0 - iy * v0
+
+    u_p, v_p = hs_jacobi(jnp.asarray(ix), jnp.asarray(iy), jnp.asarray(c),
+                         jnp.asarray(u0), jnp.asarray(v0), 144.0, iters=24,
+                         interpret=True)
+    for i in range(k):
+        u_x, v_x = _hs_sweeps(jnp.asarray(a[i]), jnp.asarray(b[i]),
+                              jnp.asarray(u0[i]), jnp.asarray(v0[i]),
+                              jnp.float32(144.0), 24)
+        np.testing.assert_allclose(np.asarray(u_p)[i], np.asarray(u_x),
+                                   rtol=0, atol=2e-4, err_msg=f"u k={i}")
+        np.testing.assert_allclose(np.asarray(v_p)[i], np.asarray(v_x),
+                                   rtol=0, atol=2e-4, err_msg=f"v k={i}")
