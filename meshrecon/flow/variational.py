@@ -108,11 +108,15 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla"):
             warped = tile_warp_flow_batched(next_, uv)
         else:
             warped = tile_warp_flow(next_, uv)
-        if next_.shape[-2] % 8 == 0:
-            # banded VMEM relaxation: the XLA sweep loop is HBM-bound once
-            # the batch working set exceeds VMEM (6.8 ms/60 sweeps at 12
-            # stacked 640x480 images vs 1.7 at 3); the kernel runs 12
-            # sweeps per HBM round trip
+        total_px = 1
+        for dd in next_.shape:
+            total_px *= dd
+        if next_.shape[-2] % 8 == 0 and total_px > 2_000_000:
+            # banded VMEM relaxation for LARGE stacks only: XLA fuses the
+            # whole sweep loop VMEM-resident while the working set fits
+            # (K=3 at 640x480: 1.3 ms/60 sweeps — faster than the kernel),
+            # but goes HBM-bound beyond (12 images: 6.8 ms); the kernel
+            # runs 12 sweeps per HBM round trip regardless of stack size
             from meshrecon.flow.pallas_jacobi import hs_jacobi
 
             ix, iy = _gradients(prev, warped)
