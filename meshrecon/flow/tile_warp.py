@@ -69,7 +69,7 @@ def _cubic_weight(t, a=-0.75):
     return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
 
 
-def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref, remy_ref, remx_ref,
+def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref,
                       py_ref, px_ref, src_ref, out_ref, win, sem):
     """One output tile: DMA an ALIGNED window, realign with dynamic rolls,
     accumulate static interpolation taps (bilinear taps=2, bicubic taps=4).
@@ -84,13 +84,20 @@ def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref, remy_ref, remx_ref,
     # scalar-prefetch arrays are 1-D tile-indexed: SMEM pads the last axis
     # to 128 lanes, so a (nty, ntx) layout with tiny ntx cost nty*128*4
     # bytes PER OPERAND (1.4 MB total at 12 stacked images — over the 1 MB
-    # SMEM budget); flat (nty*ntx,) arrays pad once overall
+    # SMEM budget); flat (nty*ntx,) arrays pad once overall. Only the two
+    # UNALIGNED bases ship; the DMA alignment and its roll remainders are
+    # rederived with scalar arithmetic (4 arrays of 64k tiles at 1080p x 32
+    # stacked frames = the whole 1 MB SMEM budget by themselves).
     tile = ti * pl.num_programs(1) + tj
     wh2 = wh + 8  # aligned window incl. alignment slack
     ww2 = _round_up(ww, 128) + 128  # lane dynamic_rotate needs 128-aligned
 
-    by = pl.multiple_of(by_ref[tile], 8)
-    bx = pl.multiple_of(bx_ref[tile], 128)
+    by_raw = by_ref[tile]
+    bx_raw = bx_ref[tile]
+    by = pl.multiple_of((by_raw // 8) * 8, 8)
+    bx = pl.multiple_of((bx_raw // 128) * 128, 128)
+    rem_y = by_raw - (by_raw // 8) * 8
+    rem_x = bx_raw - (bx_raw // 128) * 128
     dma = pltpu.make_async_copy(
         src_ref.at[pl.ds(by, wh2), pl.ds(bx, ww2)], win, sem,
     )
@@ -112,8 +119,6 @@ def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref, remy_ref, remx_ref,
     w = win[:]
     # out[p] = in[p + rem]: roll by (-rem) mod n (same convention the
     # validated round-1 warp kernel used)
-    rem_y = remy_ref[tile]
-    rem_x = remx_ref[tile]
     w = pltpu.roll(w, jnp.mod(wh2 - rem_y, wh2), axis=0)
     w = pltpu.roll(w, jnp.mod(ww2 - rem_x, ww2), axis=1)
 
@@ -230,12 +235,6 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
     tx0 = (jnp.arange(ntx, dtype=jnp.int32) * TW)[None, :]
     by = jnp.clip(by + ty0, 0, hs - wh2)
     bx = jnp.clip(bx + tx0, 0, ws - ww2)
-    # align the DMA starts down to the (8, 128) tiling; the kernel rolls the
-    # remainders back out
-    by_al = (by // 8) * 8
-    bx_al = (bx // 128) * 128
-    rem_y = by - by_al
-    rem_x = bx - bx_al
     # window-relative sample coordinates (broadcast per-tile bases back out)
     byf = jnp.broadcast_to(by.astype(jnp.float32)[:, None, :, None],
                            (nty, TH, ntx, TW)).reshape(hp, wp)
@@ -245,7 +244,7 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
     px = scol_p - bxf
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=2,
         grid=(nty, ntx),
         in_specs=[
             pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
@@ -266,8 +265,7 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         interpret=interpret,
-    )(by_al.reshape(-1), bx_al.reshape(-1), rem_y.reshape(-1),
-      rem_x.reshape(-1), py, px, src_p)
+    )(by.reshape(-1), bx.reshape(-1), py, px, src_p)
     return out[:ho, :wo]
 
 
