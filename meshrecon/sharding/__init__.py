@@ -7,6 +7,7 @@ from meshrecon.sharding.meshes import (
     multi_scene_update,
     sharded_multi_scene_update,
     sharded_plane_sweep,
+    sharded_multi_scene_fused,
     make_window_mesh,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "multi_scene_update",
     "sharded_multi_scene_update",
     "sharded_plane_sweep",
+    "sharded_multi_scene_fused",
     "make_window_mesh",
 ]

@@ -261,3 +261,50 @@ def make_window_mesh(n_window: int, devices=None) -> Mesh:
     """1-D device mesh over the plane-sweep frame window."""
     devices = devices if devices is not None else jax.devices()[:n_window]
     return Mesh(np.asarray(devices).reshape(n_window), ("window",))
+
+
+def sharded_multi_scene_fused(mesh: Mesh, height: int, width: int,
+                              use_farneback: bool = False):
+    """Scene-sharded FUSED dense update: each device runs the complete
+    batched per-camera update (pipeline.fused.fused_main_update_batched —
+    renders, reprojection, flow, triangulation, normals) for its local
+    scene(s), including each scene's OWN triangle soup. Replaces the legacy
+    ``sharded_multi_scene_update`` path (which shards the unfused
+    dense_update_batch and needs precomputed depths/reprojections).
+
+    Uses shard_map: inside a shard the program is the plain single-scene
+    code, so the Pallas kernels run untransformed (vmapping them costs ~3x;
+    batching them across scenes with different soups is not meaningful).
+    Scenes are fully independent — no collective at all; outputs stay
+    scene-sharded.
+
+    Every per-scene array gains a leading S axis (soup included:
+    (S, T, 3, 3)). S must be divisible by the mesh's scene-axis size.
+    """
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from meshrecon.pipeline.fused import fused_main_update_batched
+
+    assert "scene" in mesh.axis_names
+
+    def local(soup, soup_valid, mains, fms, scs, sfs, svs, ctrs, cvs, ks):
+        def per_scene(args):
+            so, sv_, mc, fm, sc, sf, svv, ct, cv, k = args
+            return fused_main_update_batched(
+                so, sv_, mc, fm, sc, sf, svv, ct, cv, k,
+                height=height, width=width, use_farneback=use_farneback)
+
+        return jax.lax.map(per_scene, (soup, soup_valid, mains, fms, scs,
+                                       sfs, svs, ctrs, cvs, ks))
+
+    spec = P("scene")
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(spec,) * 10,
+        out_specs={"point4": spec, "normals": spec, "pdf": spec,
+                   "valid": spec, "depth": spec},
+        check_rep=False,
+    )
+    return jax.jit(fn)

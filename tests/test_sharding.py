@@ -154,3 +154,33 @@ def test_sharded_plane_sweep_matches_unsharded():
                                np.asarray(ref["cost"]), rtol=1e-5, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(out["valid"]),
                                   np.asarray(ref["valid"]))
+
+
+def test_sharded_multi_scene_fused_matches_loop():
+    """Scene-sharded fused update (per-scene soups, no collectives) equals
+    a host loop of the batched fused update."""
+    import __graft_entry__ as g
+    from meshrecon.pipeline.fused import fused_main_update_batched
+    from meshrecon.sharding import make_scene_mesh, sharded_multi_scene_fused
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 virtual devices")
+
+    S, B, K, h, w = 4, 2, 2, 32, 32
+    per_scene = [g._fused_problem(b=B, k=K, h=h, w=w, seed=s)
+                 for s in range(S)]
+    argsS = tuple(np.stack([ps[i] for ps in per_scene])
+                  for i in range(10))
+
+    mesh = make_scene_mesh(4, 1, 1, devices=jax.devices()[:4])
+    step = sharded_multi_scene_fused(mesh, height=h, width=w)
+    out = step(*argsS)
+
+    for s in range(S):
+        ref = fused_main_update_batched(*per_scene[s], height=h, width=w)
+        np.testing.assert_array_equal(np.asarray(out["valid"])[s],
+                                      np.asarray(ref["valid"]))
+        sel = np.asarray(ref["valid"])
+        np.testing.assert_allclose(np.asarray(out["point4"])[s][sel],
+                                   np.asarray(ref["point4"])[sel],
+                                   rtol=1e-3, atol=1e-3)

@@ -79,32 +79,31 @@ def config5():
     import jax.numpy as jnp
 
     import __graft_entry__ as g
-    from meshrecon.sharding import make_scene_mesh, sharded_multi_scene_update
+    from meshrecon.sharding import make_scene_mesh, sharded_multi_scene_fused
 
     S, B, K, H, W = 8, 2, 2, 240, 320
     n_dev = min(S, len(jax.devices()))
     print(f"# config5: {S} scenes x {B} cams, {H}x{W}, K={K}, "
-          f"{n_dev} device(s)", flush=True)
+          f"{n_dev} device(s), fused", flush=True)
     mesh = make_scene_mesh(n_dev, 1, 1, devices=jax.devices()[:n_dev])
-    step = sharded_multi_scene_update(mesh, flow_quality="full")
+    step = sharded_multi_scene_fused(mesh, height=H, width=W)
 
-    args1 = g._problem(b=B, k=K, h=H, w=W, seed=0)
+    args1 = g._fused_problem(b=B, k=K, h=H, w=W, seed=0)
     argsS = tuple(np.stack([a] * S) for a in args1)
-    reps = 3
 
     t0 = time.perf_counter()
     out = step(*argsS)
-    s0 = float(np.asarray(jnp.sum(out[0])))
+    s0 = float(np.asarray(jnp.sum(out["point4"])))
     tc = time.perf_counter() - t0
     best = 1e9
     for _ in range(2):
         t0 = time.perf_counter()
         out = step(*argsS)
-        s0 = float(np.asarray(jnp.sum(out[0])))  # noqa: F841 barrier
+        s0 = float(np.asarray(jnp.sum(out["point4"])))  # noqa: F841 barrier
         best = min(best, time.perf_counter() - t0)
     mpix = S * B * H * W / best / 1e6
     print(f"config5: {best*1e3:.1f} ms per {S}-scene x {B}-camera sharded "
-          f"dense update = {mpix:.1f} Mpix/s aggregate "
+          f"FUSED dense update = {mpix:.1f} Mpix/s aggregate "
           f"(compile {tc:.0f}s)", flush=True)
 
 
