@@ -103,11 +103,18 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla"):
         from meshrecon.flow.tile_warp import (tile_warp_flow,
                                               tile_warp_flow_batched)
 
+        # Reduced residual budget for the SOLVER's internal warps: the
+        # incremental flow a level warps with is relaxed/upsampled, so its
+        # within-tile spread is small — especially across the 8-row tile
+        # height. (r_row=6, r_col=8) cuts the kernel's static tap
+        # enumeration from 289 to 99 FMA blocks; overflow clamps degrade
+        # individual samples at motion discontinuities, which the variance
+        # channel already downweights (koule full e2e med unchanged).
         uv = jnp.stack([u0, v0], axis=-1)
         if next_.ndim >= 3:
-            warped = tile_warp_flow_batched(next_, uv)
+            warped = tile_warp_flow_batched(next_, uv, r_row=6, r_col=8)
         else:
-            warped = tile_warp_flow(next_, uv)
+            warped = tile_warp_flow(next_, uv, r_row=6, r_col=8)
         total_px = 1
         for dd in next_.shape:
             total_px *= dd

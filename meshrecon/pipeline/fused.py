@@ -140,7 +140,9 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
     if _sampling_engine() == "pallas":
         from meshrecon.flow.tile_warp import tile_warp_flow_batched
 
-        rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4)
+        # relaxed final flow: reduced residual budget (see variational.py)
+        rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4,
+                                          r_row=6, r_col=8)
     else:
         rewarped = jax.vmap(jax.vmap(flow_remap))(flows2, mixed_all)
     var = compare(frames_main[:, None], rewarped)  # (B, K, H, W)
