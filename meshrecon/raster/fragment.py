@@ -203,6 +203,11 @@ def projected_image_batched(cam_mains, depth_mains, frames, projectors,
     if engine == "pallas":
         from meshrecon.flow.tile_warp import tile_warp_sample_batched
 
+        # Full residual budget here: unlike the flow solver's relaxed
+        # fields, reprojection coordinates jump at depth boundaries and a
+        # reduced row budget measurably degraded the downstream flow
+        # targets (koule full e2e med 0.125 -> 0.141 with r_row=6 for a
+        # +0.35 Mpix/s gain — rejected)
         coord_ok = valid & inframe
         shadow_z = tile_warp_sample_batched(
             shadow, jnp.round(scol), jnp.round(srow), valid=coord_ok)
