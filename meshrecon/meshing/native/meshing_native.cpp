@@ -236,62 +236,90 @@ int64_t filter_points_native(const float *pts, int64_t n, float radius_sq,
         for (int d = 0; d < 3; d++)
             mins[d] = std::min(mins[d], (double)pts[3 * i + d]);
 
-    // Adaptive cell size. cell == radius is right for sparse clouds, but a
-    // DENSE cloud (dense per-pixel depth at full resolution: spacing <<
-    // radius) puts thousands of points into each of the 27 scanned cells
-    // and the capped search degenerates to O(n * cell population) — a
-    // 460k-point sphere measured tens of minutes. Shrink the cell until
-    // mean occupancy is a small multiple of the neighbor cap and scan
-    // rings outward with early termination instead.
-    double cell = std::max(radius, 1e-12);
-    std::vector<uint64_t> keys(n);
+    // Two-level grid. A single cell size cannot serve mixed densities:
+    // cell == radius makes dense regions (per-pixel clouds: spacing <<
+    // radius) scan thousands of candidates per point, while a fine cell
+    // makes SPARSE points walk an O((radius/cell)^3) cube of mostly-empty
+    // ring cells to prove absence (a dense sphere + 2% box outliers
+    // measured 374 s with one fine grid). So: a FINE grid (shrunk until
+    // mean occupancy is a small multiple of the cap) serves the dense
+    // bulk, whose ring scans terminate after a couple of rings; any point
+    // whose ring scan visits more than a budget of fine cells falls back
+    // to a direct 27-cell scan of a COARSE grid (cell == radius) — cheap
+    // precisely for the sparse points that trigger it.
     auto pack = [](int64_t cx, int64_t cy, int64_t cz) -> uint64_t {
         return ((uint64_t)cx << 42) | ((uint64_t)cy << 21) | (uint64_t)cz;
     };
+    const double cellC = std::max(radius, 1e-12);
+    double cellF = cellC;
+    std::vector<uint64_t> keys(n);
     {
         std::unordered_map<uint64_t, int64_t> occ;
-        for (int shrink = 0; shrink < 5; shrink++) {
+        for (int shrink = 0; shrink < 8; shrink++) {
             occ.clear();
             occ.reserve(n / 4 + 16);
-            const double inv = 1.0 / cell;
+            const double inv = 1.0 / cellF;
             for (int64_t i = 0; i < n; i++) {
                 int64_t c[3];
                 for (int d = 0; d < 3; d++)
                     c[d] = (int64_t)(((double)pts[3 * i + d] - mins[d]) * inv);
                 occ[pack(c[0], c[1], c[2])]++;
             }
-            double mean_occ = (double)n / (double)occ.size();
-            if (mean_occ <= 2.0 * (double)max_neighbors) break;
-            cell *= 0.5;
+            // POINT-weighted occupancy (sum occ^2 / n): the expected cell
+            // population a random QUERY point sees. The cell-weighted mean
+            // (n / #occupied) is dominated by sparse singleton cells —
+            // 2% box outliers once stopped the shrink at radius/2 while
+            // dense cells still held ~6k points each (400 s search).
+            double sq = 0.0;
+            for (const auto &kv : occ)
+                sq += (double)kv.second * (double)kv.second;
+            if (sq / (double)n <= 2.0 * (double)max_neighbors) break;
+            cellF *= 0.5;
         }
     }
-    const double inv_cell = 1.0 / cell;
-    // ring radius in cells covering the search sphere
-    const int64_t rmax = (int64_t)std::ceil(radius * inv_cell);
+    const double inv_cf = 1.0 / cellF;
+    const double inv_cc = 1.0 / cellC;
+    const int64_t rmax = (int64_t)std::ceil(radius * inv_cf);
+    const int64_t kBudget = 4096;  // fine cells visited before falling back
 
-    auto cell_of = [&](int64_t i, int64_t *c) {
+    auto cell_of_f = [&](int64_t i, int64_t *c) {
         for (int d = 0; d < 3; d++)
-            c[d] = (int64_t)(((double)pts[3 * i + d] - mins[d]) * inv_cell);
+            c[d] = (int64_t)(((double)pts[3 * i + d] - mins[d]) * inv_cf);
     };
-    std::vector<int64_t> order_pts(n);
-    for (int64_t i = 0; i < n; i++) {
-        int64_t c[3];
-        cell_of(i, c);
-        keys[i] = pack(c[0], c[1], c[2]);
-        order_pts[i] = i;
-    }
-    std::sort(order_pts.begin(), order_pts.end(),
-              [&](int64_t a, int64_t b) { return keys[a] < keys[b]; });
-    // cell -> [start, end) ranges in order_pts
-    std::unordered_map<uint64_t, std::pair<int64_t, int64_t>> cells;
-    cells.reserve(n / 2 + 16);
-    for (int64_t s = 0; s < n;) {
-        int64_t e = s;
-        uint64_t k = keys[order_pts[s]];
-        while (e < n && keys[order_pts[e]] == k) e++;
-        cells.emplace(k, std::make_pair(s, e));
-        s = e;
-    }
+    auto cell_of_c = [&](int64_t i, int64_t *c) {
+        for (int d = 0; d < 3; d++)
+            c[d] = (int64_t)(((double)pts[3 * i + d] - mins[d]) * inv_cc);
+    };
+
+    auto build_grid = [&](auto cell_of, std::vector<int64_t> &order,
+                          std::unordered_map<uint64_t,
+                                             std::pair<int64_t, int64_t>> &m,
+                          std::vector<uint64_t> &ks) {
+        order.resize(n);
+        ks.resize(n);
+        for (int64_t i = 0; i < n; i++) {
+            int64_t c[3];
+            cell_of(i, c);
+            ks[i] = pack(c[0], c[1], c[2]);
+            order[i] = i;
+        }
+        std::sort(order.begin(), order.end(),
+                  [&](int64_t a, int64_t b) { return ks[a] < ks[b]; });
+        m.reserve(n / 2 + 16);
+        for (int64_t s = 0; s < n;) {
+            int64_t e = s;
+            uint64_t k = ks[order[s]];
+            while (e < n && ks[order[e]] == k) e++;
+            m.emplace(k, std::make_pair(s, e));
+            s = e;
+        }
+    };
+
+    std::vector<int64_t> order_pts, order_c;
+    std::unordered_map<uint64_t, std::pair<int64_t, int64_t>> cells, cells_c;
+    std::vector<uint64_t> keys_c;
+    build_grid(cell_of_f, order_pts, cells, keys);
+    build_grid(cell_of_c, order_c, cells_c, keys_c);
 
     // --- capped nearest in-radius neighbors per point; half-edge dedup ---
     struct Cand { float d2; int64_t j; };
@@ -314,22 +342,24 @@ int64_t filter_points_native(const float *pts, int64_t n, float radius_sq,
     };
     for (int64_t i = 0; i < n; i++) {
         int64_t c[3];
-        cell_of(i, c);
+        cell_of_f(i, c);
         cands.clear();
-        // scan rings of cells outward (Chebyshev shells); a ring at cell
-        // distance r cannot contain a point nearer than (r-1)*cell, so once
-        // the neighbor cap is full of nearer points the search stops —
-        // dense clouds terminate after a couple of fine-cell rings
-        for (int64_t r = 0; r <= rmax; r++) {
+        // scan rings of FINE cells outward (Chebyshev shells); a ring at
+        // cell distance r cannot contain a point nearer than (r-1)*cellF,
+        // so once the neighbor cap is full of nearer points the search
+        // stops — dense clouds terminate after a couple of rings
+        int64_t visited = 0;
+        bool fallback = false;
+        for (int64_t r = 0; r <= rmax && !fallback; r++) {
             if ((int64_t)cands.size() >= max_neighbors) {
-                double ring_min = (double)(r - 1) * cell;
+                double ring_min = (double)(r - 1) * cellF;
                 if (ring_min > 0.0) {
                     float kth = prune();
                     if ((double)kth <= ring_min * ring_min) break;
                 }
             }
-            for (int64_t dx = -r; dx <= r; dx++)
-                for (int64_t dy = -r; dy <= r; dy++)
+            for (int64_t dx = -r; dx <= r && !fallback; dx++)
+                for (int64_t dy = -r; dy <= r && !fallback; dy++)
                     for (int64_t dz = -r; dz <= r; dz++) {
                         // shell only: at least one coordinate at +-r
                         if (std::max({std::llabs(dx), std::llabs(dy),
@@ -337,12 +367,40 @@ int64_t filter_points_native(const float *pts, int64_t n, float radius_sq,
                             continue;
                         if (c[0] + dx < 0 || c[1] + dy < 0 || c[2] + dz < 0)
                             continue;
+                        if (++visited > kBudget) { fallback = true; break; }
                         auto it = cells.find(
                             pack(c[0] + dx, c[1] + dy, c[2] + dz));
                         if (it == cells.end()) continue;
                         for (int64_t s = it->second.first;
                              s < it->second.second; s++) {
                             int64_t j = order_pts[s];
+                            if (j == i) continue;
+                            float ddx = pts[3 * i] - pts[3 * j];
+                            float ddy = pts[3 * i + 1] - pts[3 * j + 1];
+                            float ddz = pts[3 * i + 2] - pts[3 * j + 2];
+                            float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+                            if (d2 <= radius_sq) cands.push_back({d2, j});
+                        }
+                    }
+        }
+        if (fallback) {
+            // sparse neighborhood at fine scale: the exact 27-cell scan of
+            // the COARSE (cell == radius) grid is cheap for exactly the
+            // points that reach here
+            cands.clear();
+            int64_t cc[3];
+            cell_of_c(i, cc);
+            for (int64_t dx = -1; dx <= 1; dx++)
+                for (int64_t dy = -1; dy <= 1; dy++)
+                    for (int64_t dz = -1; dz <= 1; dz++) {
+                        if (cc[0] + dx < 0 || cc[1] + dy < 0 || cc[2] + dz < 0)
+                            continue;
+                        auto it = cells_c.find(
+                            pack(cc[0] + dx, cc[1] + dy, cc[2] + dz));
+                        if (it == cells_c.end()) continue;
+                        for (int64_t s = it->second.first;
+                             s < it->second.second; s++) {
+                            int64_t j = order_c[s];
                             if (j == i) continue;
                             float ddx = pts[3 * i] - pts[3 * j];
                             float ddy = pts[3 * i + 1] - pts[3 * j + 1];
