@@ -56,6 +56,9 @@ class Config:
     sweep_depths: int = 64
     poisson_grid: int = 128
     poisson_sigma: float = 1.5
+    # drop this quantile of lowest-confidence points from the Poisson splat
+    # (the points stay in the pipeline); 0 disables
+    confidence_prune: float = 0.0
     max_render_faces: int = 65536
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
@@ -161,6 +164,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--poisson-grid", type=int, default=128)
     p.add_argument("--poisson-sigma", type=float, default=1.5,
                    help="Gaussian smoothing (grid cells) of the FFT Poisson solve")
+    p.add_argument("--confidence-prune", type=float, default=0.0,
+                   help="drop this quantile of lowest-confidence points "
+                        "from the Poisson splat (0 disables)")
     p.add_argument("--max-render-faces", type=int, default=65536,
                    help="decimate the render/policy proxy mesh above "
                         "this face count (output mesh unaffected)")
@@ -243,6 +249,7 @@ def config_from_args(argv=None) -> Config:
         poisson_grid=args.poisson_grid,
         max_render_faces=args.max_render_faces,
         poisson_sigma=args.poisson_sigma,
+        confidence_prune=args.confidence_prune,
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile,
         resume=args.resume,

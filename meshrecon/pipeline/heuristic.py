@@ -127,7 +127,17 @@ class Heuristic:
         # scale (unit AVERAGE length, like pcl.cpp:39-44) so accumulated
         # batches from different camera bundles weight comparably and the
         # f32 splat cannot overflow
-        mesh = poisson_surface(points, normalize_normals_average(normals),
+        sp, sn = points, normals
+        prune = getattr(self.config, "confidence_prune", 0.0)
+        if prune > 0.0 and len(points) > 1000:
+            # splat only the top-(1-q) confidence points into the Poisson
+            # indicator (the points themselves stay in the pipeline): the
+            # soft magnitude weighting alone lets a heavy low-confidence
+            # tail roughen the surface
+            conf = np.linalg.norm(np.asarray(normals, np.float64), axis=1)
+            keep = conf >= np.quantile(conf, prune)
+            sp, sn = points[keep], normals[keep]
+        mesh = poisson_surface(sp, normalize_normals_average(sn),
                                grid=self.config.poisson_grid,
                                sigma=getattr(self.config, 'poisson_sigma', 1.5))
         # drop spurious detached sheets (CGAL's seeded mesher never grows
