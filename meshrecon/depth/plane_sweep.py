@@ -174,6 +174,16 @@ def plane_sweep_depth(frame_main, frames_side, cam_main, cams_side, side_valid,
     offset = jnp.clip(offset, -1.0, 1.0)
     depth = best_z + offset * dz
 
-    valid = support >= 2.0  # need at least two side views
+    # Require two side views where the window HAS two — but a single-side
+    # bundle is classic 2-view stereo (main + side) and perfectly valid:
+    # the old hard ">= 2 sides" silently produced ZERO points for every
+    # K=1 bundle (the reference's flow path needs only one side,
+    # recon.cpp:81), which starved whole scenes whose policy picks
+    # single-side pairs (koberec at 320x240 -> empty output mesh).
+    n_sides = jnp.sum(vmask)
+    if axis_name is not None:
+        n_sides = jax.lax.psum(n_sides, axis_name)
+    need = jnp.minimum(2.0, jnp.maximum(n_sides, 1.0))
+    valid = support >= need
     depth = jnp.where(valid, depth, BACKGROUND_DEPTH)
     return {"depth": depth, "cost": best_c, "valid": valid}

@@ -99,13 +99,15 @@ def test_end_to_end_sphere(koule_small, tmp_path):
     v3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
     radii = np.linalg.norm(v3 - center, axis=1)
     med = np.median(radii)
-    # regression bound: measured 0.0955 at this config (80x60, n=1, seed 3);
+    # regression bound: measured 0.103 at this config (80x60, n=1, seed 3)
+    # after single-side bundles began contributing sweep points (they are
+    # noisier but whole scenes previously came out EMPTY without them);
     # the round-1 guard was 0.25
-    assert abs(med - radius) / radius < 0.10, (
+    assert abs(med - radius) / radius < 0.13, (
         f"median radius {med} vs true {radius}"
     )
     med_abs = np.median(np.abs(radii - radius))
-    assert med_abs / radius < 0.12, f"median abs surface error {med_abs}"
+    assert med_abs / radius < 0.14, f"median abs surface error {med_abs}"
     # checkpoint written and resumable
     from meshrecon.pipeline.checkpoint import load_checkpoint
 
