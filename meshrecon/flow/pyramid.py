@@ -66,16 +66,17 @@ def compare(prev, next_):
     prev, next_: (H, W) float images. Returns (H, W) float32 aggregated
     absolute difference — the flow variance estimate.
     """
-    a = jnp.asarray(prev, jnp.float32)
-    b = jnp.asarray(next_, jnp.float32)
+    # pyr_down is linear, so down(a) - down(b) == down(a - b): pyramid the
+    # DIFFERENCE once instead of both images (halves the downward filtering;
+    # the abs stays outside the filter exactly as in util.cpp:332-361)
+    d = jnp.asarray(prev, jnp.float32) - jnp.asarray(next_, jnp.float32)
     diffs = []
-    size = min(a.shape[-2], a.shape[-1])
+    size = min(d.shape[-2], d.shape[-1])
     while True:
-        diffs.append(jnp.abs(a - b))
+        diffs.append(jnp.abs(d))
         if size <= 2:
             break
-        a = pyr_down(a)
-        b = pyr_down(b)
+        d = pyr_down(d)
         size //= 2
     acc = diffs[-1]
     for lvl in range(len(diffs) - 2, -1, -1):

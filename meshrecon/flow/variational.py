@@ -87,7 +87,8 @@ def _hs_sweeps(prev, warped, u0, v0, alpha2, iters):
     return jax.lax.fori_loop(0, iters, body, (u0, v0))
 
 
-def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla"):
+def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla",
+              solver: str = "jacobi", cycles: int = 2):
     """One warp iteration: linearize around (u0, v0) and relax the total flow.
 
     Data term: Ix*(u - u0) + Iy*(v - v0) + It = 0 with It evaluated at the
@@ -118,6 +119,11 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla"):
         total_px = 1
         for dd in next_.shape:
             total_px *= dd
+        if solver == "mg":
+            from meshrecon.flow.multigrid import hs_solve_mg
+
+            u, v = hs_solve_mg(prev, warped, u0, v0, alpha2, cycles=cycles)
+            return u, v, warped
         if next_.shape[-2] % 8 == 0 and total_px > 2_000_000:
             # banded VMEM relaxation for LARGE stacks only: XLA fuses the
             # whole sweep loop VMEM-resident while the working set fits
@@ -139,7 +145,12 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla"):
         ).reshape(next_.shape)
     else:
         warped = bilinear_warp(next_, jnp.stack([u0, v0], axis=-1))
-    u, v = _hs_sweeps(prev, warped, u0, v0, alpha2, iters)
+    if solver == "mg":
+        from meshrecon.flow.multigrid import hs_solve_mg
+
+        u, v = hs_solve_mg(prev, warped, u0, v0, alpha2, cycles=cycles)
+    else:
+        u, v = _hs_sweeps(prev, warped, u0, v0, alpha2, iters)
     return u, v, warped
 
 
@@ -153,7 +164,7 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla"):
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "iters", "warps", "alpha", "min_size",
-                     "engine"),
+                     "engine", "solver", "cycles"),
 )
 def variational_flow(
     prev,
@@ -164,6 +175,8 @@ def variational_flow(
     alpha: float = 12.0,
     min_size: int = 12,
     engine: str = "auto",
+    solver: str = "mg",
+    cycles: int = 2,
 ):
     """Dense flow prev -> next: next(x + flow(x)) ~= prev(x).
 
@@ -179,6 +192,9 @@ def variational_flow(
     per element on v5e).
 
     engine: "auto" (Pallas kernels on TPU, XLA elsewhere), "pallas", "xla".
+    solver: "mg" (default) runs ``cycles`` multigrid W-cycles per warp
+    (flow/multigrid.py) — better-converged than the 60-sweep Jacobi budget
+    at ~1/3 the fine-grid work; "jacobi" runs ``iters`` plain sweeps.
     """
     if engine == "auto":
         engine = "pallas" if _tpu_backend() else "xla"
@@ -203,5 +219,6 @@ def variational_flow(
             u = pyr_up(u, a.shape[-2:]) * 2.0
             v = pyr_up(v, a.shape[-2:]) * 2.0
         for _ in range(warps):
-            u, v, _ = _hs_level(a, b, u, v, alpha2, iters, engine=engine)
+            u, v, _ = _hs_level(a, b, u, v, alpha2, iters, engine=engine,
+                                solver=solver, cycles=cycles)
     return jnp.stack([u, v], axis=-1)

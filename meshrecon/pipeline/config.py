@@ -53,12 +53,22 @@ class Config:
     # measured 1.7x more accurate single-shot, NOTES_ROUND2.md)
     depth_mode: str = "flow"
     sampling: str = "taylor"  # flow-displaced depth sampling: taylor | exact
+    # HS linearized-system solver: "mg" (multigrid W-cycles — better
+    # converged than the 60-sweep budget at ~1/3 the fine-grid work,
+    # flow/multigrid.py) or "jacobi" (plain relaxation sweeps)
+    flow_solver: str = "mg"
     sweep_depths: int = 64
     poisson_grid: int = 128
     poisson_sigma: float = 1.5
     # drop this quantile of lowest-confidence points from the Poisson splat
     # (the points stay in the pipeline); 0 disables
     confidence_prune: float = 0.0
+    # deterministic camera-policy repairs (heuristic._enforce_coverage):
+    # fraction of surface shots that must see a chosen main camera (greedy
+    # set-cover top-up; 0 disables), and the side-weight ratio above which
+    # a better-baseline side is appended to a bundle (0 disables)
+    camera_coverage: float = 0.0
+    baseline_diversity: float = 0.0
     max_render_faces: int = 65536
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
@@ -157,6 +167,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "refinement after; the default — most accurate)")
     p.add_argument("--sweep-depths", type=int, default=64,
                    help="number of plane-sweep depth hypotheses")
+    p.add_argument("--flow-solver", choices=["mg", "jacobi"], default="mg",
+                   help="variational-flow linear solver: multigrid W-cycles "
+                        "(default; better converged at ~1/3 the work) or "
+                        "plain Jacobi sweeps")
     p.add_argument("--sampling", choices=["taylor", "exact"], default="taylor",
                    help="depth sampling at flow-displaced positions: "
                         "gather-free first-order taylor (default) or exact "
@@ -167,6 +181,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--confidence-prune", type=float, default=0.0,
                    help="drop this quantile of lowest-confidence points "
                         "from the Poisson splat (0 disables)")
+    p.add_argument("--camera-coverage", type=float, default=0.0,
+                   help="enforce that this fraction of surface shots sees a "
+                        "chosen main camera (deterministic greedy top-up of "
+                        "the randomized policy; 0 disables)")
+    p.add_argument("--baseline-diversity", type=float, default=0.0,
+                   help="append a better-parallax side to a bundle when the "
+                        "best outside side outweighs the best in-bundle "
+                        "side by this ratio (0 disables)")
     p.add_argument("--max-render-faces", type=int, default=65536,
                    help="decimate the render/policy proxy mesh above "
                         "this face count (output mesh unaffected)")
@@ -245,11 +267,14 @@ def config_from_args(argv=None) -> Config:
         seed=args.seed,
         depth_mode=args.depth_mode,
         sampling=args.sampling,
+        flow_solver=args.flow_solver,
         sweep_depths=args.sweep_depths,
         poisson_grid=args.poisson_grid,
         max_render_faces=args.max_render_faces,
         poisson_sigma=args.poisson_sigma,
         confidence_prune=args.confidence_prune,
+        camera_coverage=args.camera_coverage,
+        baseline_diversity=args.baseline_diversity,
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile,
         resume=args.resume,

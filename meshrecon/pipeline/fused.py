@@ -54,16 +54,33 @@ def _depth_fn(use_pallas, height: int, width: int):
     return lambda cam, soup, valid: render_depth(cam, soup, valid, height, width)
 
 
+def _depth_batched_fn(use_pallas, height: int, width: int):
+    """N depth renders (N, 4, 4) -> (N, H, W): ONE camera-batched two-level
+    Pallas launch on TPU (render_depth_binned_batched — jax.vmap over a
+    pallas_call costs ~3x per element and cannot lower with scratch refs),
+    vmapped XLA elsewhere."""
+    if use_pallas is None:
+        use_pallas = _sampling_engine() == "pallas"
+    if use_pallas:
+        from meshrecon.raster.binned import render_depth_binned_batched
+
+        return lambda cams, soup, valid: render_depth_binned_batched(
+            cams, soup, valid, height, width)
+    return lambda cams, soup, valid: jax.vmap(
+        lambda c: render_depth(c, soup, valid, height, width))(cams)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "use_farneback", "use_pallas",
-                     "sampling"),
+                     "sampling", "flow_solver"),
 )
 def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
                               side_cams, side_frames, side_valid, centers,
                               centers_valid, n_side, height: int, width: int,
                               use_farneback: bool = False, use_pallas=None,
-                              sampling: str = "taylor"):
+                              sampling: str = "taylor",
+                              flow_solver: str = "mg"):
     """Full dense update for B main cameras x K (padded) sides each — the
     production step of reconstruct.py's camera-bundle batching.
 
@@ -81,7 +98,6 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
 
     Returns dict(point4, normals, pdf, valid, depth), all with leading B.
     """
-    depth_of = _depth_fn(use_pallas, height, width)
     frames_main = jnp.asarray(frames_main, jnp.float32)
     side_cams = jnp.asarray(side_cams, jnp.float32)
     side_frames = jnp.asarray(side_frames, jnp.float32)
@@ -91,9 +107,10 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
     # Stage 1a — ALL depth renders (B mains + B*K sides) in one batched
     # raster dispatch. The reference renders each from the same static mesh
     # (render_glx.cpp:261-397), so they are independent.
+    depth_batched = _depth_batched_fn(use_pallas, height, width)
     all_cams = jnp.concatenate([cam_mains[:, None], side_cams], axis=1)
-    all_depths = jax.vmap(lambda c: depth_of(c, soup, soup_valid))(
-        all_cams.reshape(b * (k + 1), 4, 4)
+    all_depths = depth_batched(
+        all_cams.reshape(b * (k + 1), 4, 4), soup, soup_valid
     ).reshape(b, k + 1, height, width)
     depth0 = all_depths[:, 0]
 
@@ -132,7 +149,8 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
                 win=max((height + width) // 200, 2)),
             in_axes=(None, 0)))(frames_main, mixed_all)
     else:
-        flows2 = variational_flow(frames_main[:, None], mixed_all)
+        flows2 = variational_flow(frames_main[:, None], mixed_all,
+                                  solver=flow_solver)
 
     # bicubic re-warp for the variance estimate: 16 gathers/pixel cost
     # ~49 ms real at 640x480 — the tile-warp kernel does it in <1 ms
@@ -169,12 +187,13 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "use_farneback", "use_pallas",
-                     "sampling"),
+                     "sampling", "flow_solver"),
 )
 def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
                       side_frames, side_valid, centers, centers_valid, n_side,
                       height: int, width: int, use_farneback: bool = False,
-                      use_pallas=None, sampling: str = "taylor"):
+                      use_pallas=None, sampling: str = "taylor",
+                      flow_solver: str = "mg"):
     """Full dense update for ONE main camera against K (padded) sides —
     the B=1 slice of :func:`fused_main_update_batched` (same program,
     same semantics; see there for the stage structure).
@@ -196,6 +215,6 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
         jnp.asarray(centers_valid)[None],
         jnp.asarray(n_side)[None],
         height=height, width=width, use_farneback=use_farneback,
-        use_pallas=use_pallas, sampling=sampling,
+        use_pallas=use_pallas, sampling=sampling, flow_solver=flow_solver,
     )
     return jax.tree_util.tree_map(lambda x: x[0], out)

@@ -288,9 +288,106 @@ class Heuristic:
                 elif side not in chosen[pos][1]:
                     chosen[pos][1].append(side)
 
+        chosen = self._enforce_coverage(chosen, ok, cos_v, dist, cfv_n)
         chosen.sort()
         self.chosen = chosen
-        return camera_count
+        return max(camera_count, len(chosen))
+
+    def _enforce_coverage(self, chosen, ok, cos_v, dist, cfv_n):
+        """Deterministic repair pass over the stochastic selection.
+
+        The reference's accumulate-to-threshold policy (heuristic.cpp:
+        429-486, unseeded cv::randu upstream) leaves per-run quality at the
+        mercy of the draw: a bad seed leaves surface regions with no main
+        camera at all, or mains whose only sides have near-zero parallax
+        (measured med-err spread 0.125/0.173/0.219 r over seeds at an
+        identical koule config). Two repairs, both reusing the 200 shots'
+        visibility matrix (no extra renders):
+
+        1. COVERAGE (``camera_coverage`` fraction): greedy set cover — while
+           fewer than that fraction of the surface shots can see any chosen
+           main, add the camera seeing the most uncovered shots (with its
+           best side by the reference's own cos*parallax^2/d^2 weight).
+        2. BASELINE DIVERSITY (``baseline_diversity``): for each chosen
+           main, if the best side NOT in its bundle scores more than
+           1/baseline_diversity times the best side IN it, append the
+           better side — a main whose sides all have narrow baselines
+           triangulates at high depth variance no matter how good the flow.
+        """
+        cfg = self.config
+        frac = float(getattr(cfg, "camera_coverage", 0.0))
+        div = float(getattr(cfg, "baseline_diversity", 0.0))
+        if (frac <= 0.0 and div <= 0.0) or ok.size == 0:
+            return chosen
+
+        shots, n_cams = ok.shape
+        w_main = np.where(ok, cos_v / np.maximum(dist, 1e-20) ** 2, 0.0)
+        # per-(shot, main, side) weight collapses to per-(shot, side) once
+        # the main is fixed; precompute the shot-visibility weights
+        vx, vy = cfv_n[..., 0], cfv_n[..., 1]
+
+        def best_side(main, shot_mask):
+            """Best side for ``main`` over the masked shots by summed
+            reference side weight; returns (side, score)."""
+            m_vis = shot_mask & ok[:, main]
+            if not np.any(m_vis):
+                return -1, 0.0
+            par2 = ((vx[m_vis] - vx[m_vis, main][:, None]) ** 2
+                    + (vy[m_vis] - vy[m_vis, main][:, None]) ** 2) / FOCAL
+            w = np.where(ok[m_vis], cos_v[m_vis] * par2
+                         / np.maximum(dist[m_vis], 1e-20) ** 2, 0.0)
+            w[:, main] = 0.0
+            score = w.sum(axis=0)
+            side = int(score.argmax())
+            return (side, float(score[side])) if score[side] > 0 else (-1, 0.0)
+
+        def append_pair(main, side):
+            pos = next((p for p, (m, _) in enumerate(chosen) if m == main), -1)
+            if pos < 0:
+                chosen.append((main, [side]))
+            elif side not in chosen[pos][1]:
+                chosen[pos][1].append(side)
+
+        if frac > 0.0:
+            all_shots = np.ones(shots, bool)
+            covered = np.zeros(shots, bool)
+            for m, _sides in chosen:
+                covered |= ok[:, m]
+            # shots no camera pair can serve don't count against coverage
+            servable = ok.sum(axis=1) >= 2
+            target = frac * max(int(servable.sum()), 1)
+            while int((covered & servable).sum()) < target:
+                gain = (w_main * (~covered & servable)[:, None]).sum(axis=0)
+                for m, _sides in chosen:
+                    gain[m] = 0.0  # already chosen mains add no coverage
+                main = int(gain.argmax())
+                if gain[main] <= 0.0:
+                    break
+                side, score = best_side(main, all_shots)
+                if side < 0:
+                    covered |= ok[:, main]  # no usable side: skip this main
+                    continue
+                append_pair(main, side)
+                covered |= ok[:, main]
+
+        if div > 0.0:
+            for main, sides in list(chosen):
+                m_shots = ok[:, main]
+                cand, cand_score = best_side(main, np.ones(shots, bool))
+                if cand < 0 or cand in sides:
+                    continue
+                par2_have = 0.0
+                for s_ in sides:
+                    vis = m_shots & ok[:, s_]
+                    if np.any(vis):
+                        p2 = ((vx[vis, s_] - vx[vis, main]) ** 2
+                              + (vy[vis, s_] - vy[vis, main]) ** 2) / FOCAL
+                        w = (cos_v[vis, s_] * p2
+                             / np.maximum(dist[vis, s_], 1e-20) ** 2)
+                        par2_have = max(par2_have, float(w.sum()))
+                if par2_have * div < cand_score:
+                    append_pair(main, cand)
+        return chosen
 
     def camera_bundles(self):
         """[(main_frame, [side_frames...])], the begin/nextMain/Side iterator

@@ -41,7 +41,7 @@ _SINGLE_CHIP_BATCH = 4
 
 
 @functools.lru_cache(maxsize=None)
-def _vmapped_step(h, w, use_farneback, sampling):
+def _vmapped_step(h, w, use_farneback, sampling, flow_solver="mg"):
     """Single-chip batched dense update, cached so repeated pipeline
     iterations reuse one compiled program per shape."""
     import jax
@@ -55,7 +55,7 @@ def _vmapped_step(h, w, use_farneback, sampling):
         return fused_main_update_batched(
             soup, soup_valid, mains, fms, scs, sfs, svs, ctrs, cvs, ks,
             height=h, width=w, use_farneback=use_farneback,
-            sampling=sampling,
+            sampling=sampling, flow_solver=flow_solver,
         )
 
     return step
@@ -221,6 +221,7 @@ def _process_main_fused(config, renderer, fa, sides, timer):
             side_frames, side_valid, centers_pad, cvalid, jnp.asarray(k),
             height=h, width=w, use_farneback=config.use_farneback,
             sampling=getattr(config, "sampling", "taylor"),
+            flow_solver=getattr(config, "flow_solver", "mg"),
         )
         done(out["point4"])
 
@@ -255,7 +256,8 @@ def _process_bundles_batched(config, renderer, bundles, timer):
     else:
         n_dev = _SINGLE_CHIP_BATCH
         step = _vmapped_step(h, w, config.use_farneback,
-                             getattr(config, "sampling", "taylor"))
+                             getattr(config, "sampling", "taylor"),
+                             getattr(config, "flow_solver", "mg"))
 
     npix = h * w
 

@@ -126,6 +126,305 @@ def _raster_kernel(height, width, chunk, tri_ref, lists_ref, counts_ref,
     out_ref[:] = jax.lax.fori_loop(0, counts_ref[tile], chunk_body, zbuf0)
 
 
+def _raster_kernel2(height, width, chunk, supers, tri_ref, lists_ref,
+                    counts_ref, cxmn_ref, cxmx_ref, cymn_ref, cymx_ref,
+                    dummy_ref, out_ref, zbuf_ref):
+    """Two-level tile walk: the tile's list holds SUPERCHUNK ids (supers
+    chunks each); chunk bboxes and then per-triangle bboxes are tested on
+    the scalar core and non-overlapping work is SKIPPED with pl.when —
+    the one-level kernel burned ~25 vector ops per listed triangle even
+    when its bbox missed the tile (the `overlap` flag only zeroed the
+    weights). At production face counts most listed triangles miss any
+    given (8, 128) tile, so the skip converts the per-triangle cost from
+    vector FMAs to a handful of scalar compares."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile = ti * pl.num_programs(1) + tj
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+        jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+        jnp.float32)
+    row0 = (ti * TILE_H).astype(jnp.float32)
+    col0 = (tj * TILE_W).astype(jnp.float32)
+    py = (height / 2.0 - (rows + row0)) * (2.0 / height)
+    px = ((cols + col0) - width / 2.0) * (2.0 / width)
+
+    tile_x_min = (col0 - width / 2.0) * (2.0 / width)
+    tile_x_max = (col0 + (TILE_W - 1) - width / 2.0) * (2.0 / width)
+    tile_y_max = (height / 2.0 - row0) * (2.0 / height)
+    tile_y_min = (height / 2.0 - (row0 + TILE_H - 1)) * (2.0 / height)
+
+    def fld(i, t):
+        return tri_ref[i * SLAB + t]
+
+    zbuf_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+
+    def super_body(k, carry):
+        sc = lists_ref[tile, k]
+        for sub in range(supers):
+            c = sc * supers + sub
+            chunk_hit = ((cxmn_ref[c] <= tile_x_max)
+                         & (cxmx_ref[c] >= tile_x_min)
+                         & (cymn_ref[c] <= tile_y_max)
+                         & (cymx_ref[c] >= tile_y_min))
+
+            @pl.when(chunk_hit)
+            def _chunk():
+                base = c * chunk
+                for tt in range(chunk):
+                    t = base + tt
+                    tri_hit = ((fld(10, t) <= tile_x_max)
+                               & (fld(11, t) >= tile_x_min)
+                               & (fld(12, t) <= tile_y_max)
+                               & (fld(13, t) >= tile_y_min))
+
+                    @pl.when(tri_hit)
+                    def _tri():
+                        ax, bx, cx = fld(0, t), fld(1, t), fld(2, t)
+                        ay, by, cy = fld(3, t), fld(4, t), fld(5, t)
+                        az, bz, cz = fld(6, t), fld(7, t), fld(8, t)
+                        ia = fld(9, t)
+                        e0 = ((cx - bx) * (py - by)
+                              - (cy - by) * (px - bx)) * ia
+                        e1 = ((ax - cx) * (py - cy)
+                              - (ay - cy) * (px - cx)) * ia
+                        e2 = ((bx - ax) * (py - ay)
+                              - (by - ay) * (px - ax)) * ia
+                        zs = e0 * az + e1 * bz + e2 * cz
+                        covered = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                                   & (zs >= -1.0) & (zs <= 1.0)
+                                   & (jnp.abs(ia) > 0))
+                        zbuf_ref[:] = jnp.minimum(
+                            zbuf_ref[:], jnp.where(covered, zs, jnp.inf))
+        return carry
+
+    jax.lax.fori_loop(0, counts_ref[tile], super_body, jnp.int32(0))
+    out_ref[:] = zbuf_ref[:]
+
+
+def _raster_kernel2b(height, width, chunk, supers, n_tiles, nch,
+                     tri_ref, lists_ref, counts_ref, cxmn_ref, cxmx_ref,
+                     cymn_ref, cymx_ref, dummy_ref, out_ref, zbuf_ref):
+    """Camera-batched two-level kernel: grid (N, nty, ntx). Identical tile
+    walk to _raster_kernel2; the camera index only offsets the per-camera
+    rows of the scalar-prefetch tables (packed triangles, lists, counts,
+    chunk bboxes). One launch for all N renders — jax.vmap over a
+    pallas_call costs ~3x per element on v5e and cannot lower at all with
+    scratch refs."""
+    cam = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    tile = cam * n_tiles + ti * pl.num_programs(2) + tj
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
+        jnp.float32)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
+        jnp.float32)
+    row0 = (ti * TILE_H).astype(jnp.float32)
+    col0 = (tj * TILE_W).astype(jnp.float32)
+    py = (height / 2.0 - (rows + row0)) * (2.0 / height)
+    px = ((cols + col0) - width / 2.0) * (2.0 / width)
+
+    tile_x_min = (col0 - width / 2.0) * (2.0 / width)
+    tile_x_max = (col0 + (TILE_W - 1) - width / 2.0) * (2.0 / width)
+    tile_y_max = (height / 2.0 - row0) * (2.0 / height)
+    tile_y_min = (height / 2.0 - (row0 + TILE_H - 1)) * (2.0 / height)
+
+    def fld(i, t):
+        # packed rides scalar prefetch (like the one-level kernel); the
+        # camera selects its row — NOT a VMEM block (the in_specs entry
+        # belongs to the dummy operand)
+        return tri_ref[cam, i * SLAB + t]
+
+    zbuf_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+
+    def super_body(k, carry):
+        sc = lists_ref[tile, k]
+        for sub in range(supers):
+            c = sc * supers + sub
+            cb = cam * nch + c
+            chunk_hit = ((cxmn_ref[cb] <= tile_x_max)
+                         & (cxmx_ref[cb] >= tile_x_min)
+                         & (cymn_ref[cb] <= tile_y_max)
+                         & (cymx_ref[cb] >= tile_y_min))
+
+            @pl.when(chunk_hit)
+            def _chunk():
+                base = c * chunk
+                for tt in range(chunk):
+                    t = base + tt
+                    tri_hit = ((fld(10, t) <= tile_x_max)
+                               & (fld(11, t) >= tile_x_min)
+                               & (fld(12, t) <= tile_y_max)
+                               & (fld(13, t) >= tile_y_min))
+
+                    @pl.when(tri_hit)
+                    def _tri():
+                        ax, bx, cx = fld(0, t), fld(1, t), fld(2, t)
+                        ay, by, cy = fld(3, t), fld(4, t), fld(5, t)
+                        az, bz, cz = fld(6, t), fld(7, t), fld(8, t)
+                        ia = fld(9, t)
+                        e0 = ((cx - bx) * (py - by)
+                              - (cy - by) * (px - bx)) * ia
+                        e1 = ((ax - cx) * (py - cy)
+                              - (ay - cy) * (px - cx)) * ia
+                        e2 = ((bx - ax) * (py - ay)
+                              - (by - ay) * (px - ax)) * ia
+                        zs = e0 * az + e1 * bz + e2 * cz
+                        covered = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                                   & (zs >= -1.0) & (zs <= 1.0)
+                                   & (jnp.abs(ia) > 0))
+                        zbuf_ref[:] = jnp.minimum(
+                            zbuf_ref[:], jnp.where(covered, zs, jnp.inf))
+        return carry
+
+    jax.lax.fori_loop(0, counts_ref[tile], super_body, jnp.int32(0))
+    out_ref[0] = zbuf_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "chunk",
+                                             "interpret", "supers"))
+def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
+                                chunk: int = CHUNK, interpret: bool = False,
+                                supers: int = 8):
+    """N z-buffer depth renders of one soup in a single two-level Pallas
+    launch per slab: cameras (N, 4, 4) -> (N, H, W). Same per-pixel contract
+    as render_depth / render_depth_binned (render_glx.cpp:369-397 semantics,
+    background 1.0). This is the production form for the B*(K+1) depth
+    renders of the fused update (one mesh, many cameras —
+    render_glx.cpp:261-397 renders the same static VBO per camera)."""
+    n = cameras.shape[0]
+
+    def setup(camera):
+        return clip_project_planes(camera, soup, soup_valid)
+
+    (x0, x1, x2, y0, y1, y2, z0, z1, z2, area, ok) = jax.vmap(setup)(
+        jnp.asarray(cameras, jnp.float32))
+
+    t = x0.shape[1]
+    pad = (-t) % SLAB
+
+    def padc(a, fill=0.0):
+        return jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
+
+    x0, x1, x2 = padc(x0), padc(x1), padc(x2)
+    y0, y1, y2 = padc(y0), padc(y1), padc(y2)
+    z0, z1, z2 = padc(z0), padc(z1), padc(z2)
+    area = padc(area, 1.0)
+    ok = padc(ok)
+    n_slabs = x0.shape[1] // SLAB
+
+    inv_area = jnp.where(ok & (jnp.abs(area) > 1e-12), 1.0 / area, 0.0)
+    big = jnp.float32(3e38)
+    xmn = jnp.minimum(jnp.minimum(x0, x1), x2)
+    xmx = jnp.maximum(jnp.maximum(x0, x1), x2)
+    ymn = jnp.minimum(jnp.minimum(y0, y1), y2)
+    ymx = jnp.maximum(jnp.maximum(y0, y1), y2)
+    xmin = jnp.where(ok, xmn, big)
+    xmax = jnp.where(ok, xmx, -big)
+    ymin = jnp.where(ok, ymn, big)
+    ymax = jnp.where(ok, ymx, -big)
+
+    nty = -(-height // TILE_H)
+    ntx = -(-width // TILE_W)
+    n_tiles = nty * ntx
+    tx0 = (jnp.arange(ntx, dtype=jnp.float32) * TILE_W - width / 2.0) * (
+        2.0 / width)
+    tx1 = ((jnp.arange(ntx, dtype=jnp.float32) * TILE_W + TILE_W - 1)
+           - width / 2.0) * (2.0 / width)
+    ty1 = (height / 2.0 - jnp.arange(nty, dtype=jnp.float32) * TILE_H) * (
+        2.0 / height)
+    ty0 = (height / 2.0 - (jnp.arange(nty, dtype=jnp.float32) * TILE_H
+                           + TILE_H - 1)) * (2.0 / height)
+
+    packed_all = jnp.concatenate(
+        [x0, x1, x2, y0, y1, y2, z0, z1, z2, inv_area, xmin, xmax,
+         ymin, ymax], axis=1,
+    ).reshape(n, 14, n_slabs, SLAB)
+
+    nch = SLAB // chunk
+    nsup = nch // supers
+
+    def cagg(a, op):
+        return op(a.reshape(n, n_slabs, nch, chunk), 3)
+
+    cxmin = cagg(xmin, lambda a, ax: a.min(axis=ax))
+    cxmax = cagg(xmax, lambda a, ax: a.max(axis=ax))
+    cymin = cagg(ymin, lambda a, ax: a.min(axis=ax))
+    cymax = cagg(ymax, lambda a, ax: a.max(axis=ax))
+    sxmin = cxmin.reshape(n, n_slabs, nsup, supers).min(axis=3)
+    sxmax = cxmax.reshape(n, n_slabs, nsup, supers).max(axis=3)
+    symin = cymin.reshape(n, n_slabs, nsup, supers).min(axis=3)
+    symax = cymax.reshape(n, n_slabs, nsup, supers).max(axis=3)
+
+    grid = (n, nty, ntx)
+    kernel = functools.partial(_raster_kernel2b, float(height), float(width),
+                               chunk, supers, n_tiles, nch)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, TILE_H, TILE_W),
+                               lambda b, i, j, *_: (b, i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
+    )
+    dummy = jnp.zeros((8, 128), jnp.float32)
+
+    zbuf = None
+    for s in range(n_slabs):
+        ax = ((sxmin[:, s, None, :] <= tx1[None, :, None])
+              & (sxmax[:, s, None, :] >= tx0[None, :, None]))  # (n,ntx,nsup)
+        ay = ((symin[:, s, None, :] <= ty1[None, :, None])
+              & (symax[:, s, None, :] >= ty0[None, :, None]))  # (n,nty,nsup)
+        active = (ay[:, :, None, :] & ax[:, None, :, :]).reshape(
+            n * n_tiles, nsup)
+        keys = jnp.where(active, jnp.arange(nsup, dtype=jnp.int32)[None, :],
+                         jnp.int32(nsup))
+        lists = jnp.sort(keys, axis=1)
+        counts = jnp.sum(active, axis=1).astype(jnp.int32)
+        packed = packed_all[:, :, s, :].reshape(n, 14 * SLAB)
+        out_kernel = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=jax.ShapeDtypeStruct(
+                (n, nty * TILE_H, ntx * TILE_W), jnp.float32),
+            interpret=interpret,
+        )
+        zb = out_kernel(packed, lists, counts,
+                        cxmin[:, s].reshape(-1), cxmax[:, s].reshape(-1),
+                        cymin[:, s].reshape(-1), cymax[:, s].reshape(-1),
+                        dummy)
+        zbuf = zb if zbuf is None else jnp.minimum(zbuf, zb)
+
+    zbuf = zbuf[:, :height, :width]
+    return jnp.where(jnp.isfinite(zbuf), zbuf, 1.0)
+
+
+def _rasterize_slab2(packed, lists, counts, cxmn, cxmx, cymn, cymx,
+                     height, width, chunk, supers, interpret):
+    grid = (pl.cdiv(height, TILE_H), pl.cdiv(width, TILE_W))
+    kernel = functools.partial(_raster_kernel2, float(height), float(width),
+                               chunk, supers)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=7,
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((TILE_H, TILE_W), lambda i, j, *_: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
+    )
+    dummy = jnp.zeros((8, 128), jnp.float32)  # unused VMEM operand
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct(
+            (grid[0] * TILE_H, grid[1] * TILE_W), jnp.float32),
+        interpret=interpret,
+    )(packed, lists, counts, cxmn, cxmx, cymn, cymx, dummy)
+
+
 def _rasterize_slab(packed, lists, counts, height, width, chunk, interpret):
     grid = (pl.cdiv(height, TILE_H), pl.cdiv(width, TILE_W))
     kernel = functools.partial(_raster_kernel, float(height), float(width),
@@ -148,14 +447,21 @@ def _rasterize_slab(packed, lists, counts, height, width, chunk, interpret):
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk",
-                                             "interpret"))
+                                             "interpret", "two_level",
+                                             "supers"))
 def render_depth_binned(camera, soup, soup_valid, height, width,
-                        chunk: int = CHUNK, interpret: bool = False):
+                        chunk: int = CHUNK, interpret: bool = False,
+                        two_level: bool = False, supers: int = 8):
     """Full-frame z-buffer depth render via the binned Pallas kernel.
 
     Same contract as rasterizer.render_depth. ``soup`` should be Morton-
     sorted (Renderer.load_mesh does this); an unsorted soup is still correct,
     just slower (looser chunk bboxes -> longer tile lists).
+
+    two_level=True bins by SUPERCHUNKS of ``supers`` chunks (tile lists
+    shrink 8x in SMEM) and skips chunks/triangles whose bbox misses the
+    tile with scalar-core branches instead of burning masked vector work
+    (see _raster_kernel2).
     """
     # slot-interleaved per-component planes (the (T, 2, 3, 4) array form
     # carries trailing small dims that TPU tiling pads 32x; see
@@ -217,21 +523,49 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
     cxmin, cxmax = cmin(xmin), cmax(xmax)
     cymin, cymax = cmin(ymin), cmax(ymax)
 
+    if two_level:
+        nsup = nch // supers
+
+        def smin(a):
+            return a.reshape(n_slabs, nsup, supers).min(axis=2)
+
+        def smax(a):
+            return a.reshape(n_slabs, nsup, supers).max(axis=2)
+
+        sxmin, sxmax = smin(cxmin), smax(cxmax)
+        symin, symax = smin(cymin), smax(cymax)
+
     zbuf = None
     for s in range(n_slabs):
-        # chunk-vs-tile interval overlap -> (n_tiles, nch) activity
-        ax = ((cxmin[s][None, :] <= tx1[:, None])
-              & (cxmax[s][None, :] >= tx0[:, None]))  # (ntx, nch)
-        ay = ((cymin[s][None, :] <= ty1[:, None])
-              & (cymax[s][None, :] >= ty0[:, None]))  # (nty, nch)
-        active = (ay[:, None, :] & ax[None, :, :]).reshape(n_tiles, nch)
-        keys = jnp.where(active, jnp.arange(nch, dtype=jnp.int32)[None, :],
-                         jnp.int32(nch))
-        lists = jnp.sort(keys, axis=1)  # active chunk ids first, in order
-        counts = jnp.sum(active, axis=1).astype(jnp.int32)
         packed = packed_all[:, s, :].reshape(-1)
-        zb = _rasterize_slab(packed, lists, counts, height, width, chunk,
-                             interpret)
+        if two_level:
+            ax = ((sxmin[s][None, :] <= tx1[:, None])
+                  & (sxmax[s][None, :] >= tx0[:, None]))  # (ntx, nsup)
+            ay = ((symin[s][None, :] <= ty1[:, None])
+                  & (symax[s][None, :] >= ty0[:, None]))  # (nty, nsup)
+            active = (ay[:, None, :] & ax[None, :, :]).reshape(n_tiles, nsup)
+            keys = jnp.where(active,
+                             jnp.arange(nsup, dtype=jnp.int32)[None, :],
+                             jnp.int32(nsup))
+            lists = jnp.sort(keys, axis=1)
+            counts = jnp.sum(active, axis=1).astype(jnp.int32)
+            zb = _rasterize_slab2(packed, lists, counts, cxmin[s], cxmax[s],
+                                  cymin[s], cymax[s], height, width, chunk,
+                                  supers, interpret)
+        else:
+            # chunk-vs-tile interval overlap -> (n_tiles, nch) activity
+            ax = ((cxmin[s][None, :] <= tx1[:, None])
+                  & (cxmax[s][None, :] >= tx0[:, None]))  # (ntx, nch)
+            ay = ((cymin[s][None, :] <= ty1[:, None])
+                  & (cymax[s][None, :] >= ty0[:, None]))  # (nty, nch)
+            active = (ay[:, None, :] & ax[None, :, :]).reshape(n_tiles, nch)
+            keys = jnp.where(active,
+                             jnp.arange(nch, dtype=jnp.int32)[None, :],
+                             jnp.int32(nch))
+            lists = jnp.sort(keys, axis=1)  # active chunk ids first
+            counts = jnp.sum(active, axis=1).astype(jnp.int32)
+            zb = _rasterize_slab(packed, lists, counts, height, width, chunk,
+                                 interpret)
         zbuf = zb if zbuf is None else jnp.minimum(zbuf, zb)
 
     zbuf = zbuf[:height, :width]

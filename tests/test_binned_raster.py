@@ -61,3 +61,48 @@ def test_multi_slab():
     out = np.asarray(render_depth_binned(cam, soup, valid, h, w,
                                          interpret=True))
     np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+
+
+def test_two_level_matches_xla_render():
+    """Superchunk lists + scalar-core chunk/triangle skips (pl.when) must
+    not change a single pixel vs the brute XLA path."""
+    soup, valid = _soup()
+    order = morton_order(soup)
+    cam = g._make_camera(eye=(0.3, 0.2, 0.5))
+    h, w = 96, 160
+    ref = np.asarray(render_depth(cam, soup, valid, h, w))
+    out = np.asarray(render_depth_binned(cam, soup[order], valid[order], h, w,
+                                         interpret=True, two_level=True))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+
+
+def test_two_level_multi_slab():
+    import meshrecon.raster.binned as rb
+
+    soup, valid = _soup(n_tris_cap=rb.SLAB + 512)
+    cam = g._make_camera(eye=(0.1, -0.1, 0.2))
+    h, w = 48, 128
+    ref = np.asarray(render_depth(cam, soup, valid, h, w))
+    out = np.asarray(render_depth_binned(cam, soup, valid, h, w,
+                                         interpret=True, two_level=True))
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+
+
+def test_batched_matches_xla_render():
+    """Camera-batched two-level kernel: per-camera prefetch-table rows must
+    be selected by the camera grid index (a regression here once read every
+    camera's triangles from row 0)."""
+    from meshrecon.raster.binned import render_depth_binned_batched
+
+    soup, valid = _soup()
+    order = morton_order(soup)
+    soup, valid = soup[order], valid[order]
+    cams = np.stack([g._make_camera(eye=e)
+                     for e in [(0.3, 0.2, 0.5), (0.0, 0.0, 0.0),
+                               (-0.2, 0.1, 0.3), (0.1, 0.4, -0.2)]])
+    h, w = 96, 160
+    out = np.asarray(render_depth_binned_batched(cams, soup, valid, h, w,
+                                                 interpret=True))
+    for i in range(len(cams)):
+        ref = np.asarray(render_depth(cams[i], soup, valid, h, w))
+        np.testing.assert_allclose(out[i], ref, rtol=0, atol=1e-5)

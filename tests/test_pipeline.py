@@ -438,3 +438,60 @@ def test_reconstruct_scenes(koule_small, tmp_path):
     for s, m in zip((3, 4), meshes):
         assert len(m.faces) > 50
         assert os.path.exists(str(tmp_path / f"scene{s}.obj"))
+
+
+def test_enforce_coverage_repairs_policy():
+    """_enforce_coverage: greedy set-cover top-up + baseline-diversity
+    append (the deterministic repairs behind --camera-coverage /
+    --baseline-diversity; see NOTES_ROUND3 seed-variance study)."""
+    import types
+
+    h = Heuristic.__new__(Heuristic)
+    h.config = types.SimpleNamespace(camera_coverage=1.0,
+                                     baseline_diversity=0.0)
+    shots, cams = 4, 4
+    ok = np.zeros((shots, cams), bool)
+    ok[0, [0, 1]] = True
+    ok[1, [1, 2]] = True
+    ok[2, [0, 2]] = True
+    ok[3, [0, 1, 2]] = True
+    cos_v = np.full((shots, cams), 0.8)
+    dist = np.ones((shots, cams))
+    # distinct screen positions so parallax weights are nonzero
+    cfv_n = np.zeros((shots, cams, 3))
+    cfv_n[..., 0] = np.linspace(-0.5, 0.5, cams)[None, :]
+    cfv_n[..., 1] = np.linspace(0.3, -0.3, shots)[:, None]
+
+    chosen = h._enforce_coverage([], ok, cos_v, dist, cfv_n)
+    assert chosen, "coverage enforcement must add bundles"
+    covered = np.zeros(shots, bool)
+    for m, sides in chosen:
+        assert sides and m not in sides
+        covered |= ok[:, m]
+    assert covered.all(), "every servable shot must see a chosen main"
+
+    # baseline diversity: a main whose only side is itself-adjacent (near
+    # zero parallax) gets the wide-baseline side appended
+    h.config = types.SimpleNamespace(camera_coverage=0.0,
+                                     baseline_diversity=2.0)
+    cfv_n2 = np.zeros((shots, cams, 3))
+    cfv_n2[..., 0] = np.array([0.0, 0.01, 0.6, 0.6])[None, :]
+    ok2 = np.ones((shots, cams), bool)
+    chosen2 = h._enforce_coverage([(0, [1])], ok2, cos_v, dist, cfv_n2)
+    (main, sides), = chosen2
+    assert main == 0 and 1 in sides and len(sides) == 2
+
+
+def test_heuristic_coverage_flags_end_to_end(koule_small):
+    track, frames = koule_small
+    cfg = Config(track=track, frames=frames, seed=1, camera_coverage=0.95,
+                 baseline_diversity=3.0)
+    hint = Heuristic(cfg)
+    hint.not_happy(track.bundles)
+    mesh = hint.tessellate(track.bundles, np.zeros((len(track.bundles), 3)))
+    r = Renderer(cfg.width, cfg.height)
+    r.load_mesh(mesh)
+    count = hint.choose_cameras(mesh, track.cameras, r)
+    assert count > 0
+    for m, sides in hint.camera_bundles():
+        assert sides and m not in sides

@@ -4,7 +4,7 @@ Times progressively larger prefixes of the fused program (in-program reps,
 same honest-barrier scheme as perf_breakdown.py) so each stage's MARGINAL
 cost in its real context (vmapped over K, fused with neighbors) is visible.
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/fused_breakdown.py [H W K reps B]
+Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/fused_breakdown.py [H W K reps B solver]
 """
 
 from __future__ import annotations
@@ -21,6 +21,7 @@ def main():
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 3
     reps = int(sys.argv[4]) if len(sys.argv) > 4 else 10
     B = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+    solver = sys.argv[6] if len(sys.argv) > 6 else "mg"
 
     import jax
     import jax.numpy as jnp
@@ -49,12 +50,12 @@ def main():
             side_cams = jnp.asarray(side_cams, jnp.float32)
             side_valid = jnp.asarray(side_valid)
             b, k = side_frames.shape[:2]
-            depth_of = F._depth_fn(None, H, W)
+            depth_batched = F._depth_batched_fn(None, H, W)
             all_cams = jnp.concatenate([cam_mains[:, None], side_cams],
                                        axis=1)
-            all_depths = jax.vmap(
-                lambda c: depth_of(c, soup, soup_valid)
-            )(all_cams.reshape(b * (k + 1), 4, 4)).reshape(b, k + 1, H, W)
+            all_depths = depth_batched(
+                all_cams.reshape(b * (k + 1), 4, 4), soup, soup_valid
+            ).reshape(b, k + 1, H, W)
             depth0 = all_depths[:, 0]
             if upto == "depth0":
                 return all_depths
@@ -74,7 +75,8 @@ def main():
             if upto == "scan":
                 return depth_final, mixed_all
 
-            flows2 = F.variational_flow(frames_main[:, None], mixed_all)
+            flows2 = F.variational_flow(frames_main[:, None], mixed_all,
+                                        solver=solver)
             if upto == "flow":
                 return depth_final, flows2
 

@@ -61,7 +61,7 @@ def main():
               flush=True)
 
     cases = [("bench578", jax.device_put(soup), jax.device_put(soup_valid))]
-    for t in (3200, 16384):
+    for t in (3200, 16384, 65536):
         s, v = make_soup(t)
         cases.append((f"sphere{t}", jax.device_put(s), jax.device_put(v)))
 
@@ -70,6 +70,10 @@ def main():
             timeit(f"{name} chunk={c}",
                    lambda eps, s_, v_, c=c: render_depth_binned(
                        cam, s_ + eps, v_, H, W, chunk=c), s, v)
+            timeit(f"{name} chunk={c} two-level",
+                   lambda eps, s_, v_, c=c: render_depth_binned(
+                       cam, s_ + eps, v_, H, W, chunk=c, two_level=True),
+                   s, v)
         if name == "bench578":
             timeit(f"{name} xla-brute",
                    lambda eps, s_, v_: render_depth(cam, s_ + eps, v_, H, W),
