@@ -35,5 +35,10 @@ test_raster:
 	mkdir -p test
 	$(PY) -m meshrecon.raster.driver
 
+# on-TPU kernel equality sweep: every production Pallas kernel vs its XLA
+# reference, asserted on the real chip (CI runs interpret mode only)
+verify-tpu:
+	PYTHONPATH=/root/repo:/root/.axon_site $(PY) tools/verify_tpu.py
+
 bench:
 	$(PY) bench.py

@@ -24,20 +24,28 @@ def _enable_compile_cache():
 
 
 def main(argv=None):
-    from meshrecon.pipeline.config import config_from_args
-    from meshrecon.pipeline.reconstruct import reconstruct
+    from meshrecon.pipeline.config import configs_from_args
+    from meshrecon.pipeline.reconstruct import reconstruct, reconstruct_scenes
 
     _enable_compile_cache()
 
-    config = config_from_args(argv)
-    config.log(2, " Loaded configuration and video clip")
-    if config.profile_dir:
+    configs = configs_from_args(argv)
+    configs[0].log(2, " Loaded configuration and video clip")
+
+    def run():
+        if len(configs) == 1:
+            reconstruct(configs[0])
+        else:
+            reconstruct_scenes(configs,
+                               scene_devices=configs[0].scene_devices)
+
+    if configs[0].profile_dir:
         from meshrecon.utils.profiling import profile_trace
 
-        with profile_trace(config.profile_dir):
-            reconstruct(config)
+        with profile_trace(configs[0].profile_dir):
+            run()
     else:
-        reconstruct(config)
+        run()
     return 0
 
 

@@ -31,11 +31,12 @@ _HI = jax.lax.Precision.HIGHEST
 
 
 def _box3(img):
-    p = jnp.pad(img, ((1, 1), (1, 1)), mode="edge")
+    pad = [(0, 0)] * (img.ndim - 2) + [(1, 1), (1, 1)]
+    p = jnp.pad(img, pad, mode="edge")
     return (
-        p[:-2, :-2] + p[:-2, 1:-1] + p[:-2, 2:]
-        + p[1:-1, :-2] + p[1:-1, 1:-1] + p[1:-1, 2:]
-        + p[2:, :-2] + p[2:, 1:-1] + p[2:, 2:]
+        p[..., :-2, :-2] + p[..., :-2, 1:-1] + p[..., :-2, 2:]
+        + p[..., 1:-1, :-2] + p[..., 1:-1, 1:-1] + p[..., 1:-1, 2:]
+        + p[..., 2:, :-2] + p[..., 2:, 1:-1] + p[..., 2:, 2:]
     ) / 9.0
 
 
@@ -184,6 +185,122 @@ def plane_sweep_depth(frame_main, frames_side, cam_main, cams_side, side_valid,
     if axis_name is not None:
         n_sides = jax.lax.psum(n_sides, axis_name)
     need = jnp.minimum(2.0, jnp.maximum(n_sides, 1.0))
+    valid = support >= need
+    depth = jnp.where(valid, depth, BACKGROUND_DEPTH)
+    return {"depth": depth, "cost": best_c, "valid": valid}
+
+
+@functools.partial(jax.jit, static_argnames=("num_depths", "engine",
+                                             "interpret"))
+def plane_sweep_depth_batched(frames_main, frames_side, cam_mains, cams_side,
+                              side_valid, z_min, z_max, num_depths: int = 64,
+                              engine: str = "auto", interpret: bool = False,
+                              side_weight=None):
+    """Batch-native plane sweep for B main cameras in ONE program.
+
+    frames_main: (B, H, W); frames_side: (B, K, H, W); cam_mains: (B, 4, 4);
+    cams_side: (B, K, 4, 4); side_valid: (B, K); z_min/z_max: (B,) per-main
+    NDC sweep ranges; side_weight: optional (B, K, H, W). Returns dict with
+    (B, H, W) fields — same per-element semantics as plane_sweep_depth.
+
+    Batch-NATIVE rather than jax.vmap of the single-camera sweep: the per-
+    plane resampling rides the vertically-stacked tile-warp kernel whose
+    leading axes already flatten (B*K images per launch — vmap over a
+    pallas_call costs ~3x per element on v5e), and the depth scan stays one
+    lax.scan for the whole batch (per-camera z grids differ VALUE-wise,
+    which only changes the scanned z vector, not the program).
+    """
+    fm = jnp.asarray(frames_main, jnp.float32)
+    fs = jnp.asarray(frames_side, jnp.float32)
+    b, h, w = fm.shape
+    main_inv = jnp.linalg.inv(jnp.asarray(cam_mains, jnp.float32))
+    cm = jnp.einsum("bkij,bjl->bkil", jnp.asarray(cams_side, jnp.float32),
+                    main_inv, precision=_HI)
+    vmask = jnp.asarray(side_valid).astype(jnp.float32)
+    swt = (None if side_weight is None
+           else jnp.asarray(side_weight, jnp.float32))
+    use_pallas = (engine == "pallas"
+                  or (engine == "auto" and _tpu_backend()
+                      and h >= 64 and w >= 128))
+
+    cols = (jnp.arange(w, dtype=jnp.float32) - w / 2.0) * (2.0 / w)
+    rows = (h / 2.0 - jnp.arange(h, dtype=jnp.float32)) * (2.0 / h)
+    x = jnp.broadcast_to(cols[None, :], (h, w))
+    y = jnp.broadcast_to(rows[:, None], (h, w))
+
+    z_min = jnp.asarray(z_min, jnp.float32).reshape(b)
+    z_max = jnp.asarray(z_max, jnp.float32).reshape(b)
+    ts = jnp.linspace(0.0, 1.0, num_depths)
+    zs = z_min[None, :] + ts[:, None] * (z_max - z_min)[None, :]  # (D, B)
+
+    def cost_at(z):  # z: (B,)
+        zb = z[:, None, None, None]
+
+        def apply_cm(row):
+            return (
+                cm[:, :, row, 0][..., None, None] * x[None, None]
+                + cm[:, :, row, 1][..., None, None] * y[None, None]
+                + cm[:, :, row, 2][..., None, None] * zb
+                + cm[:, :, row, 3][..., None, None]
+            )
+
+        s0, s1, sw = apply_cm(0), apply_cm(1), apply_cm(3)
+        ok = sw > 1e-6
+        sw = jnp.where(jnp.abs(sw) < 1e-6, 1e-6, sw)
+        sx = s0 / sw
+        sy = s1 / sw
+        ok &= (jnp.abs(sx) < 1.0) & (jnp.abs(sy) < 1.0)
+        scol = (sx + 1.0) * 0.5 * w
+        srow = (1.0 - sy) * 0.5 * h
+        if use_pallas:
+            from meshrecon.flow.tile_warp import tile_warp_sample_batched
+
+            samp = tile_warp_sample_batched(fs, scol, srow, valid=ok,
+                                            r_col=24, interpret=interpret)
+        else:
+            flat = lambda a: a.reshape(b * fs.shape[1], h, w)
+            samp = jax.vmap(bilinear_sample)(
+                flat(fs), flat(scol), flat(srow)).reshape(fs.shape)
+        diff = jnp.abs(samp - fm[:, None])
+        wgt = ok.astype(jnp.float32) * vmask[:, :, None, None]
+        if swt is not None:
+            wgt = wgt * swt
+        num = jnp.sum(diff * wgt, axis=1)
+        den = jnp.sum(wgt, axis=1)
+        cost = num / jnp.maximum(den, 1e-6)
+        return _box3(cost), den
+
+    def step(carry, z):
+        (best_c, best_z, best_prev, best_next, last_c, pending,
+         support) = carry
+        c, sup = cost_at(z)
+        zmap = jnp.broadcast_to(z[:, None, None], (b, h, w))
+        is_best = c < best_c
+        best_prev = jnp.where(is_best, last_c, best_prev)
+        best_next = jnp.where(pending & ~is_best, c, best_next)
+        pending = is_best
+        best_z = jnp.where(is_best, zmap, best_z)
+        best_c = jnp.where(is_best, c, best_c)
+        support = jnp.maximum(support, sup)
+        return (best_c, best_z, best_prev, best_next, c, pending,
+                support), None
+
+    big = jnp.full((b, h, w), 1e30, jnp.float32)
+    init = (big, jnp.broadcast_to(z_max[:, None, None], (b, h, w)), big, big,
+            big, jnp.zeros((b, h, w), bool), jnp.zeros((b, h, w), jnp.float32))
+    (best_c, best_z, best_prev, best_next, _, _, support), _ = jax.lax.scan(
+        step, init, zs
+    )
+
+    dz = ((z_max - z_min) / (num_depths - 1))[:, None, None]
+    denom = best_prev - 2.0 * best_c + best_next
+    ok_ref = (jnp.abs(denom) > 1e-12) & (best_prev < 1e29) & (best_next < 1e29)
+    offset = jnp.where(ok_ref, 0.5 * (best_prev - best_next) / denom, 0.0)
+    offset = jnp.clip(offset, -1.0, 1.0)
+    depth = best_z + offset * dz
+
+    n_sides = jnp.sum(vmask, axis=1)
+    need = jnp.minimum(2.0, jnp.maximum(n_sides, 1.0))[:, None, None]
     valid = support >= need
     depth = jnp.where(valid, depth, BACKGROUND_DEPTH)
     return {"depth": depth, "cost": best_c, "valid": valid}

@@ -13,6 +13,16 @@ every ingredient (Jacobi sweeps, 5-tap pyramid restriction/prolongation) is
 the same fused-XLA machinery the solver already uses. No gathers, no new
 Pallas.
 
+TPU VERDICT (round 3, measured): the flop analysis does NOT transfer to
+v5e. Plain Jacobi compiles to ONE fused fori_loop whose working set stays
+VMEM-resident (~1 Tflop/s effective); the W-cycle fragments into ~19
+level visits x ~15 small XLA ops per solve, each with fixed launch/fusion
+overhead, and measured 20 ms vs 8.1 ms for the flow stage inside the
+fused update (tools/fused_breakdown.py, 640x480 K=3). The solver is kept
+as `variational_flow(..., solver="mg")`: it is the convergence REFERENCE
+for the verify-tpu sweep (2 cycles beat 60 sweeps against a 1500-sweep
+fixed point) and the right engine on op-overhead-free backends (CPU).
+
 System being solved (the fixed point of variational._hs_sweeps' iteration,
 the reference's relaxation semantics, flow.cpp:27-32): per pixel,
 

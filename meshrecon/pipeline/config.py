@@ -53,10 +53,13 @@ class Config:
     # measured 1.7x more accurate single-shot, NOTES_ROUND2.md)
     depth_mode: str = "flow"
     sampling: str = "taylor"  # flow-displaced depth sampling: taylor | exact
-    # HS linearized-system solver: "mg" (multigrid W-cycles — better
-    # converged than the 60-sweep budget at ~1/3 the fine-grid work,
-    # flow/multigrid.py) or "jacobi" (plain relaxation sweeps)
-    flow_solver: str = "mg"
+    # HS linearized-system solver: "jacobi" (plain relaxation sweeps — one
+    # fused fori_loop per level, the TPU-optimal form) or "mg" (multigrid
+    # W-cycles, flow/multigrid.py: 3x less arithmetic and better converged,
+    # but its ~19 coarse-level visits per solve fragment into hundreds of
+    # small XLA ops — measured 20 ms vs 8.1 ms flow inside the fused update
+    # on v5e, so it is an option, not the default)
+    flow_solver: str = "jacobi"
     sweep_depths: int = 64
     poisson_grid: int = 128
     poisson_sigma: float = 1.5
@@ -74,6 +77,7 @@ class Config:
     profile_dir: Optional[str] = None
     resume: bool = False
     mesh_devices: int = 1
+    scene_devices: int = 1
     exposure: Optional[np.ndarray] = None
 
     @property
@@ -141,7 +145,10 @@ def build_parser() -> argparse.ArgumentParser:
         description="Reconstructs dense geometry from given YAML scene "
         "calibration and video (TPU-native)",
     )
-    p.add_argument("input_pos", nargs="?", help="input YAML scene file")
+    p.add_argument("input_pos", nargs="*",
+                   help="input YAML scene file(s); several files run as a "
+                        "multi-scene batch (the reference is one clip per "
+                        "process, configuration.cpp:169)")
     p.add_argument("-i", "--input", dest="input")
     p.add_argument("-m", "--initial-mesh", dest="initial_mesh")
     p.add_argument("-o", "--output", default="output.obj")
@@ -167,10 +174,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "refinement after; the default — most accurate)")
     p.add_argument("--sweep-depths", type=int, default=64,
                    help="number of plane-sweep depth hypotheses")
-    p.add_argument("--flow-solver", choices=["mg", "jacobi"], default="mg",
-                   help="variational-flow linear solver: multigrid W-cycles "
-                        "(default; better converged at ~1/3 the work) or "
-                        "plain Jacobi sweeps")
+    p.add_argument("--flow-solver", choices=["mg", "jacobi"],
+                   default="jacobi",
+                   help="variational-flow linear solver: fused Jacobi "
+                        "sweeps (default; TPU-optimal) or multigrid "
+                        "W-cycles (better converged per flop but "
+                        "op-overhead-bound on TPU)")
     p.add_argument("--sampling", choices=["taylor", "exact"], default="taylor",
                    help="depth sampling at flow-displaced positions: "
                         "gather-free first-order taylor (default) or exact "
@@ -196,18 +205,44 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true")
     p.add_argument("--mesh-devices", type=int, default=1,
                    help="shard main cameras across this many jax devices")
+    p.add_argument("--scene-devices", type=int, default=1,
+                   help="with several input YAMLs: run scenes in lockstep "
+                        "with the dense stage sharded one-scene-per-device "
+                        "across this many jax devices")
     p.add_argument("--profile", default=None, metavar="LOG_DIR",
                    help="write a jax.profiler trace of the run to LOG_DIR")
     return p
 
 
 def config_from_args(argv=None) -> Config:
+    """Single-scene form: exactly one input YAML (the reference CLI)."""
+    return configs_from_args(argv)[0]
+
+
+def configs_from_args(argv=None) -> list:
+    """One Config per input YAML. With several inputs, each scene's output
+    defaults to ``<input stem>.obj`` next to the input unless -o contains a
+    ``{}`` placeholder (formatted with the scene index)."""
     args = build_parser().parse_args(argv)
-    in_file = args.input or args.input_pos
-    if not in_file:
+    in_files = ([args.input] if args.input else []) + list(args.input_pos)
+    if not in_files:
         print("No configuration YAML file given, exiting.", file=sys.stderr)
         raise SystemExit(1)
+    configs = []
+    for idx, in_file in enumerate(in_files):
+        if len(in_files) == 1:
+            out = args.output
+        elif "{}" in args.output:
+            out = args.output.format(idx)
+        else:
+            import os.path
 
+            out = os.path.splitext(in_file)[0] + ".obj"
+        configs.append(_config_for_file(args, in_file, out))
+    return configs
+
+
+def _config_for_file(args, in_file: str, out_file: str) -> Config:
     skip = max(1, args.skip_frames)
     track = load_tracks(in_file, skip_frames=skip)
 
@@ -262,7 +297,7 @@ def config_from_args(argv=None) -> Config:
         camera_threshold=args.camera_threshold,
         scaling_factor=scale,
         skip_frames=skip,
-        out_file_name=args.output,
+        out_file_name=out_file,
         in_mesh_file=args.initial_mesh,
         seed=args.seed,
         depth_mode=args.depth_mode,
@@ -279,5 +314,6 @@ def config_from_args(argv=None) -> Config:
         profile_dir=args.profile,
         resume=args.resume,
         mesh_devices=args.mesh_devices,
+        scene_devices=args.scene_devices,
         exposure=exposure,
     )

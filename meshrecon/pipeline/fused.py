@@ -80,7 +80,7 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
                               centers_valid, n_side, height: int, width: int,
                               use_farneback: bool = False, use_pallas=None,
                               sampling: str = "taylor",
-                              flow_solver: str = "mg"):
+                              flow_solver: str = "jacobi"):
     """Full dense update for B main cameras x K (padded) sides each — the
     production step of reconstruct.py's camera-bundle batching.
 
@@ -193,7 +193,7 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
                       side_frames, side_valid, centers, centers_valid, n_side,
                       height: int, width: int, use_farneback: bool = False,
                       use_pallas=None, sampling: str = "taylor",
-                      flow_solver: str = "mg"):
+                      flow_solver: str = "jacobi"):
     """Full dense update for ONE main camera against K (padded) sides —
     the B=1 slice of :func:`fused_main_update_batched` (same program,
     same semantics; see there for the stage structure).
@@ -218,3 +218,87 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
         use_pallas=use_pallas, sampling=sampling, flow_solver=flow_solver,
     )
     return jax.tree_util.tree_map(lambda x: x[0], out)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("height", "width", "num_depths", "use_pallas"),
+)
+def fused_sweep_update_batched(soup, soup_valid, cam_mains, frames_main,
+                               side_cams, side_frames, side_valid, centers,
+                               centers_valid, n_side, height: int, width: int,
+                               num_depths: int = 64, use_pallas=None):
+    """Plane-sweep analog of fused_main_update_batched: ONE program for B
+    main cameras — all B*(K+1) depth renders, the per-side shadow-mapped
+    visibility masks, per-camera z-range estimation, the batch-native plane
+    sweep, point back-projection and normals.
+
+    This kills the round-2 iteration-1 dispatch cadence (the hybrid
+    default's first iteration ran one camera per dispatch with a PYTHON
+    loop of renderer.projected calls for the visibility weights —
+    reconstruct.py's unfused path; reference hot loop recon.cpp:65-119).
+
+    Same argument convention as fused_main_update_batched. Returns
+    dict(point4, normals, pdf, valid, depth) with leading B.
+    """
+    from meshrecon import BACKGROUND_DEPTH
+    from meshrecon.depth.plane_sweep import plane_sweep_depth_batched
+
+    frames_main = jnp.asarray(frames_main, jnp.float32)
+    side_cams = jnp.asarray(side_cams, jnp.float32)
+    side_frames = jnp.asarray(side_frames, jnp.float32)
+    side_valid = jnp.asarray(side_valid)
+    cam_mains = jnp.asarray(cam_mains, jnp.float32)
+    b, k = side_frames.shape[:2]
+
+    depth_batched = _depth_batched_fn(use_pallas, height, width)
+    all_cams = jnp.concatenate([cam_mains[:, None], side_cams], axis=1)
+    all_depths = depth_batched(
+        all_cams.reshape(b * (k + 1), 4, 4), soup, soup_valid
+    ).reshape(b, k + 1, height, width)
+    depth0 = all_depths[:, 0]
+
+    # per-(side, pixel) visibility of the CURRENT surface estimate: the
+    # sweep's vote weights (see plane_sweep_depth's side_weight contract)
+    _, masks = projected_image_batched(cam_mains, depth0, side_frames,
+                                       side_cams, all_depths[:, 1:])
+
+    # per-camera sweep range from the current estimate's depth span
+    # (the host path computed this in numpy; here it is in-program data)
+    dvalid = depth0 < BACKGROUND_DEPTH
+    big = jnp.float32(3e38)
+    zlo = jnp.min(jnp.where(dvalid, depth0, big), axis=(1, 2))
+    zhi = jnp.max(jnp.where(dvalid, depth0, -big), axis=(1, 2))
+    any_valid = jnp.any(dvalid, axis=(1, 2))
+    zlo = jnp.where(any_valid, zlo, -1.0)
+    zhi = jnp.where(any_valid, zhi, 1.0)
+    span = jnp.maximum(zhi - zlo, 0.05)
+    zlo = zlo - 0.1 * span
+    zhi = zhi + 0.1 * span
+
+    out = plane_sweep_depth_batched(
+        frames_main, side_frames, cam_mains, side_cams, side_valid,
+        zlo, zhi, num_depths=num_depths,
+        side_weight=masks.astype(jnp.float32))
+
+    valid = out["valid"] & dvalid & any_valid[:, None, None]
+    main_inv = jnp.linalg.inv(cam_mains)
+    cols = (jnp.arange(width, dtype=jnp.float32) - width / 2.0) * (
+        2.0 / width)
+    rows = (height / 2.0 - jnp.arange(height, dtype=jnp.float32)) * (
+        2.0 / height)
+    x = jnp.broadcast_to(cols[None, None, :], (b, height, width))
+    y = jnp.broadcast_to(rows[None, :, None], (b, height, width))
+    ndc4 = jnp.stack([x, y, out["depth"], jnp.ones_like(x)], axis=-1)
+    pts4 = jnp.einsum("bij,bhwj->bhwi", main_inv, ndc4)
+    pdf = 1.0 / (1.0 + out["cost"])
+
+    normals = jax.vmap(estimate_normals)(pts4, valid, pdf, centers,
+                                         centers_valid, n_side)
+    return {
+        "point4": pts4.astype(jnp.float32),
+        "normals": normals,
+        "pdf": pdf.astype(jnp.float32),
+        "valid": valid,
+        "depth": depth0,
+    }

@@ -41,7 +41,25 @@ _SINGLE_CHIP_BATCH = 4
 
 
 @functools.lru_cache(maxsize=None)
-def _vmapped_step(h, w, use_farneback, sampling, flow_solver="mg"):
+def _sweep_step(h, w, num_depths):
+    """Single-chip batched plane-sweep update (one compiled program per
+    shape) — the iteration-1 counterpart of _vmapped_step."""
+    import jax
+
+    from meshrecon.pipeline.fused import fused_sweep_update_batched
+
+    @jax.jit
+    def step(soup, soup_valid, mains, fms, scs, sfs, svs, ctrs, cvs, ks):
+        return fused_sweep_update_batched(
+            soup, soup_valid, mains, fms, scs, sfs, svs, ctrs, cvs, ks,
+            height=h, width=w, num_depths=num_depths,
+        )
+
+    return step
+
+
+@functools.lru_cache(maxsize=None)
+def _vmapped_step(h, w, use_farneback, sampling, flow_solver="jacobi"):
     """Single-chip batched dense update, cached so repeated pipeline
     iterations reuse one compiled program per shape."""
     import jax
@@ -221,7 +239,7 @@ def _process_main_fused(config, renderer, fa, sides, timer):
             side_frames, side_valid, centers_pad, cvalid, jnp.asarray(k),
             height=h, width=w, use_farneback=config.use_farneback,
             sampling=getattr(config, "sampling", "taylor"),
-            flow_solver=getattr(config, "flow_solver", "mg"),
+            flow_solver=getattr(config, "flow_solver", "jacobi"),
         )
         done(out["point4"])
 
@@ -231,7 +249,8 @@ def _process_main_fused(config, renderer, fa, sides, timer):
     return pts.astype(np.float32), nrm.astype(np.float32), int(valid.sum())
 
 
-def _process_bundles_batched(config, renderer, bundles, timer):
+def _process_bundles_batched(config, renderer, bundles, timer,
+                             mode: str = "flow"):
     """Process camera bundles in BATCHES per dispatch.
 
     Multi-chip (--mesh-devices > 1): batches of device-count size over a
@@ -240,13 +259,21 @@ def _process_bundles_batched(config, renderer, bundles, timer):
     (recon.cpp:65-119) and the axon tunnel costs ~30 ms per dispatch, so
     one-camera dispatches leave wall time on the table.
 
+    mode: "flow" (fused_main_update_batched) or "plane-sweep"
+    (fused_sweep_update_batched — the hybrid default's iteration 1, which
+    used to run one camera per dispatch with a Python per-side
+    renderer.projected loop).
+
     Bundles are padded to a common K bucket and batches padded by repeating
     the last bundle (fake entries' outputs are dropped).
     """
     import jax
 
     h, w = config.height, config.width
-    if config.mesh_devices > 1:
+    if mode == "plane-sweep":
+        n_dev = _SINGLE_CHIP_BATCH
+        step = _sweep_step(h, w, config.sweep_depths)
+    elif config.mesh_devices > 1:
         from meshrecon.sharding import make_device_mesh, sharded_fused_update
 
         n_dev = config.mesh_devices
@@ -257,7 +284,7 @@ def _process_bundles_batched(config, renderer, bundles, timer):
         n_dev = _SINGLE_CHIP_BATCH
         step = _vmapped_step(h, w, config.use_farneback,
                              getattr(config, "sampling", "taylor"),
-                             getattr(config, "flow_solver", "mg"))
+                             getattr(config, "flow_solver", "jacobi"))
 
     npix = h * w
 
@@ -441,10 +468,10 @@ def reconstruct(config) -> Mesh:
         new_nrm = [normals]
         bundles = hint.camera_bundles()
         depth_mode = _effective_depth_mode(config, hint.iteration)
-        if depth_mode == "flow" and config.verbosity < 3 \
+        if depth_mode in ("flow", "plane-sweep") and config.verbosity < 3 \
                 and len(bundles) > 1:
             results = _process_bundles_batched(config, renderer, bundles,
-                                               timer)
+                                               timer, mode=depth_mode)
             for (fa, _), (pts, nrm, n) in zip(bundles, results):
                 new_pts.append(pts)
                 new_nrm.append(nrm)
@@ -486,18 +513,195 @@ def reconstruct(config) -> Mesh:
     return mesh
 
 
-def reconstruct_scenes(configs) -> list[Mesh]:
+def reconstruct_scenes(configs, scene_devices: int = 1) -> list[Mesh]:
     """Reconstruct several scenes (clips) in one process.
 
     The reference handles one clip per process (configuration.cpp:169).
-    Scenes here share every compiled device program (same frame shape and
-    K buckets -> one XLA executable serves all scenes, so only the first
-    scene pays compilation), which is the practical win of batch
-    processing on a single chip; ACROSS chips, scene-parallel execution of
-    the dense stage is available via sharding.sharded_multi_scene_update
-    (scenes are fully independent — no cross-scene collective exists).
+    scene_devices == 1: scenes run sequentially but share every compiled
+    device program (same frame shape and K buckets -> one XLA executable
+    serves all scenes, so only the first scene pays compilation).
+    scene_devices > 1: the FULL pipeline runs scenes in lockstep with the
+    dense stage sharded one-scene-per-device (sharding.
+    sharded_multi_scene_fused — scenes are embarrassingly parallel, no
+    cross-scene collective) and the host stages (tessellation, camera
+    policy, point filtering) overlapped across scenes in a thread pool
+    (the native density filter and CGAL-analog meshing release the GIL).
 
     configs: iterable of Config (each with its own frames/track/output).
     Returns the list of output meshes, in order.
     """
-    return [reconstruct(cfg) for cfg in configs]
+    configs = list(configs)
+    if scene_devices <= 1 or len(configs) <= 1:
+        return [reconstruct(cfg) for cfg in configs]
+    return _reconstruct_scenes_sharded(configs, scene_devices)
+
+
+def _reconstruct_scenes_sharded(configs, scene_devices: int) -> list[Mesh]:
+    """Lockstep multi-scene driver (see reconstruct_scenes).
+
+    Per iteration: every active scene tessellates + picks camera bundles on
+    the host (thread pool); bundles then stream through the scene-sharded
+    fused dense step in rounds of one bundle per scene (padded with repeats,
+    padding outputs dropped); finally each scene filters its accumulated
+    cloud (thread pool). Scenes whose iteration is in plane-sweep mode
+    (hybrid bootstrap) fall back to the per-scene path for that iteration —
+    the sweep program is a different executable.
+    """
+    import jax
+    from concurrent.futures import ThreadPoolExecutor
+
+    from meshrecon.sharding import make_scene_mesh, sharded_multi_scene_fused
+
+    S = len(configs)
+    h, w = configs[0].height, configs[0].width
+    for c in configs:
+        if (c.height, c.width) != (h, w):
+            raise ValueError(
+                "scene batching needs a common frame size; got "
+                f"{(c.height, c.width)} vs {(h, w)}")
+    n_dev = max(1, min(scene_devices, S, len(jax.devices())))
+    s_pad = -(-S // n_dev) * n_dev
+    mesh = make_scene_mesh(n_dev, 1, 1, devices=jax.devices()[:n_dev])
+    step = sharded_multi_scene_fused(mesh, height=h, width=w)
+
+    hints = [Heuristic(c) for c in configs]
+    renderers = [Renderer(w, h) for _ in configs]
+    points = [np.asarray(c.reconstructed_points(), np.float32)
+              for c in configs]
+    normals = [np.zeros((len(p), 3), np.float32) for p in points]
+    active = [True] * S
+    pool = ThreadPoolExecutor(max_workers=min(S, 8))
+
+    def prep(i):
+        """Host policy for scene i: tessellate, proxy, choose bundles."""
+        cfg, hint = configs[i], hints[i]
+        mesh_i = hint.tessellate(points[i], normals[i])
+        render_mesh = mesh_i
+        cap = getattr(cfg, "max_render_faces", 65536)
+        if cap and len(mesh_i.faces) > cap:
+            from meshrecon.meshing.decimate import decimate_vertex_clustering
+
+            render_mesh = decimate_vertex_clustering(mesh_i, cap)
+        renderers[i].load_mesh(render_mesh)
+        count = hint.choose_cameras(render_mesh, cfg.cameras, renderers[i])
+        return count, hint.camera_bundles()
+
+    def run_filter(i):
+        points[i], normals[i], _ = filter_points(points[i], normals[i],
+                                                 hints[i].filter_radius_sq())
+
+    while True:
+        for i, hint in enumerate(hints):
+            if active[i] and not hint.not_happy(points[i]):
+                active[i] = False
+        live = [i for i in range(S) if active[i]]
+        if not live:
+            break
+
+        preps = {i: p for i, p in zip(live, pool.map(prep, live))}
+        for i in list(live):
+            count, _bundles = preps[i]
+            if count == 0:
+                if hints[i].iteration <= 1:
+                    raise RuntimeError(
+                        f"Heuristic chose no cameras for scene {i}.")
+                configs[i].log(1, f"scene {i}: no cameras; finishing early")
+                active[i] = False
+                live.remove(i)
+        if not live:
+            break
+
+        flow_scenes = [i for i in live if _effective_depth_mode(
+            configs[i], hints[i].iteration) == "flow"
+            and configs[i].verbosity < 3]
+        other_scenes = [i for i in live if i not in flow_scenes]
+
+        acc_pts = {i: [points[i]] for i in live}
+        acc_nrm = {i: [normals[i]] for i in live}
+
+        # plane-sweep (or -V) iterations: per-scene sequential path
+        for i in other_scenes:
+            mode = _effective_depth_mode(configs[i], hints[i].iteration)
+            for fa, sides in preps[i][1]:
+                pts, nrm, _ = process_main_camera(
+                    configs[i], renderers[i], fa, sides, depth_mode=mode)
+                acc_pts[i].append(pts)
+                acc_nrm[i].append(nrm)
+
+        # flow iterations: scene-sharded fused rounds
+        if flow_scenes:
+            bundles = {i: preps[i][1] for i in flow_scenes}
+            rounds = max(len(b) for b in bundles.values())
+            kb = _bucket(max(max(len(s) for _, s in b)
+                             for b in bundles.values()))
+            cb = _bucket(kb + 1)
+            t_max = max(len(np.asarray(renderers[i].soup))
+                        for i in flow_scenes)
+            t_pad = -(-t_max // 4096) * 4096
+            soups = np.zeros((s_pad, t_pad, 3, 3), np.float32)
+            soup_valid = np.zeros((s_pad, t_pad), bool)
+            for row, i in enumerate(flow_scenes):
+                sp = np.asarray(renderers[i].soup)
+                sv = np.asarray(renderers[i].soup_valid)
+                soups[row, : len(sp)] = sp
+                soup_valid[row, : len(sp)] = sv
+
+            for r in range(rounds):
+                mains = np.zeros((s_pad, 1, 4, 4), np.float32)
+                mains[:] = np.eye(4, dtype=np.float32)
+                fms = np.zeros((s_pad, 1, h, w), np.float32)
+                scs = np.tile(np.eye(4, dtype=np.float32),
+                              (s_pad, 1, kb, 1, 1))
+                sfs = np.zeros((s_pad, 1, kb, h, w), np.float32)
+                svs = np.zeros((s_pad, 1, kb), bool)
+                ctrs = np.zeros((s_pad, 1, cb, 3), np.float32)
+                cvs = np.zeros((s_pad, 1, cb), bool)
+                ks = np.zeros((s_pad, 1), np.int32)
+                real = []
+                for row, i in enumerate(flow_scenes):
+                    blist = bundles[i]
+                    fa, sides = blist[min(r, len(blist) - 1)]
+                    if r < len(blist):
+                        real.append((row, i))
+                    cfg = configs[i]
+                    mains[row, 0] = cfg.camera(fa)
+                    fms[row, 0] = cfg.frame(fa)
+                    for t, fb in enumerate(sides):
+                        scs[row, 0, t] = cfg.camera(fb)
+                        sfs[row, 0, t] = cfg.frame(fb)
+                        svs[row, 0, t] = True
+                    ctr = [np_extract_camera_center(cfg.camera(fa))] + [
+                        np_extract_camera_center(cfg.camera(fb))
+                        for fb in sides]
+                    c3 = np.stack([c[:3] / c[3] for c in ctr]).astype(
+                        np.float32)
+                    ctrs[row, 0, : len(c3)] = c3
+                    cvs[row, 0, : len(c3)] = True
+                    ks[row, 0] = len(sides)
+
+                out = step(soups, soup_valid, mains, fms, scs, sfs, svs,
+                           ctrs, cvs, ks)
+                valid = np.asarray(out["valid"])
+                p4 = np.asarray(out["point4"])
+                nrm = np.asarray(out["normals"])
+                for row, i in real:
+                    vb = valid[row, 0]
+                    acc_pts[i].append(p4[row, 0][vb].astype(np.float32))
+                    acc_nrm[i].append(nrm[row, 0][vb].astype(np.float32))
+
+        for i in live:
+            points[i] = np.concatenate(acc_pts[i])
+            normals[i] = np.concatenate(acc_nrm[i])
+        # overlapped host point filtering (native filter releases the GIL)
+        list(pool.map(run_filter, live))
+        for i in live:
+            configs[i].log(2, f"scene {i}: {len(points[i])} filtered points")
+
+    def finish(i):
+        mesh_i = hints[i].tessellate(points[i], normals[i])
+        save_mesh(mesh_i, configs[i].out_file_name)
+        return mesh_i
+
+    meshes = list(pool.map(finish, range(S)))
+    pool.shutdown()
+    return meshes

@@ -3,7 +3,7 @@
 The XLA brute path (rasterizer.render_depth) streams every triangle over
 every pixel through (chunk, H*W) HBM intermediates: 2.6 ms at 1k triangles
 but ~117 ms at 16k (both real, 640x480 v5e) — linear in T with a huge
-constant. The round-1 Pallas kernel (raster/pallas_kernel.py) skipped
+constant. The round-1 whole-soup Pallas kernel (deleted in round 3) skipped
 per-triangle by bbox but still paid ~6 scalar ops for every (triangle, tile)
 pair, losing to XLA. This version adds BINNING so the kernel only ever walks
 triangles near its tile:
@@ -203,15 +203,17 @@ def _raster_kernel2(height, width, chunk, supers, tri_ref, lists_ref,
     out_ref[:] = zbuf_ref[:]
 
 
-def _raster_kernel2b(height, width, chunk, supers, n_tiles, nch,
+def _raster_kernel2b(height, width, chunk, supers, n_tiles, nch, slab,
                      tri_ref, lists_ref, counts_ref, cxmn_ref, cxmx_ref,
                      cymn_ref, cymx_ref, dummy_ref, out_ref, zbuf_ref):
     """Camera-batched two-level kernel: grid (N, nty, ntx). Identical tile
     walk to _raster_kernel2; the camera index only offsets the per-camera
     rows of the scalar-prefetch tables (packed triangles, lists, counts,
-    chunk bboxes). One launch for all N renders — jax.vmap over a
+    chunk bboxes). One launch for a camera chunk — jax.vmap over a
     pallas_call costs ~3x per element on v5e and cannot lower at all with
-    scratch refs."""
+    scratch refs. The lists table is FLAT 1-D: a 2-D (tiles, nsup) layout
+    lane-pads nsup up to 128 and doubled its SMEM (measured 600K vs 300K
+    at 4x640x480 — the whole scoped-SMEM budget is 1 MB)."""
     cam = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
@@ -235,12 +237,14 @@ def _raster_kernel2b(height, width, chunk, supers, n_tiles, nch,
         # packed rides scalar prefetch (like the one-level kernel); the
         # camera selects its row — NOT a VMEM block (the in_specs entry
         # belongs to the dummy operand)
-        return tri_ref[cam, i * SLAB + t]
+        return tri_ref[cam, i * slab + t]
 
     zbuf_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
 
+    nsup = nch // supers
+
     def super_body(k, carry):
-        sc = lists_ref[tile, k]
+        sc = lists_ref[tile * nsup + k]
         for sub in range(supers):
             c = sc * supers + sub
             cb = cam * nch + c
@@ -283,18 +287,36 @@ def _raster_kernel2b(height, width, chunk, supers, n_tiles, nch,
     out_ref[0] = zbuf_ref[:]
 
 
+# SMEM budget for one camera-chunked batched launch (bytes). The scoped
+# SMEM capacity is 1 MB and ALL scalar-prefetch operands live there
+# (packed triangles 14*slab*4 per camera + flat lists + chunk bboxes);
+# exceeding it is a hard compile error (measured: 4 cameras at slab=4096
+# with lane-padded 2-D lists wanted 1.50 MB).
+_SMEM_BUDGET = 700 * 1024
+_BATCH_SLAB = 2048
+
+
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk",
-                                             "interpret", "supers"))
+                                             "interpret", "supers", "slab"))
 def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
                                 chunk: int = CHUNK, interpret: bool = False,
-                                supers: int = 8):
-    """N z-buffer depth renders of one soup in a single two-level Pallas
-    launch per slab: cameras (N, 4, 4) -> (N, H, W). Same per-pixel contract
-    as render_depth / render_depth_binned (render_glx.cpp:369-397 semantics,
-    background 1.0). This is the production form for the B*(K+1) depth
-    renders of the fused update (one mesh, many cameras —
-    render_glx.cpp:261-397 renders the same static VBO per camera)."""
+                                supers: int = 8, slab: int = _BATCH_SLAB):
+    """N z-buffer depth renders of one soup: cameras (N, 4, 4) -> (N, H, W),
+    a few cameras per two-level Pallas launch (as many as the SMEM budget
+    allows — 4 at 640x480). Same per-pixel contract as render_depth /
+    render_depth_binned (render_glx.cpp:369-397 semantics, background 1.0).
+    This is the production form for the B*(K+1) depth renders of the fused
+    update (one mesh, many cameras — render_glx.cpp:261-397 renders the
+    same static VBO per camera)."""
     n = cameras.shape[0]
+
+    nty = -(-height // TILE_H)
+    ntx = -(-width // TILE_W)
+    n_tiles = nty * ntx
+    nch = slab // chunk
+    nsup = nch // supers
+    per_cam = 14 * slab * 4 + n_tiles * nsup * 4 + 4 * nch * 4 + n_tiles * 4
+    n_c = max(1, min(n, _SMEM_BUDGET // per_cam))
 
     def setup(camera):
         return clip_project_planes(camera, soup, soup_valid)
@@ -303,7 +325,7 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
         jnp.asarray(cameras, jnp.float32))
 
     t = x0.shape[1]
-    pad = (-t) % SLAB
+    pad = (-t) % slab
 
     def padc(a, fill=0.0):
         return jnp.pad(a, ((0, 0), (0, pad)), constant_values=fill)
@@ -313,7 +335,7 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
     z0, z1, z2 = padc(z0), padc(z1), padc(z2)
     area = padc(area, 1.0)
     ok = padc(ok)
-    n_slabs = x0.shape[1] // SLAB
+    n_slabs = x0.shape[1] // slab
 
     inv_area = jnp.where(ok & (jnp.abs(area) > 1e-12), 1.0 / area, 0.0)
     big = jnp.float32(3e38)
@@ -326,9 +348,6 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
     ymin = jnp.where(ok, ymn, big)
     ymax = jnp.where(ok, ymx, -big)
 
-    nty = -(-height // TILE_H)
-    ntx = -(-width // TILE_W)
-    n_tiles = nty * ntx
     tx0 = (jnp.arange(ntx, dtype=jnp.float32) * TILE_W - width / 2.0) * (
         2.0 / width)
     tx1 = ((jnp.arange(ntx, dtype=jnp.float32) * TILE_W + TILE_W - 1)
@@ -341,10 +360,7 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
     packed_all = jnp.concatenate(
         [x0, x1, x2, y0, y1, y2, z0, z1, z2, inv_area, xmin, xmax,
          ymin, ymax], axis=1,
-    ).reshape(n, 14, n_slabs, SLAB)
-
-    nch = SLAB // chunk
-    nsup = nch // supers
+    ).reshape(n, 14, n_slabs, slab)
 
     def cagg(a, op):
         return op(a.reshape(n, n_slabs, nch, chunk), 3)
@@ -358,47 +374,54 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
     symin = cymin.reshape(n, n_slabs, nsup, supers).min(axis=3)
     symax = cymax.reshape(n, n_slabs, nsup, supers).max(axis=3)
 
-    grid = (n, nty, ntx)
-    kernel = functools.partial(_raster_kernel2b, float(height), float(width),
-                               chunk, supers, n_tiles, nch)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=7,
-        grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, TILE_H, TILE_W),
-                               lambda b, i, j, *_: (b, i, j),
-                               memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
-    )
+    # per-(camera, tile, super) activity for ALL slabs at once
+    ax = ((sxmin[:, :, None, :] <= tx1[None, None, :, None])
+          & (sxmax[:, :, None, :] >= tx0[None, None, :, None]))
+    ay = ((symin[:, :, None, :] <= ty1[None, None, :, None])
+          & (symax[:, :, None, :] >= ty0[None, None, :, None]))
+    active = (ay[:, :, :, None, :] & ax[:, :, None, :, :])  # (n,s,ty,tx,sup)
+    keys = jnp.where(active, jnp.arange(nsup, dtype=jnp.int32), jnp.int32(
+        nsup))
+    lists_all = jnp.sort(keys.reshape(n, n_slabs, n_tiles, nsup), axis=-1)
+    counts_all = jnp.sum(active, axis=(-1,)).reshape(n, n_slabs, n_tiles)
+
     dummy = jnp.zeros((8, 128), jnp.float32)
-
-    zbuf = None
-    for s in range(n_slabs):
-        ax = ((sxmin[:, s, None, :] <= tx1[None, :, None])
-              & (sxmax[:, s, None, :] >= tx0[None, :, None]))  # (n,ntx,nsup)
-        ay = ((symin[:, s, None, :] <= ty1[None, :, None])
-              & (symax[:, s, None, :] >= ty0[None, :, None]))  # (n,nty,nsup)
-        active = (ay[:, :, None, :] & ax[:, None, :, :]).reshape(
-            n * n_tiles, nsup)
-        keys = jnp.where(active, jnp.arange(nsup, dtype=jnp.int32)[None, :],
-                         jnp.int32(nsup))
-        lists = jnp.sort(keys, axis=1)
-        counts = jnp.sum(active, axis=1).astype(jnp.int32)
-        packed = packed_all[:, :, s, :].reshape(n, 14 * SLAB)
-        out_kernel = pl.pallas_call(
-            kernel,
-            grid_spec=grid_spec,
-            out_shape=jax.ShapeDtypeStruct(
-                (n, nty * TILE_H, ntx * TILE_W), jnp.float32),
-            interpret=interpret,
+    outs = []
+    for c0 in range(0, n, n_c):
+        nc = min(n_c, n - c0)
+        grid = (nc, nty, ntx)
+        kernel = functools.partial(_raster_kernel2b, float(height),
+                                   float(width), chunk, supers, n_tiles,
+                                   nch, slab)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=7,
+            grid=grid,
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, TILE_H, TILE_W),
+                                   lambda b, i, j, *_: (b, i, j),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
         )
-        zb = out_kernel(packed, lists, counts,
-                        cxmin[:, s].reshape(-1), cxmax[:, s].reshape(-1),
-                        cymin[:, s].reshape(-1), cymax[:, s].reshape(-1),
-                        dummy)
-        zbuf = zb if zbuf is None else jnp.minimum(zbuf, zb)
+        zbuf = None
+        for s in range(n_slabs):
+            lists = lists_all[c0:c0 + nc, s].reshape(-1)
+            counts = counts_all[c0:c0 + nc, s].reshape(-1).astype(jnp.int32)
+            packed = packed_all[c0:c0 + nc, :, s, :].reshape(nc, 14 * slab)
+            zb = pl.pallas_call(
+                kernel,
+                grid_spec=grid_spec,
+                out_shape=jax.ShapeDtypeStruct(
+                    (nc, nty * TILE_H, ntx * TILE_W), jnp.float32),
+                interpret=interpret,
+            )(packed, lists, counts,
+              cxmin[c0:c0 + nc, s].reshape(-1),
+              cxmax[c0:c0 + nc, s].reshape(-1),
+              cymin[c0:c0 + nc, s].reshape(-1),
+              cymax[c0:c0 + nc, s].reshape(-1), dummy)
+            zbuf = zb if zbuf is None else jnp.minimum(zbuf, zb)
+        outs.append(zbuf)
 
-    zbuf = zbuf[:, :height, :width]
+    zbuf = jnp.concatenate(outs, axis=0)[:, :height, :width]
     return jnp.where(jnp.isfinite(zbuf), zbuf, 1.0)
 
 

@@ -4,8 +4,6 @@ from meshrecon.sharding.meshes import (
     dense_update_batch,
     sharded_dense_update,
     sharded_fused_update,
-    multi_scene_update,
-    sharded_multi_scene_update,
     sharded_plane_sweep,
     sharded_multi_scene_fused,
     make_window_mesh,
@@ -17,8 +15,6 @@ __all__ = [
     "dense_update_batch",
     "sharded_dense_update",
     "sharded_fused_update",
-    "multi_scene_update",
-    "sharded_multi_scene_update",
     "sharded_plane_sweep",
     "sharded_multi_scene_fused",
     "make_window_mesh",

@@ -177,48 +177,11 @@ def sharded_fused_update(mesh: Mesh, height: int, width: int,
                    out_shardings=out_shardings)
 
 
-def multi_scene_update(*scene_args, flow_quality: str = "fast"):
-    """Dense update over an extra leading scene axis: every array gains a
-    leading S dimension; pure vmap of dense_update_batch."""
-    return jax.vmap(
-        lambda *a: dense_update_batch(*a, flow_quality=flow_quality)
-    )(*scene_args)
-
-
-def sharded_multi_scene_update(mesh: Mesh, flow_quality: str = "fast"):
-    """Compile multi_scene_update over a (scene, camera, tile) mesh.
-
-    Scene batches are fully independent pipelines (the reference runs one
-    clip per process, configuration.cpp:169); outputs stay sharded over
-    scenes — no cross-scene collective exists, so nothing rides DCN except
-    input distribution.
-    """
-
-    def sh(*spec):
-        return NamedSharding(mesh, P(*spec))
-
-    in_shardings = (
-        sh("scene", "camera", "tile", None),        # frames_main (S, B, H, W)
-        sh("scene", "camera", None, "tile", None),  # frames_proj
-        sh("scene", "camera", None, None),          # main_cams
-        sh("scene", "camera", None, None, None),    # side_cams
-        sh("scene", "camera", None),                # side_valid
-        sh("scene", "camera", "tile", None),        # depths
-        sh("scene", "camera", None, None),          # centers
-        sh("scene", "camera", None),                # centers_valid
-        sh("scene", "camera"),                      # n_side
-    )
-    out_shardings = (
-        sh("scene"),  # per-scene results stay scene-sharded
-        sh("scene"),
-        sh("scene"),
-        sh("scene"),
-    )
-    def step(*args):
-        return multi_scene_update(*args, flow_quality=flow_quality)
-
-    return jax.jit(step, in_shardings=in_shardings,
-                   out_shardings=out_shardings)
+# (the legacy unfused multi-scene pair multi_scene_update /
+# sharded_multi_scene_update was deleted in round 3: superseded by
+# sharded_multi_scene_fused, which shards the COMPLETE per-camera update
+# including each scene's own soup and is what the production driver
+# pipeline.reconstruct._reconstruct_scenes_sharded dispatches)
 
 
 def sharded_plane_sweep(mesh: Mesh, num_depths: int = 64,

@@ -137,29 +137,6 @@ def test_shift_warp_matches_gather_warp():
                                atol=1e-2)
 
 
-def test_pallas_hs_level_matches_xla_interpret():
-    """Experimental VMEM HS kernels (interpret mode): interior must match the
-    XLA level solver. (Real-v5e status: warp kernel compiles; the Jacobi
-    kernel needs tile banding to fit the 16 MB VMEM budget — round-2 work.)"""
-    import jax.numpy as jnp
-
-    from meshrecon.flow.pallas_hs import hs_level_pallas
-    from meshrecon.flow.variational import _hs_level
-
-    rng = np.random.default_rng(0)
-    h, w = 48, 64
-    a = rng.uniform(0, 255, (h, w)).astype(np.float32)
-    b = np.roll(a, (1, -2), axis=(0, 1)).astype(np.float32)
-    u0 = rng.normal(scale=0.5, size=(h, w)).astype(np.float32)
-    v0 = rng.normal(scale=0.5, size=(h, w)).astype(np.float32)
-    u_p, v_p = hs_level_pallas(a, b, u0, v0, 144.0, iters=30, interpret=True)
-    u_x, v_x, _ = _hs_level(a, b, jnp.asarray(u0), jnp.asarray(v0),
-                            jnp.float32(144.0), 30)
-    i8 = (slice(8, -8), slice(8, -8))
-    assert np.abs(np.asarray(u_p)[i8] - np.asarray(u_x)[i8]).max() < 2e-3
-    assert np.abs(np.asarray(v_p)[i8] - np.asarray(v_x)[i8]).max() < 2e-3
-
-
 def test_flow_recovers_large_translation():
     """Regression: the pyramid must recover displacements far beyond any
     warp clamp radius (a shift-decomposed warp in the solver once broke

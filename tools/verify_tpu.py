@@ -1,0 +1,172 @@
+"""On-TPU kernel equality sweep (`make verify-tpu`).
+
+The CI suite runs every Pallas kernel in interpret mode only (the test host
+has no TPU), so "bit-exact on hardware" claims used to rest on one-off
+manual runs. This driver re-checks each production kernel against its XLA
+reference ON THE REAL CHIP and asserts, so a Mosaic lowering regression is
+caught the same day, not at the next bench:
+
+  1. tile_warp bilinear/bicubic vs the gather-based samplers
+  2. stacked-batched tile_warp vs per-image kernels
+  3. hs_jacobi (banded VMEM relaxation) vs variational._hs_sweeps
+  4. multigrid solver vs a long-converged Jacobi fixed point
+  5. binned raster (one-level / two-level / camera-batched) vs XLA raster
+
+Exits nonzero on any failure. Usage:
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/verify_tpu.py
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+
+FAILURES = []
+
+
+def check(name, a, b, atol, interior=None):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    if interior:
+        sl = (Ellipsis,) + tuple(slice(interior, -interior) for _ in range(2))
+        a, b = a[sl], b[sl]
+    diff = float(np.abs(a - b).max()) if a.size else 0.0
+    status = "ok" if diff <= atol else "FAIL"
+    print(f"{name:<44} max|diff| {diff:10.2e}  (atol {atol:.0e})  {status}",
+          flush=True)
+    if diff > atol:
+        FAILURES.append(name)
+
+
+def smooth_image(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.normal(size=(h // 8 + 2, w // 8 + 2))
+    yy = np.linspace(0, img.shape[0] - 1.001, h)
+    xx = np.linspace(0, img.shape[1] - 1.001, w)
+    yi, xi = np.floor(yy).astype(int), np.floor(xx).astype(int)
+    fy, fx = (yy - yi)[:, None], (xx - xi)[None, :]
+    v = (img[yi][:, xi] * (1 - fy) * (1 - fx)
+         + img[yi][:, xi + 1] * (1 - fy) * fx
+         + img[yi + 1][:, xi] * fy * (1 - fx)
+         + img[yi + 1][:, xi + 1] * fy * fx)
+    v -= v.min()
+    return (v * (255.0 / max(v.max(), 1e-6))).astype(np.float32)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    print(f"# devices: {jax.devices()}", flush=True)
+    if jax.devices()[0].platform not in ("tpu", "axon"):
+        print("no TPU attached; this sweep is meaningless on CPU",
+              file=sys.stderr)
+        return 2
+
+    # --- 1/2: tile warps vs gather samplers --------------------------------
+    from meshrecon.flow.tile_warp import (tile_warp_sample,
+                                          tile_warp_sample_batched)
+    from meshrecon.raster.fragment import bilinear_sample
+    from meshrecon.flow.remap import bicubic_sample
+
+    h, w = 240, 320
+    img = smooth_image(h, w, seed=1)
+    rng = np.random.default_rng(2)
+    # smooth within-tile displacement field with a large global offset
+    gy = (smooth_image(h, w, seed=3) / 255.0 - 0.5) * 6.0 + 17.0
+    gx = (smooth_image(h, w, seed=4) / 255.0 - 0.5) * 6.0 - 23.0
+    rows = np.arange(h, dtype=np.float32)[:, None]
+    cols = np.arange(w, dtype=np.float32)[None, :]
+    srow = jnp.asarray(rows + gy)
+    scol = jnp.asarray(cols + gx)
+    imgj = jnp.asarray(img)
+
+    ref_bl = bilinear_sample(imgj, scol, srow)
+    ref_bc = bicubic_sample(imgj, scol, srow)
+    check("tile_warp bilinear vs gather", tile_warp_sample(imgj, scol, srow),
+          ref_bl, 5e-3, interior=8)
+    check("tile_warp bicubic vs gather",
+          tile_warp_sample(imgj, scol, srow, taps=4), ref_bc, 2e-2,
+          interior=8)
+
+    stack = jnp.stack([imgj, imgj[::-1]])
+    scols = jnp.stack([scol, scol])
+    srows = jnp.stack([srow, srow])
+    got = tile_warp_sample_batched(stack, scols, srows)
+    ref0 = tile_warp_sample(imgj, scol, srow)
+    ref1 = tile_warp_sample(imgj[::-1], scol, srow)
+    check("tile_warp batched[0] vs single", got[0], ref0, 5e-3, interior=8)
+    check("tile_warp batched[1] vs single", got[1], ref1, 5e-3, interior=8)
+
+    # --- 3: banded VMEM Jacobi vs XLA sweeps -------------------------------
+    from meshrecon.flow.pallas_jacobi import hs_jacobi
+    from meshrecon.flow.variational import _hs_sweeps, _gradients
+
+    hh, ww = 480, 640  # large enough to band (3 MB field budget)
+    a = jnp.asarray(smooth_image(hh, ww, seed=5))
+    b = jnp.roll(a, (2, -3), axis=(0, 1))
+    u0 = jnp.full((hh, ww), 0.5)
+    v0 = jnp.full((hh, ww), -0.25)
+    ix, iy = _gradients(a, b)
+    cc = (b - a) - ix * u0 - iy * v0
+    uk, vk = hs_jacobi(ix, iy, cc, u0, v0, 144.0, iters=24)
+    ux, vx = _hs_sweeps(a, b, u0, v0, 144.0, 24)
+    check("hs_jacobi u vs XLA sweeps", uk, ux, 1e-3)
+    check("hs_jacobi v vs XLA sweeps", vk, vx, 1e-3)
+
+    # --- 4: multigrid vs converged Jacobi ----------------------------------
+    from meshrecon.flow.multigrid import hs_solve_mg
+
+    u_star, v_star = _hs_sweeps(a, b, u0, v0, 144.0, 1200)
+    um, vm = hs_solve_mg(a, b, u0, v0, 144.0, cycles=2)
+    u60, v60 = _hs_sweeps(a, b, u0, v0, 144.0, 60)
+    err_mg = float(jnp.abs(um - u_star)[8:-8, 8:-8].max())
+    err_j = float(jnp.abs(u60 - u_star)[8:-8, 8:-8].max())
+    status = "ok" if err_mg <= max(err_j, 1e-3) else "FAIL"
+    print(f"{'multigrid convergence vs jacobi60':<44} mg {err_mg:.2e} "
+          f"j60 {err_j:.2e}  {status}", flush=True)
+    if status == "FAIL":
+        FAILURES.append("multigrid convergence")
+
+    # --- 5: binned rasters vs XLA raster -----------------------------------
+    import __graft_entry__ as g
+    from meshrecon.raster.binned import (morton_order, render_depth_binned,
+                                         render_depth_binned_batched)
+    from meshrecon.raster.rasterizer import render_depth
+
+    soup = g._sphere_soup(n_theta=24, n_phi=24)
+    t = len(soup)
+    cap = 2048
+    pad = np.zeros((cap, 3, 3), np.float32)
+    pad[:t] = soup
+    valid = np.zeros(cap, bool)
+    valid[:t] = True
+    order = morton_order(pad)
+    pad, valid = pad[order], valid[order]
+    cams = np.stack([g._make_camera(eye=e)
+                     for e in [(0.3, 0.2, 0.5), (0.0, 0.0, 0.0),
+                               (-0.2, 0.1, 0.3), (0.1, 0.4, -0.2)]])
+    rh, rw = 240, 384
+    refs = np.stack([np.asarray(render_depth(c, pad, valid, rh, rw))
+                     for c in cams])
+    check("binned one-level vs XLA raster",
+          render_depth_binned(cams[0], pad, valid, rh, rw), refs[0], 1e-5)
+    check("binned two-level vs XLA raster",
+          render_depth_binned(cams[0], pad, valid, rh, rw, two_level=True),
+          refs[0], 1e-5)
+    # 1e-4: the batched wrapper projects via jax.vmap(clip_project_planes),
+    # whose TPU lowering reassociates the 4x4 transforms (measured max
+    # 1.16e-5 depth diff — f32 rounding, not coverage/logic)
+    check("binned camera-batched vs XLA raster",
+          render_depth_binned_batched(cams, pad, valid, rh, rw), refs, 1e-4)
+
+    if FAILURES:
+        print(f"\nFAILED: {FAILURES}", file=sys.stderr)
+        return 1
+    print("\nall TPU kernel equalities hold", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
