@@ -30,13 +30,13 @@ def calculate_flow(prev, next_, use_farneback: bool = False):
 
         # size-dependent parameters like the reference (flow.cpp:24-26):
         # winsize = (h+w)/100, poly_sigma = (h+w)/1000, poly_n = 5 if
-        # sigma < 1.5 else 7; our box window takes the half-width
+        # sigma < 1.5 else 7
         h, w = prev.shape
         poly_sigma = max((h + w) / 1000.0, 0.7)
         poly_n = 5 if poly_sigma < 1.5 else 7
-        win = max((h + w) // 200, 2)
+        winsize = max((h + w) // 100, 5)
         flow = farneback_flow(prev, next_, poly_n=poly_n,
-                              poly_sigma=poly_sigma, win=int(win))
+                              poly_sigma=poly_sigma, winsize=int(winsize))
     else:
         flow = variational_flow(prev, next_)
     # variance via the true bicubic warp (flow.cpp:34); a clamped warp would

@@ -67,7 +67,9 @@ def main(argv=None):
         if knobs["i"]:
             kw["iters"] = int(knobs["i"])
         if knobs["w"]:
-            kw["win"] = int(knobs["w"])
+            # OpenCV winsize convention, matching the reference CLI's w
+            # knob (flow.cpp:97-99) parameter for parameter
+            kw["winsize"] = int(knobs["w"])
         if knobs["s"]:
             kw["poly_sigma"] = knobs["s"]
         if knobs["n"]:

@@ -115,22 +115,6 @@ def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref,
     ry = jnp.clip(py_ref[:] - i_loc, half, wh - TH - half - 1e-3)
     rx = jnp.clip(px_ref[:] - j_loc, half, ww - TW - half - 1e-3)
 
-    # Residual SPAN of this tile (two scalar reductions): the static tap
-    # enumeration must cover the worst case (budget r_row x r_col -> 99
-    # blocks at taps=2, 221 at taps=4), but a typical tile's within-tile
-    # spread is 1-3 px, so all but ~taps+spread of the dy/dx taps carry
-    # zero weight for EVERY pixel. Guarding each tap with pl.when turns
-    # those from (8, 128) FMA blocks into scalar-core compares — measured
-    # 1.31 -> 0.69 ms for the K=3 640x480 stacked flow warp and
-    # 1.82 -> 0.60 ms for the bicubic variance re-warp on v5e. The support
-    # of the hat/cubic kernel is |t| < taps/2, so tap dy contributes only
-    # when dy <= max(ry) + taps/2 (and dy >= min(ry) - taps/2).
-    half_sup = taps * 0.5
-    ry_hi = jnp.max(ry) + half_sup
-    ry_lo = jnp.min(ry) - half_sup
-    rx_hi = jnp.max(rx) + half_sup
-    rx_lo = jnp.min(rx) - half_sup
-
     dma.wait()
     w = win[:]
     # out[p] = in[p + rem]: roll by (-rem) mod n (same convention the
@@ -143,17 +127,41 @@ def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref,
     # per dx); the inner dy step is a cheap sublane slice + FMA. The naive
     # dy-outer/dx-inner order re-sliced lanes 289 times and ran 29 ms — this
     # order is the difference between losing and beating the gather.
-    acc[:] = jnp.zeros((TH, TW), jnp.float32)
-    for dx in range(ww - TW + 1):
-        @pl.when((dx <= rx_hi) & (dx >= rx_lo))
-        def _col():
+    #
+    # Residual-span column SKIPPING (pl.when per dx column, guarding on
+    # max(rx) + taps/2) is applied ONLY at wide column budgets: scalar-core
+    # branches disrupt the VPU pipeline enough that the unconditional
+    # static enumeration wins below ~20 columns. Measured on v5e (K=3
+    # 640x480 stack, smooth ~2 px-spread field): solver r6/r8 0.59 ms
+    # unconditional vs 1.03 guarded; projection r14/r14 1.09 vs 1.18; but
+    # the plane-sweep budget r14/r24 1.62 vs 1.27 — the guard only earns
+    # its branches when most of a wide enumeration is dead. (A first cut
+    # guarding every (dy, dx) tap with the accumulator in VMEM scratch was
+    # 2.8x WORSE overall: per-tap branches + a scratch load/store per tap
+    # instead of vector registers.)
+    wys = [weight(ry - dy) for dy in range(wh - TH + 1)]
+    n_cols = ww - TW + 1
+    if n_cols >= 20:
+        rx_hi = jnp.max(rx) + taps * 0.5
+        acc[:] = jnp.zeros((TH, TW), jnp.float32)
+        for dx in range(n_cols):
+            @pl.when(dx <= rx_hi)
+            def _col():
+                wx = weight(rx - dx)
+                wcol = w[:, dx:dx + TW]
+                part = jnp.zeros((TH, TW), jnp.float32)
+                for dy in range(wh - TH + 1):
+                    part = part + (wys[dy] * wx) * wcol[dy:dy + TH]
+                acc[:] = acc[:] + part
+        out_ref[:] = acc[:]
+    else:
+        out = jnp.zeros((TH, TW), jnp.float32)
+        for dx in range(n_cols):
             wx = weight(rx - dx)
             wcol = w[:, dx:dx + TW]
             for dy in range(wh - TH + 1):
-                @pl.when((dy <= ry_hi) & (dy >= ry_lo))
-                def _tap():
-                    acc[:] = acc[:] + (weight(ry - dy) * wx) * wcol[dy:dy + TH]
-    out_ref[:] = acc[:]
+                out = out + (wys[dy] * wx) * wcol[dy:dy + TH]
+        out_ref[:] = out
 
 
 @functools.partial(
