@@ -62,7 +62,7 @@ def main():
             + jnp.sum(out["pdf"]) + jnp.sum(out["valid"].astype(jnp.float32))
         )
 
-    reps = 5
+    reps = 25
 
     def many(*a):
         def body(i, acc):

@@ -59,7 +59,7 @@ class Config:
     # but its ~19 coarse-level visits per solve fragment into hundreds of
     # small XLA ops — measured 20 ms vs 8.1 ms flow inside the fused update
     # on v5e, so it is an option, not the default)
-    flow_solver: str = "jacobi"
+    flow_solver: str = "cheb"
     sweep_depths: int = 64
     poisson_grid: int = 128
     poisson_sigma: float = 1.5

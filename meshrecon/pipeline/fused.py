@@ -80,7 +80,7 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
                               centers_valid, n_side, height: int, width: int,
                               use_farneback: bool = False, use_pallas=None,
                               sampling: str = "taylor",
-                              flow_solver: str = "jacobi"):
+                              flow_solver: str = "cheb"):
     """Full dense update for B main cameras x K (padded) sides each — the
     production step of reconstruct.py's camera-bundle batching.
 
@@ -193,7 +193,7 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
                       side_frames, side_valid, centers, centers_valid, n_side,
                       height: int, width: int, use_farneback: bool = False,
                       use_pallas=None, sampling: str = "taylor",
-                      flow_solver: str = "jacobi"):
+                      flow_solver: str = "cheb"):
     """Full dense update for ONE main camera against K (padded) sides —
     the B=1 slice of :func:`fused_main_update_batched` (same program,
     same semantics; see there for the stage structure).

@@ -59,7 +59,7 @@ def _sweep_step(h, w, num_depths):
 
 
 @functools.lru_cache(maxsize=None)
-def _vmapped_step(h, w, use_farneback, sampling, flow_solver="jacobi"):
+def _vmapped_step(h, w, use_farneback, sampling, flow_solver="cheb"):
     """Single-chip batched dense update, cached so repeated pipeline
     iterations reuse one compiled program per shape."""
     import jax
@@ -239,7 +239,7 @@ def _process_main_fused(config, renderer, fa, sides, timer):
             side_frames, side_valid, centers_pad, cvalid, jnp.asarray(k),
             height=h, width=w, use_farneback=config.use_farneback,
             sampling=getattr(config, "sampling", "taylor"),
-            flow_solver=getattr(config, "flow_solver", "jacobi"),
+            flow_solver=getattr(config, "flow_solver", "cheb"),
         )
         done(out["point4"])
 
@@ -284,7 +284,7 @@ def _process_bundles_batched(config, renderer, bundles, timer,
         n_dev = _SINGLE_CHIP_BATCH
         step = _vmapped_step(h, w, config.use_farneback,
                              getattr(config, "sampling", "taylor"),
-                             getattr(config, "flow_solver", "jacobi"))
+                             getattr(config, "flow_solver", "cheb"))
 
     npix = h * w
 

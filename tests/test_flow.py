@@ -148,3 +148,63 @@ def test_flow_recovers_large_translation():
         interior = flow[40:-40, 60:-60]
         err = np.abs(interior[..., 0] - d)
         assert np.median(err) < 1.0, f"shift {d}: med err {np.median(err)}"
+
+
+def test_cheb_coeffs_are_affine_combinations():
+    from meshrecon.flow.variational import cheb_coeffs
+
+    for iters in (1, 7, 20, 60):
+        ab = cheb_coeffs(iters, 0.995)
+        assert len(ab) == iters
+        for a, b in ab:
+            assert abs(a + b - 1.0) < 1e-9
+        assert ab[0] == (1.0, 0.0)
+
+
+def test_cheb_outconverges_jacobi():
+    """20 Chebyshev sweeps (rho=0.98 default) must beat 60 plain Jacobi
+    sweeps in distance to the true fixed point of the same linear system.
+    Measured: cheb20 max/mean error 0.39/0.071 vs jacobi60 1.15/0.295."""
+    import jax.numpy as jnp
+
+    from meshrecon.flow.variational import _hs_sweeps, _hs_sweeps_cheb
+
+    img = smooth_image(64, 80, seed=6)
+    moved = shift_image(img, 1, 2).astype(np.float32)
+    a = jnp.asarray(img)
+    b = jnp.asarray(moved)
+    u0 = jnp.zeros_like(a)
+    v0 = jnp.zeros_like(a)
+    alpha2 = jnp.float32(144.0)
+
+    ustar, vstar = _hs_sweeps(a, b, u0, v0, alpha2, 4000)
+
+    def fp_err(u, v):
+        e = jnp.hypot(u - ustar, v - vstar)[4:-4, 4:-4]
+        return float(jnp.mean(e))
+
+    uj, vj = _hs_sweeps(a, b, u0, v0, alpha2, 60)
+    uc, vc = _hs_sweeps_cheb(a, b, u0, v0, alpha2, 20)
+    err_j = fp_err(uj, vj)
+    err_c = fp_err(uc, vc)
+    assert err_c < 0.5 * err_j, f"cheb20 {err_c} vs jacobi60 {err_j}"
+
+
+@pytest.mark.parametrize("solver", ["cheb"])
+def test_flow_recovers_translation_cheb(solver):
+    img = smooth_image(72, 96, seed=4)
+    dx, dy = 3, -2
+    moved = shift_image(img, dx, dy)
+    flow = np.asarray(variational_flow(img, moved, solver=solver))
+    interior = flow[12:-12, 12:-12]
+    err = np.hypot(interior[..., 0] - dx, interior[..., 1] - dy)
+    assert np.median(err) < 0.5, f"median flow error {np.median(err)}"
+
+
+def test_flow_recovers_large_translation_cheb():
+    img = smooth_image(240, 320, seed=4)
+    moved = shift_image(img, 40, 0)
+    flow = np.asarray(variational_flow(img, moved, solver="cheb"))
+    interior = flow[40:-40, 60:-60]
+    err = np.abs(interior[..., 0] - 40)
+    assert np.median(err) < 1.0, f"med err {np.median(err)}"

@@ -53,6 +53,31 @@ def main():
                    a_ + eps, b_, min_size=ms), a, bs)
     timeit("flowK3 default (ref)",
            lambda eps, a_, b_: variational_flow(a_ + eps, b_), a, bs)
+    timeit("flowK3 solver=jacobi i60",
+           lambda eps, a_, b_: variational_flow(a_ + eps, b_,
+                                                solver="jacobi"), a, bs)
+    timeit("flowK3 cheb warps=1",
+           lambda eps, a_, b_: variational_flow(a_ + eps, b_, warps=1),
+           a, bs)
+    timeit("flowK3 cheb iters=14",
+           lambda eps, a_, b_: variational_flow(a_ + eps, b_, iters=14),
+           a, bs)
+
+    # variance stage pieces (fused.py stage 2 tail)
+    from meshrecon.flow.tile_warp import tile_warp_flow_batched
+    from meshrecon.flow.pyramid import compare
+
+    flows = variational_flow(a, bs)
+
+    def var_stage(eps, a_, b_, fl):
+        rw = tile_warp_flow_batched(b_ + eps, fl + eps, taps=4,
+                                    r_row=6, r_col=8)
+        return compare(a_[None], rw)
+
+    timeit("var: bicubic re-warp + compare", var_stage, a, bs,
+           jax.device_put(flows))
+    timeit("var: compare only",
+           lambda eps, a_, b_: compare(a_[None], b_ + eps), a, bs)
 
 
 if __name__ == "__main__":

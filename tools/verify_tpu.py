@@ -115,6 +115,37 @@ def main():
     check("hs_jacobi u vs XLA sweeps", uk, ux, 1e-3)
     check("hs_jacobi v vs XLA sweeps", vk, vx, 1e-3)
 
+    # --- 3b: fused setup+sweeps kernel vs XLA tail -------------------------
+    from meshrecon.flow.pallas_jacobi import hs_level_fused
+
+    uf, vf = hs_level_fused(a, b, u0, v0, 144.0, iters=24)
+    check("hs_level_fused u vs XLA sweeps", uf, ux, 1e-3)
+    check("hs_level_fused v vs XLA sweeps", vf, vx, 1e-3)
+
+    # batched K=3 (the production stacked form, > 2M px threshold)
+    bb3 = jnp.stack([b, jnp.roll(a, (-1, 4), axis=(0, 1)),
+                     jnp.roll(a, (3, 2), axis=(0, 1))])
+    ub3 = jnp.broadcast_to(u0, bb3.shape)
+    vb3 = jnp.broadcast_to(v0, bb3.shape)
+    uf3, vf3 = hs_level_fused(a, bb3, ub3, vb3, 144.0, iters=24)
+    ux3, vx3 = _hs_sweeps(a[None], bb3, ub3, vb3, 144.0, 24)
+    check("hs_level_fused batched u vs XLA", uf3, ux3, 1e-3)
+    check("hs_level_fused batched v vs XLA", vf3, vx3, 1e-3)
+
+    # Chebyshev (chunk-restarted): convergence bound, not bit-equality
+    from meshrecon.flow.variational import _hs_sweeps_cheb
+
+    ustar, vstar = _hs_sweeps(a, b, u0, v0, 144.0, 1200)
+    ucf, vcf = hs_level_fused(a, b, u0, v0, 144.0, iters=20, solver="cheb")
+    err_cf = float(jnp.abs(ucf - ustar)[8:-8, 8:-8].max())
+    u60b, _ = _hs_sweeps(a, b, u0, v0, 144.0, 60)
+    err_j60 = float(jnp.abs(u60b - ustar)[8:-8, 8:-8].max())
+    status = "ok" if err_cf <= max(err_j60, 1e-3) else "FAIL"
+    print(f"{'fused cheb20 convergence vs jacobi60':<44} cheb {err_cf:.2e} "
+          f"j60 {err_j60:.2e}  {status}", flush=True)
+    if status == "FAIL":
+        FAILURES.append("fused cheb convergence")
+
     # --- 4: multigrid vs converged Jacobi ----------------------------------
     from meshrecon.flow.multigrid import hs_solve_mg
 
