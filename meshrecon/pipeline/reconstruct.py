@@ -79,6 +79,60 @@ def _vmapped_step(h, w, use_farneback, sampling, flow_solver="cheb"):
     return step
 
 
+def _prewarm_flow_step(config, kb: int, cb: int):
+    """Compile (and once-run) the iteration-2+ fused flow program in a
+    background thread while iteration 1's plane-sweep and host meshing
+    run, so the remote AOT compile (~50-180 s through the axon tunnel)
+    overlaps real work instead of stalling iteration 2's first dispatch.
+
+    The soup capacity is guessed at the render-proxy cap: every
+    iteration >= 2 tessellates a Poisson mesh that lands on the top rung
+    of the _soup_capacity ladder in practice. A wrong guess only wastes a
+    background compile. TPU-only — CPU compiles are cheap.
+    """
+    import threading
+
+    import jax
+
+    try:
+        if jax.devices()[0].platform not in ("tpu", "axon"):
+            return None
+    except Exception:
+        return None
+    from meshrecon.raster.rasterizer import _soup_capacity
+
+    h, w = config.height, config.width
+    cap = _soup_capacity(getattr(config, "max_render_faces", 65536))
+    B = _SINGLE_CHIP_BATCH
+
+    def work():
+        try:
+            step = _vmapped_step(h, w, config.use_farneback,
+                                 getattr(config, "sampling", "taylor"),
+                                 getattr(config, "flow_solver", "cheb"))
+            eye = np.tile(np.eye(4, dtype=np.float32), (B, 1, 1))
+            eyes = np.tile(np.eye(4, dtype=np.float32), (B, kb, 1, 1))
+            svs = np.zeros((B, kb), bool)
+            svs[:, 0] = True
+            cvs = np.zeros((B, cb), bool)
+            cvs[:, :2] = True
+            out = step(
+                jnp.zeros((cap, 3, 3), jnp.float32), jnp.zeros(cap, bool),
+                eye, np.zeros((B, h, w), np.float32), eyes,
+                np.zeros((B, kb, h, w), np.float32), svs,
+                np.zeros((B, cb, 3), np.float32), cvs,
+                np.ones(B, np.int32),
+            )
+            jax.block_until_ready(out["point4"])
+            config.log(2, " [prewarm] iteration-2 flow program compiled")
+        except Exception as e:  # a failed warm must never break the run
+            config.log(2, f" [prewarm] skipped: {e}")
+
+    t = threading.Thread(target=work, daemon=True)
+    t.start()
+    return t
+
+
 def _effective_depth_mode(config, iteration: int) -> str:
     """Resolve the per-iteration dense-depth estimator.
 
@@ -468,6 +522,12 @@ def reconstruct(config) -> Mesh:
         new_nrm = [normals]
         bundles = hint.camera_bundles()
         depth_mode = _effective_depth_mode(config, hint.iteration)
+        if (depth_mode == "plane-sweep" and len(bundles) > 1
+                and hint.iteration < config.iteration_count
+                and _effective_depth_mode(config, hint.iteration + 1)
+                == "flow"):
+            kb = _bucket(max(len(s) for _, s in bundles))
+            _prewarm_flow_step(config, kb, _bucket(kb + 1))
         if depth_mode in ("flow", "plane-sweep") and config.verbosity < 3 \
                 and len(bundles) > 1:
             results = _process_bundles_batched(config, renderer, bundles,

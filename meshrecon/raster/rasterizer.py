@@ -347,6 +347,30 @@ def _next_pow2(n: int) -> int:
     return p
 
 
+def _soup_capacity(t: int) -> int:
+    """Capacity class for a t-triangle soup.
+
+    The soup's capacity is a shape dimension of EVERY downstream program
+    (renders, the camera policy's depth probe, the whole fused dense
+    update), and each distinct capacity means a fresh compile — ~50-180 s
+    through the remote-AOT tunnel. On TPU use a coarse 3-rung ladder so a
+    whole reconstruction touches at most two capacities (alpha-shape
+    iteration + Poisson render proxy); padded triangles clip to empty
+    bboxes, so the extra slots cost only the O(capacity) projection setup.
+    On CPU compiles are cheap and the tests use tiny meshes — keep the
+    tight power-of-two packing there.
+    """
+    try:
+        on_tpu = jax.devices()[0].platform in ("tpu", "axon")
+    except Exception:
+        on_tpu = False
+    if on_tpu:
+        for cap in (4096, 16384, 65536):
+            if t <= cap:
+                return cap
+    return max(64, _next_pow2(t))
+
+
 class Renderer:
     """Pipeline-facing renderer, the seam the reference models as the abstract
     ``Render`` base (recon.hpp:93-100). Holds the mesh as a capacity-padded
@@ -372,7 +396,7 @@ class Renderer:
             from meshrecon.raster.binned import morton_order
 
             soup = soup[morton_order(soup)]
-        cap = max(64, _next_pow2(t))
+        cap = _soup_capacity(t)
         padded = np.zeros((cap, 3, 3), dtype=np.float32)
         padded[:t] = soup
         valid = np.zeros(cap, dtype=bool)
