@@ -61,6 +61,11 @@ class Config:
     # on v5e, so it is an option, not the default)
     flow_solver: str = "cheb"
     sweep_depths: int = 64
+    # plane-sweep passes per iteration-1 camera: pass 2+ recomputes each
+    # side's visibility from the previous pass's swept depth map itself
+    # (pipeline.fused.splat_visibility) instead of the crude alpha-shape
+    # shadow maps where the signed deep bias concentrates
+    sweep_passes: int = 1
     poisson_grid: int = 128
     poisson_sigma: float = 1.5
     # drop this quantile of lowest-confidence points from the Poisson splat
@@ -174,12 +179,18 @@ def build_parser() -> argparse.ArgumentParser:
                         "refinement after; the default — most accurate)")
     p.add_argument("--sweep-depths", type=int, default=64,
                    help="number of plane-sweep depth hypotheses")
-    p.add_argument("--flow-solver", choices=["mg", "jacobi"],
-                   default="jacobi",
-                   help="variational-flow linear solver: fused Jacobi "
-                        "sweeps (default; TPU-optimal) or multigrid "
-                        "W-cycles (better converged per flop but "
+    p.add_argument("--flow-solver", choices=["cheb", "mg", "jacobi"],
+                   default="cheb",
+                   help="variational-flow linear solver: Chebyshev-"
+                        "accelerated Jacobi (default; same fixed point, "
+                        "~3x fewer sweeps), plain fused Jacobi sweeps, or "
+                        "multigrid W-cycles (better converged per flop but "
                         "op-overhead-bound on TPU)")
+    p.add_argument("--sweep-passes", type=int, default=1,
+                   help="plane-sweep passes on iteration 1; pass 2+ "
+                        "re-derives side visibility from the previous "
+                        "pass's swept depth (fixes alpha-shape shadow-mask "
+                        "bias)")
     p.add_argument("--sampling", choices=["taylor", "exact"], default="taylor",
                    help="depth sampling at flow-displaced positions: "
                         "gather-free first-order taylor (default) or exact "
@@ -304,6 +315,7 @@ def _config_for_file(args, in_file: str, out_file: str) -> Config:
         sampling=args.sampling,
         flow_solver=args.flow_solver,
         sweep_depths=args.sweep_depths,
+        sweep_passes=args.sweep_passes,
         poisson_grid=args.poisson_grid,
         max_render_faces=args.max_render_faces,
         poisson_sigma=args.poisson_sigma,

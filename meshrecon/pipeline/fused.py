@@ -220,14 +220,80 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
     return jax.tree_util.tree_map(lambda x: x[0], out)
 
 
+def splat_visibility(pts4, valid, cam_mains, side_cams, height: int,
+                     width: int, tol: float = 0.01):
+    """Per-side visibility of a depth-map surface WITHOUT a mesh.
+
+    pts4 (B, H, W, 4): homogeneous world points of the main view's current
+    surface estimate; valid (B, H, W). side_cams (B, K, 4, 4).
+    Returns (B, K, H, W) bool: main pixels whose point is the nearest
+    surface claiming its side-view pixel (z-test against a forward point
+    splat). This replaces the mesh shadow map when the estimate exists only
+    as a depth map (the second plane-sweep pass): project every main pixel
+    into the side view, scatter-min its side-NDC z into the side grid,
+    3x3-min dilate (splat gaps between quantized neighbors would otherwise
+    let occluded points peek through), then each pixel is visible iff its
+    own z is within ``tol`` of the winning splat — the same bias constant
+    as the mesh shadow test (fragment.py::projected_image).
+    """
+    b, k = side_cams.shape[:2]
+    h, w = pts4.shape[1:3]
+    proj = jnp.einsum("bkij,bhwj->bkhwi", jnp.asarray(side_cams, jnp.float32),
+                      jnp.asarray(pts4, jnp.float32))
+    sw = proj[..., 3]
+    behind = sw <= 1e-6
+    sw_safe = jnp.where(jnp.abs(sw) < 1e-6, 1e-6, sw)
+    sx = proj[..., 0] / sw_safe
+    sy = proj[..., 1] / sw_safe
+    sz = proj[..., 2] / sw_safe
+    scol = (sx + 1.0) * 0.5 * width
+    srow = (1.0 - sy) * 0.5 * height
+    inframe = (sx > -1.0) & (sx < 1.0) & (sy > -1.0) & (sy < 1.0) & ~behind
+    ok = valid[:, None] & inframe
+
+    z = jnp.where(ok, sz, jnp.inf)
+    r0 = jnp.clip(jnp.floor(srow), 0, height - 1).astype(jnp.int32)
+    c0 = jnp.clip(jnp.floor(scol), 0, width - 1).astype(jnp.int32)
+    r1 = jnp.minimum(r0 + 1, height - 1)
+    c1 = jnp.minimum(c0 + 1, width - 1)
+
+    def splat_one(rr0, cc0, rr1, cc1, z1):
+        # 2x2 footprint: closes the quantization gaps a nearest-cell splat
+        # leaves when the side view magnifies the surface (up to 2x) — a
+        # gap would otherwise let occluded points peek through
+        buf = jnp.full((height, width), jnp.inf, jnp.float32)
+        zf = z1.ravel()
+        for rr, cc in ((rr0, cc0), (rr0, cc1), (rr1, cc0), (rr1, cc1)):
+            buf = buf.at[rr.ravel(), cc.ravel()].min(zf)
+        return buf
+
+    buf = jax.vmap(jax.vmap(splat_one))(r0, c0, r1, c1, z)
+    rq = jnp.clip(jnp.round(srow), 0, height - 1).astype(jnp.int32)
+    cq = jnp.clip(jnp.round(scol), 0, width - 1).astype(jnp.int32)
+    won = jnp.take_along_axis(
+        buf.reshape(b, k, height * width),
+        (rq * width + cq).reshape(b, k, height * width), axis=2,
+    ).reshape(b, k, height, width)
+    # slope-adaptive bias: points sharing a cell with their own surface
+    # neighbors differ in z by up to the local gradient x footprint radius
+    # — an oblique surface must not occlude itself, while a genuine
+    # occluder is a DIFFERENT surface whose z gap dwarfs the local slope.
+    dzu = jnp.abs(jnp.diff(sz, axis=-1, append=sz[..., -1:]))
+    dzv = jnp.abs(jnp.diff(sz, axis=-2, append=sz[..., -1:, :]))
+    tol_eff = tol + 2.0 * (dzu + dzv)
+    return ok & (sz <= won + tol_eff)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("height", "width", "num_depths", "use_pallas"),
+    static_argnames=("height", "width", "num_depths", "use_pallas",
+                     "passes"),
 )
 def fused_sweep_update_batched(soup, soup_valid, cam_mains, frames_main,
                                side_cams, side_frames, side_valid, centers,
                                centers_valid, n_side, height: int, width: int,
-                               num_depths: int = 64, use_pallas=None):
+                               num_depths: int = 64, use_pallas=None,
+                               passes: int = 1):
     """Plane-sweep analog of fused_main_update_batched: ONE program for B
     main cameras — all B*(K+1) depth renders, the per-side shadow-mapped
     visibility masks, per-camera z-range estimation, the batch-native plane
@@ -281,7 +347,6 @@ def fused_sweep_update_batched(soup, soup_valid, cam_mains, frames_main,
         zlo, zhi, num_depths=num_depths,
         side_weight=masks.astype(jnp.float32))
 
-    valid = out["valid"] & dvalid & any_valid[:, None, None]
     main_inv = jnp.linalg.inv(cam_mains)
     cols = (jnp.arange(width, dtype=jnp.float32) - width / 2.0) * (
         2.0 / width)
@@ -289,8 +354,26 @@ def fused_sweep_update_batched(soup, soup_valid, cam_mains, frames_main,
         2.0 / height)
     x = jnp.broadcast_to(cols[None, None, :], (b, height, width))
     y = jnp.broadcast_to(rows[None, :, None], (b, height, width))
-    ndc4 = jnp.stack([x, y, out["depth"], jnp.ones_like(x)], axis=-1)
-    pts4 = jnp.einsum("bij,bhwj->bhwi", main_inv, ndc4)
+
+    def backproject(depth):
+        ndc4 = jnp.stack([x, y, depth, jnp.ones_like(x)], axis=-1)
+        return jnp.einsum("bij,bhwj->bhwi", main_inv, ndc4)
+
+    for _ in range(passes - 1):
+        # re-sweep with the visibility of the CURRENT swept surface — the
+        # iteration-1 alpha-shape mesh is crude and its wrong shadow masks
+        # are where the signed deep bias concentrates; the swept depth map
+        # itself is the better occluder (splat_visibility, no mesh needed)
+        vis1 = out["valid"] & dvalid
+        masks2 = splat_visibility(backproject(out["depth"]), vis1,
+                                  cam_mains, side_cams, height, width)
+        out = plane_sweep_depth_batched(
+            frames_main, side_frames, cam_mains, side_cams, side_valid,
+            zlo, zhi, num_depths=num_depths,
+            side_weight=masks2.astype(jnp.float32))
+
+    valid = out["valid"] & dvalid & any_valid[:, None, None]
+    pts4 = backproject(out["depth"])
     pdf = 1.0 / (1.0 + out["cost"])
 
     normals = jax.vmap(estimate_normals)(pts4, valid, pdf, centers,

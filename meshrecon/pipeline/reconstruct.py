@@ -41,7 +41,7 @@ _SINGLE_CHIP_BATCH = 4
 
 
 @functools.lru_cache(maxsize=None)
-def _sweep_step(h, w, num_depths):
+def _sweep_step(h, w, num_depths, passes=1):
     """Single-chip batched plane-sweep update (one compiled program per
     shape) — the iteration-1 counterpart of _vmapped_step."""
     import jax
@@ -52,7 +52,7 @@ def _sweep_step(h, w, num_depths):
     def step(soup, soup_valid, mains, fms, scs, sfs, svs, ctrs, cvs, ks):
         return fused_sweep_update_batched(
             soup, soup_valid, mains, fms, scs, sfs, svs, ctrs, cvs, ks,
-            height=h, width=w, num_depths=num_depths,
+            height=h, width=w, num_depths=num_depths, passes=passes,
         )
 
     return step
@@ -326,7 +326,8 @@ def _process_bundles_batched(config, renderer, bundles, timer,
     h, w = config.height, config.width
     if mode == "plane-sweep":
         n_dev = _SINGLE_CHIP_BATCH
-        step = _sweep_step(h, w, config.sweep_depths)
+        step = _sweep_step(h, w, config.sweep_depths,
+                           getattr(config, "sweep_passes", 1))
     elif config.mesh_devices > 1:
         from meshrecon.sharding import make_device_mesh, sharded_fused_update
 
