@@ -20,6 +20,7 @@ sweep — no gathers, no dynamic shapes.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,8 +46,11 @@ def _tpu_backend() -> bool:
 # padding dominates and plain XLA is faster. Measured on v5e (K=3 pyramid,
 # 480x640 base): the XLA gather warps at the sub-64 levels cost ~1.7 ms of
 # a 5.5 ms flow solve — the tile-warp kernel is launch-bound (~0.1 ms)
-# there, so the cutoff sits at the (8, 128) tile floor, not at 64.
-_PALLAS_MIN_DIM = 16
+# there, so the cutoff sits at the (8, 128) tile floor, not at 64. Env
+# override for cold-compile A/Bs: every tiny-level kernel instance is one
+# more Mosaic compile inside the fused program, which the remote-AOT
+# tunnel turns into real minutes.
+_PALLAS_MIN_DIM = int(os.environ.get("MESHRECON_PALLAS_MIN_DIM", "16"))
 
 
 def _pad_hw(u):

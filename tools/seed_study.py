@@ -22,6 +22,11 @@ CONFIGS = {
     "covprune": {"camera_coverage": 0.9, "baseline_diversity": 3.0,
                  "confidence_prune": 0.25},
     "prune": {"confidence_prune": 0.25},
+    # second plane-sweep pass: visibility from the swept depth itself
+    "sp2": {"sweep_passes": 2},
+    "sp2cov": {"sweep_passes": 2, "camera_coverage": 0.9,
+               "baseline_diversity": 3.0},
+    "sp2prune": {"sweep_passes": 2, "confidence_prune": 0.25},
 }
 
 
@@ -61,6 +66,8 @@ def main(argv=None):
         for seed in (int(s) for s in args.seeds.split(",")):
             cfg = Config(track=track, frames=frames, seed=seed,
                          iteration_count=2, depth_mode="hybrid",
+                         verbosity=1,  # stage progress (cold remote-AOT
+                         # compiles run 10+ min; silence looks like a hang)
                          out_file_name=f"/tmp/seed_{name}_{seed}.obj",
                          **CONFIGS[name])
             t0 = time.perf_counter()
