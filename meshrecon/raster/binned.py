@@ -203,88 +203,88 @@ def _raster_kernel2(height, width, chunk, supers, tri_ref, lists_ref,
     out_ref[:] = zbuf_ref[:]
 
 
-def _raster_kernel2c(height, width, chunk, supers, n_tiles, nch, slab,
-                     ncams, ntx, tri_ref, lists_ref, counts_ref, cxmn_ref,
-                     cxmx_ref, cymn_ref, cymx_ref, dummy_ref, out_ref,
-                     zbuf_ref):
-    """Row-band batched kernel: grid (nty,) only — each program walks ALL
-    cameras x column-tiles of one 8-row band with static loops. Mosaic's
-    per-grid-step sequencing costs ~2 us, so the (ncams, nty, ntx) grid of
-    _raster_kernel2b paid 1200 steps = 2.4 ms at 640x480 x 4 cameras even
-    when the mesh had 578 triangles; collapsing to 60 steps makes the
-    fixed overhead ~0.12 ms. Binning granularity is unchanged — the chunk
-    lists stay per (8, 128) tile, each column-tile runs its own list walk
-    on its own (8, 128) slice of the band block."""
-    ti = pl.program_id(0)
+def _raster_kernel2b(height, width, chunk, supers, n_tiles, nch, slab,
+                     tri_ref, lists_ref, counts_ref, cxmn_ref, cxmx_ref,
+                     cymn_ref, cymx_ref, dummy_ref, out_ref, zbuf_ref):
+    """Camera-batched two-level kernel: grid (N, nty, ntx). Identical tile
+    walk to _raster_kernel2; the camera index only offsets the per-camera
+    rows of the scalar-prefetch tables (packed triangles, lists, counts,
+    chunk bboxes). One launch for a camera chunk — jax.vmap over a
+    pallas_call costs ~3x per element on v5e and cannot lower at all with
+    scratch refs. The lists table is FLAT 1-D: a 2-D (tiles, nsup) layout
+    lane-pads nsup up to 128 and doubled its SMEM (measured 600K vs 300K
+    at 4x640x480 — the whole scoped-SMEM budget is 1 MB)."""
+    cam = pl.program_id(0)
+    ti = pl.program_id(1)
+    tj = pl.program_id(2)
+    tile = cam * n_tiles + ti * pl.num_programs(2) + tj
 
     rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
         jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
         jnp.float32)
     row0 = (ti * TILE_H).astype(jnp.float32)
+    col0 = (tj * TILE_W).astype(jnp.float32)
     py = (height / 2.0 - (rows + row0)) * (2.0 / height)
+    px = ((cols + col0) - width / 2.0) * (2.0 / width)
+
+    tile_x_min = (col0 - width / 2.0) * (2.0 / width)
+    tile_x_max = (col0 + (TILE_W - 1) - width / 2.0) * (2.0 / width)
     tile_y_max = (height / 2.0 - row0) * (2.0 / height)
     tile_y_min = (height / 2.0 - (row0 + TILE_H - 1)) * (2.0 / height)
+
+    def fld(i, t):
+        # packed rides scalar prefetch (like the one-level kernel); the
+        # camera selects its row — NOT a VMEM block (the in_specs entry
+        # belongs to the dummy operand)
+        return tri_ref[cam, i * slab + t]
+
+    zbuf_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+
     nsup = nch // supers
 
-    for cam in range(ncams):
-        for tj in range(ntx):
-            col0 = float(tj * TILE_W)
-            px = ((cols + col0) - width / 2.0) * (2.0 / width)
-            tile_x_min = (col0 - width / 2.0) * (2.0 / width)
-            tile_x_max = (col0 + (TILE_W - 1) - width / 2.0) * (2.0 / width)
-            tile = cam * n_tiles + ti * ntx + tj
+    def super_body(k, carry):
+        sc = lists_ref[tile * nsup + k]
+        for sub in range(supers):
+            c = sc * supers + sub
+            cb = cam * nch + c
+            chunk_hit = ((cxmn_ref[cb] <= tile_x_max)
+                         & (cxmx_ref[cb] >= tile_x_min)
+                         & (cymn_ref[cb] <= tile_y_max)
+                         & (cymx_ref[cb] >= tile_y_min))
 
-            def fld(i, t, cam=cam):
-                return tri_ref[cam, i * slab + t]
+            @pl.when(chunk_hit)
+            def _chunk():
+                base = c * chunk
+                for tt in range(chunk):
+                    t = base + tt
+                    tri_hit = ((fld(10, t) <= tile_x_max)
+                               & (fld(11, t) >= tile_x_min)
+                               & (fld(12, t) <= tile_y_max)
+                               & (fld(13, t) >= tile_y_min))
 
-            zbuf_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
+                    @pl.when(tri_hit)
+                    def _tri():
+                        ax, bx, cx = fld(0, t), fld(1, t), fld(2, t)
+                        ay, by, cy = fld(3, t), fld(4, t), fld(5, t)
+                        az, bz, cz = fld(6, t), fld(7, t), fld(8, t)
+                        ia = fld(9, t)
+                        e0 = ((cx - bx) * (py - by)
+                              - (cy - by) * (px - bx)) * ia
+                        e1 = ((ax - cx) * (py - cy)
+                              - (ay - cy) * (px - cx)) * ia
+                        e2 = ((bx - ax) * (py - ay)
+                              - (by - ay) * (px - ax)) * ia
+                        zs = e0 * az + e1 * bz + e2 * cz
+                        covered = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
+                                   & (zs >= -1.0) & (zs <= 1.0)
+                                   & (jnp.abs(ia) > 0))
+                        zbuf_ref[:] = jnp.minimum(
+                            zbuf_ref[:], jnp.where(covered, zs, jnp.inf))
+        return carry
 
-            def super_body(k, carry, cam=cam, tile=tile, px=px,
-                           tile_x_min=tile_x_min, tile_x_max=tile_x_max,
-                           fld=fld):
-                sc = lists_ref[tile * nsup + k]
-                for sub in range(supers):
-                    c = sc * supers + sub
-                    cb = cam * nch + c
-                    chunk_hit = ((cxmn_ref[cb] <= tile_x_max)
-                                 & (cxmx_ref[cb] >= tile_x_min)
-                                 & (cymn_ref[cb] <= tile_y_max)
-                                 & (cymx_ref[cb] >= tile_y_min))
-
-                    @pl.when(chunk_hit)
-                    def _chunk():
-                        base = c * chunk
-                        for tt in range(chunk):
-                            t = base + tt
-                            tri_hit = ((fld(10, t) <= tile_x_max)
-                                       & (fld(11, t) >= tile_x_min)
-                                       & (fld(12, t) <= tile_y_max)
-                                       & (fld(13, t) >= tile_y_min))
-
-                            @pl.when(tri_hit)
-                            def _tri():
-                                ax, bx, cx = fld(0, t), fld(1, t), fld(2, t)
-                                ay, by, cy = fld(3, t), fld(4, t), fld(5, t)
-                                az, bz, cz = fld(6, t), fld(7, t), fld(8, t)
-                                ia = fld(9, t)
-                                e0 = ((cx - bx) * (py - by)
-                                      - (cy - by) * (px - bx)) * ia
-                                e1 = ((ax - cx) * (py - cy)
-                                      - (ay - cy) * (px - cx)) * ia
-                                e2 = ((bx - ax) * (py - ay)
-                                      - (by - ay) * (px - ax)) * ia
-                                zs = e0 * az + e1 * bz + e2 * cz
-                                covered = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-                                           & (zs >= -1.0) & (zs <= 1.0)
-                                           & (jnp.abs(ia) > 0))
-                                zbuf_ref[:] = jnp.minimum(
-                                    zbuf_ref[:],
-                                    jnp.where(covered, zs, jnp.inf))
-                return carry
-
-            jax.lax.fori_loop(0, counts_ref[tile], super_body, jnp.int32(0))
-            out_ref[cam, :, tj * TILE_W:(tj + 1) * TILE_W] = zbuf_ref[:]
+    jax.lax.fori_loop(0, counts_ref[tile], super_body, jnp.int32(0))
+    out_ref[0] = zbuf_ref[:]
 
 
 # SMEM budget for one camera-chunked batched launch (bytes). The scoped
@@ -389,16 +389,23 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
     outs = []
     for c0 in range(0, n, n_c):
         nc = min(n_c, n - c0)
-        grid = (nty,)
-        kernel = functools.partial(_raster_kernel2c, float(height),
+        # NOTE (round 3): a row-band variant (grid (nty,) walking all
+        # cameras x column tiles with static loops inside one program) was
+        # built to amortize the per-grid-step cost and REGRESSED: the ~20x
+        # static code multiplication pushed Mosaic compile to 265 s and
+        # the render to 4.5 ms vs 2.9 (measured on v5e, B=1 K=3 578 tris,
+        # bit-exact both ways). Mosaic pipelines this (nc, nty, ntx) grid
+        # fine; keep it.
+        grid = (nc, nty, ntx)
+        kernel = functools.partial(_raster_kernel2b, float(height),
                                    float(width), chunk, supers, n_tiles,
-                                   nch, slab, nc, ntx)
+                                   nch, slab)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=7,
             grid=grid,
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
-            out_specs=pl.BlockSpec((nc, TILE_H, ntx * TILE_W),
-                                   lambda i, *_: (0, i, 0),
+            out_specs=pl.BlockSpec((1, TILE_H, TILE_W),
+                                   lambda b, i, j, *_: (b, i, j),
                                    memory_space=pltpu.VMEM),
             scratch_shapes=[pltpu.VMEM((TILE_H, TILE_W), jnp.float32)],
         )
