@@ -52,6 +52,15 @@ def _tpu_backend() -> bool:
 # tunnel turns into real minutes.
 _PALLAS_MIN_DIM = int(os.environ.get("MESHRECON_PALLAS_MIN_DIM", "16"))
 
+# Stack-size floor (pixels) above which a level's relaxation runs in the
+# fused Pallas setup+sweep band kernel (pallas_jacobi.hs_level_fused)
+# instead of the XLA-fused sweep loop: XLA keeps the working set
+# VMEM-resident and wins below ~2 Mpix (K=3 at 640x480: 1.3 ms/60 sweeps),
+# the kernel wins once the stack spills (12 images: 6.8 -> ~2 ms). Env
+# knob for on-hardware A/Bs.
+_HS_FUSED_MIN_PX = int(os.environ.get("MESHRECON_HS_FUSED_MIN_PX",
+                                      "2000000"))
+
 
 def _pad_hw(u):
     pad = [(0, 0)] * (u.ndim - 2) + [(1, 1), (1, 1)]
@@ -200,7 +209,7 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla",
             u, v = hs_solve_mg(prev, warped, u0, v0, alpha2, cycles=cycles)
             return u, v, warped
         if (solver in ("jacobi", "cheb") and next_.shape[-2] % 8 == 0
-                and total_px > 2_000_000):
+                and total_px > _HS_FUSED_MIN_PX):
             # fused setup+relaxation band kernel for LARGE stacks only:
             # XLA fuses the whole sweep loop VMEM-resident while the
             # working set fits (K=3 at 640x480: 1.3 ms/60 sweeps — faster
