@@ -325,6 +325,7 @@ class Heuristic:
         # per-(shot, main, side) weight collapses to per-(shot, side) once
         # the main is fixed; precompute the shot-visibility weights
         vx, vy = cfv_n[..., 0], cfv_n[..., 1]
+        added = {"coverage": 0, "diversity": 0}  # repair-fire telemetry
 
         def best_side(main, shot_mask):
             """Best side for ``main`` over the masked shots by summed
@@ -341,13 +342,16 @@ class Heuristic:
             side = int(score.argmax())
             return (side, float(score[side])) if score[side] > 0 else (-1, 0.0)
 
-        def append_pair(main, side):
+        def append_pair(main, side, tag):
             pos = next((p for p, (m, _) in enumerate(chosen) if m == main), -1)
             if pos < 0:
                 chosen.append((main, [side]))
+                added[tag] += 1
             elif side not in chosen[pos][1]:
                 chosen[pos][1].append(side)
+                added[tag] += 1
 
+        cov0 = cov1 = serv = -1
         if frac > 0.0:
             all_shots = np.ones(shots, bool)
             covered = np.zeros(shots, bool)
@@ -355,7 +359,9 @@ class Heuristic:
                 covered |= ok[:, m]
             # shots no camera pair can serve don't count against coverage
             servable = ok.sum(axis=1) >= 2
-            target = frac * max(int(servable.sum()), 1)
+            serv = int(servable.sum())
+            cov0 = int((covered & servable).sum())
+            target = frac * max(serv, 1)
             while int((covered & servable).sum()) < target:
                 gain = (w_main * (~covered & servable)[:, None]).sum(axis=0)
                 for m, _sides in chosen:
@@ -367,8 +373,9 @@ class Heuristic:
                 if side < 0:
                     covered |= ok[:, main]  # no usable side: skip this main
                     continue
-                append_pair(main, side)
+                append_pair(main, side, "coverage")
                 covered |= ok[:, main]
+            cov1 = int((covered & servable).sum())
 
         if div > 0.0:
             for main, sides in list(chosen):
@@ -386,7 +393,12 @@ class Heuristic:
                              / np.maximum(dist[vis, s_], 1e-20) ** 2)
                         par2_have = max(par2_have, float(w.sum()))
                 if par2_have * div < cand_score:
-                    append_pair(main, cand)
+                    append_pair(main, cand, "diversity")
+        if getattr(cfg, "verbosity", 0) >= 1:
+            print(f"Coverage repair: +{added['coverage']} coverage, "
+                  f"+{added['diversity']} diversity pairs "
+                  f"({len(chosen)} mains; covered {cov0}->{cov1}"
+                  f" of {serv} servable shots)", flush=True)
         return chosen
 
     def camera_bundles(self):
