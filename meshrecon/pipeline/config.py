@@ -76,6 +76,11 @@ class Config:
     # set-cover top-up; 0 disables), and the side-weight ratio above which
     # a better-baseline side is appended to a bundle (0 disables)
     camera_coverage: float = 0.0
+    # a main "covers" a shot only when its cos/d^2 view weight is within
+    # this fraction of the best possible main for that shot (0 = mere
+    # visibility, which one arc camera satisfies everywhere — see
+    # NOTES_ROUND4.md)
+    coverage_quality: float = 0.25
     baseline_diversity: float = 0.0
     max_render_faces: int = 65536
     checkpoint_dir: Optional[str] = None
@@ -202,9 +207,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="drop this quantile of lowest-confidence points "
                         "from the Poisson splat (0 disables)")
     p.add_argument("--camera-coverage", type=float, default=0.0,
-                   help="enforce that this fraction of surface shots sees a "
-                        "chosen main camera (deterministic greedy top-up of "
-                        "the randomized policy; 0 disables)")
+                   help="enforce that this fraction of surface shots is WELL "
+                        "seen by a chosen main camera (deterministic greedy "
+                        "top-up of the randomized policy; 0 disables)")
+    p.add_argument("--coverage-quality", type=float, default=0.25,
+                   help="view-weight fraction of the best-possible main "
+                        "below which a shot does not count as covered "
+                        "(0 = mere visibility)")
     p.add_argument("--baseline-diversity", type=float, default=0.0,
                    help="append a better-parallax side to a bundle when the "
                         "best outside side outweighs the best in-bundle "
@@ -321,6 +330,7 @@ def _config_for_file(args, in_file: str, out_file: str) -> Config:
         poisson_sigma=args.poisson_sigma,
         confidence_prune=args.confidence_prune,
         camera_coverage=args.camera_coverage,
+        coverage_quality=args.coverage_quality,
         baseline_diversity=args.baseline_diversity,
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile,

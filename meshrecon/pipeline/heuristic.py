@@ -305,9 +305,14 @@ class Heuristic:
         visibility matrix (no extra renders):
 
         1. COVERAGE (``camera_coverage`` fraction): greedy set cover — while
-           fewer than that fraction of the surface shots can see any chosen
-           main, add the camera seeing the most uncovered shots (with its
-           best side by the reference's own cos*parallax^2/d^2 weight).
+           fewer than that fraction of the surface shots are WELL seen by a
+           chosen main, add the camera well-seeing the most uncovered shots
+           (with its best side by the reference's own cos*parallax^2/d^2
+           weight). "Well seen" means the main's cos/d^2 view weight is
+           within ``coverage_quality`` of the best possible main for that
+           shot — mere visibility is too weak a metric: on koule's 31-camera
+           arc ONE camera sees every servable shot, so a visibility-based
+           repair never fires (round-3 full-res study, NOTES_ROUND4.md).
         2. BASELINE DIVERSITY (``baseline_diversity``): for each chosen
            main, if the best side NOT in its bundle scores more than
            1/baseline_diversity times the best side IN it, append the
@@ -354,27 +359,30 @@ class Heuristic:
         cov0 = cov1 = serv = -1
         if frac > 0.0:
             all_shots = np.ones(shots, bool)
+            q = float(getattr(cfg, "coverage_quality", 0.25))
+            w_best = np.maximum(w_main.max(axis=1), 1e-30)
+            well = ok & (w_main >= q * w_best[:, None])
             covered = np.zeros(shots, bool)
             for m, _sides in chosen:
-                covered |= ok[:, m]
+                covered |= well[:, m]
             # shots no camera pair can serve don't count against coverage
             servable = ok.sum(axis=1) >= 2
             serv = int(servable.sum())
             cov0 = int((covered & servable).sum())
             target = frac * max(serv, 1)
             while int((covered & servable).sum()) < target:
-                gain = (w_main * (~covered & servable)[:, None]).sum(axis=0)
+                gain = (well & (~covered & servable)[:, None]).sum(axis=0)
                 for m, _sides in chosen:
-                    gain[m] = 0.0  # already chosen mains add no coverage
+                    gain[m] = 0  # already chosen mains add no coverage
                 main = int(gain.argmax())
-                if gain[main] <= 0.0:
+                if gain[main] <= 0:
                     break
                 side, score = best_side(main, all_shots)
                 if side < 0:
-                    covered |= ok[:, main]  # no usable side: skip this main
+                    covered |= well[:, main]  # no usable side: skip this main
                     continue
                 append_pair(main, side, "coverage")
-                covered |= ok[:, main]
+                covered |= well[:, main]
             cov1 = int((covered & servable).sum())
 
         if div > 0.0:
