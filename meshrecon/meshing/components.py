@@ -52,10 +52,46 @@ def keep_supported_components(mesh: Mesh, points, min_vote_frac: float = 0.01,
         keep[np.argmax(votes)] = True
 
     face_keep = keep[labels[mesh.faces[:, 0]]]
+    return _compact(mesh, face_keep)
+
+
+def _compact(mesh: Mesh, face_keep: np.ndarray) -> Mesh:
     faces = mesh.faces[face_keep]
-    # compact vertices
+    nv = len(mesh.vertices)
     used = np.zeros(nv, bool)
     used[faces.reshape(-1)] = True
     remap = -np.ones(nv, np.int64)
     remap[used] = np.arange(used.sum())
     return Mesh(mesh.vertices[used], remap[faces].astype(np.int32))
+
+
+def trim_unsupported_faces(mesh: Mesh, points, max_dist: float,
+                           max_support: int = 100_000,
+                           seed: int = 0) -> Mesh:
+    """Drop faces whose centroid lies farther than ``max_dist`` from every
+    input point (then re-drop any detached slivers the cut created).
+
+    The analog of screened Poisson's density trimming (SPSR ``--trim``):
+    the FFT indicator closes the surface through regions with NO data —
+    on partial-coverage scenes (koule's camera arc sees one side) the
+    far side is pure hallucination, attached to the supported sheet, so
+    component voting (above) cannot remove it. Measured round-3: the
+    error p90 ~0.5 r is config-insensitive precisely because it lives on
+    those unsupported regions.
+    """
+    if len(mesh.faces) == 0 or len(points) == 0 or max_dist <= 0:
+        return mesh
+    pts = np.asarray(points, np.float64)
+    if pts.shape[1] == 4:
+        pts = pts[:, :3] / pts[:, 3:4]
+    if len(pts) > max_support:
+        sel = np.random.default_rng(seed).choice(len(pts), max_support,
+                                                 replace=False)
+        pts = pts[sel]
+    v3 = (mesh.vertices[:, :3] / mesh.vertices[:, 3:4]).astype(np.float64)
+    centroids = v3[mesh.faces].mean(axis=1)
+    dist, _ = cKDTree(pts).query(centroids, k=1,
+                                 distance_upper_bound=max_dist * 1.0001)
+    trimmed = _compact(mesh, np.isfinite(dist) & (dist <= max_dist))
+    # the cut can strand slivers of the formerly-connected sheet
+    return keep_supported_components(trimmed, pts)

@@ -256,6 +256,16 @@ def _marching_tetrahedra_np(chi: np.ndarray, iso: float):
     return verts.astype(np.float32), faces
 
 
+def robust_grid_frame(pts3, grid: int, margin: float = 0.15):
+    """(lo, scale) of the outlier-robust Poisson grid; cell size = 1/scale."""
+    lo = np.percentile(pts3, 0.5, axis=0)
+    hi = np.percentile(pts3, 99.5, axis=0)
+    span = max(float(np.max(hi - lo)), 1e-6)
+    lo = lo - margin * span
+    scale = (grid - 1.0) / (span * (1.0 + 2.0 * margin))
+    return lo, scale
+
+
 def poisson_surface(
     points, normals, grid: int = 128, sigma: float = 1.5, margin: float = 0.15
 ) -> Mesh:
@@ -275,12 +285,7 @@ def poisson_surface(
     # robust bbox: a handful of outlier points must not inflate the grid
     # until the real surface is sub-voxel (CGAL's adaptive refinement is
     # naturally robust to this; a uniform grid is not)
-    lo = np.percentile(pts, 0.5, axis=0)
-    hi = np.percentile(pts, 99.5, axis=0)
-    span = float(np.max(hi - lo))
-    span = max(span, 1e-6)
-    lo = lo - margin * span
-    scale = (grid - 1.0) / (span * (1.0 + 2.0 * margin))
+    lo, scale = robust_grid_frame(pts, grid, margin)
 
     chi = np.asarray(
         _indicator_grid(

@@ -71,6 +71,10 @@ class Config:
     # drop this quantile of lowest-confidence points from the Poisson splat
     # (the points stay in the pipeline); 0 disables
     confidence_prune: float = 0.0
+    # drop Poisson faces farther than this many grid cells from any input
+    # point (screened-Poisson --trim analog; kills the hallucinated closure
+    # on partial-coverage scenes); 0 disables
+    poisson_trim: float = 0.0
     # deterministic camera-policy repairs (heuristic._enforce_coverage):
     # fraction of surface shots that must see a chosen main camera (greedy
     # set-cover top-up; 0 disables), and the side-weight ratio above which
@@ -206,6 +210,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--confidence-prune", type=float, default=0.0,
                    help="drop this quantile of lowest-confidence points "
                         "from the Poisson splat (0 disables)")
+    p.add_argument("--poisson-trim", type=float, default=0.0,
+                   help="trim Poisson faces farther than this many grid "
+                        "cells from any input point (0 disables)")
     p.add_argument("--camera-coverage", type=float, default=0.0,
                    help="enforce that this fraction of surface shots is WELL "
                         "seen by a chosen main camera (deterministic greedy "
@@ -329,6 +336,7 @@ def _config_for_file(args, in_file: str, out_file: str) -> Config:
         max_render_faces=args.max_render_faces,
         poisson_sigma=args.poisson_sigma,
         confidence_prune=args.confidence_prune,
+        poisson_trim=args.poisson_trim,
         camera_coverage=args.camera_coverage,
         coverage_quality=args.coverage_quality,
         baseline_diversity=args.baseline_diversity,

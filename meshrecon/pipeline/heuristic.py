@@ -145,6 +145,16 @@ class Heuristic:
         from meshrecon.meshing.components import keep_supported_components
 
         mesh = keep_supported_components(mesh, points)
+        trim = getattr(self.config, "poisson_trim", 0.0)
+        if trim > 0.0 and len(mesh.faces):
+            from meshrecon.meshing.components import trim_unsupported_faces
+            from meshrecon.meshing.poisson import robust_grid_frame
+
+            pts3 = np.asarray(points, np.float64)
+            if pts3.shape[1] == 4:
+                pts3 = pts3[:, :3] / pts3[:, 3:4]
+            _, scale = robust_grid_frame(pts3, self.config.poisson_grid)
+            mesh = trim_unsupported_faces(mesh, pts3, trim / scale)
         self.alpha_vals.append(self.alpha_vals[-1] / 2.0)
         return mesh
 

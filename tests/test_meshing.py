@@ -219,6 +219,34 @@ def test_keep_supported_components():
     assert np.abs(v3[:, 0]).max() < 10.0  # the far sheet is gone
 
 
+def test_trim_unsupported_faces_hemisphere():
+    """Partial-coverage hallucination cure (SPSR --trim analog): Poisson
+    closes a hemisphere cloud into a full blob; the support trim must cut
+    the data-free half while keeping the supported one."""
+    from meshrecon.meshing.components import trim_unsupported_faces
+    from meshrecon.meshing.poisson import robust_grid_frame
+
+    # mesh from the FULL sphere, support cloud from ONE hemisphere: the
+    # lower half is then unsupported-by-data by construction (the pipeline
+    # case: Poisson closes the unseen side of koule's camera arc)
+    pts, normals = sphere_points(4000, radius=1.0, seed=7, noise=0.01)
+    mesh = poisson_surface(pts, normals, grid=64)
+    support = pts[pts[:, 2] > 0.05]
+    v3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
+    cz = v3[mesh.faces].mean(axis=1)[:, 2]
+    assert (cz < -0.3).sum() > 0
+
+    _, scale = robust_grid_frame(support, 64)
+    trimmed = trim_unsupported_faces(mesh, support, 3.0 / scale)
+    t3 = trimmed.vertices[:, :3] / trimmed.vertices[:, 3:4]
+    tz = t3[trimmed.faces].mean(axis=1)[:, 2]
+    assert len(trimmed.faces) > 100, "supported hemisphere must survive"
+    assert (tz < -0.3).sum() == 0, "unsupported closure must be trimmed"
+    # the supported cap keeps its geometry
+    radii = np.linalg.norm(t3 - np.zeros(3), axis=1)
+    assert abs(np.median(radii) - 1.0) < 0.15
+
+
 def test_greedy_projection_sphere():
     """Greedy projection (pcl.cpp:247-280 counterpart) stitches a dense
     sphere cloud into a surface whose vertices ARE the input points."""
