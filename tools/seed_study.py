@@ -27,6 +27,10 @@ CONFIGS = {
     "sp2cov": {"sweep_passes": 2, "camera_coverage": 0.9,
                "baseline_diversity": 3.0},
     "sp2prune": {"sweep_passes": 2, "confidence_prune": 0.25},
+    # support-distance face trim (NOTES_ROUND4: 1/8-res med 7x, p90 10x)
+    "trim2": {"poisson_trim": 2.0},
+    "trim2div": {"poisson_trim": 2.0, "baseline_diversity": 2.0},
+    "trim2sp2": {"poisson_trim": 2.0, "sweep_passes": 2},
 }
 
 
