@@ -117,6 +117,34 @@ def test_end_to_end_sphere(koule_small, tmp_path):
     assert len(pts) == len(nrm) and it == 1 and len(alphas) >= 1
 
 
+def test_end_to_end_sphere_trimmed(koule_small, tmp_path):
+    """--poisson-trim regression: trimming the unsupported Poisson closure
+    must hold a much tighter error bound than the untrimmed e2e test
+    (measured med 0.022 / p90 0.097 at this config; untrimmed bound 0.13).
+    Guards the round-3 flagship quality lever (NOTES_ROUND4.md)."""
+    track, frames = koule_small
+    cfg = Config(
+        track=track,
+        frames=frames,
+        iteration_count=1,
+        out_file_name=str(tmp_path / "trim.obj"),
+        seed=3,
+        poisson_grid=64,
+        depth_mode="hybrid",
+        poisson_trim=2.0,
+        verbosity=0,
+    )
+    mesh = reconstruct(cfg)
+    assert len(mesh.faces) > 50
+    center, radius = fit_sphere(track.bundles)
+    v3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
+    err = np.abs(np.linalg.norm(v3 - center, axis=1) - radius) / radius
+    assert np.median(err) < 0.05, f"median rel err {np.median(err)}"
+    assert np.percentile(err, 90) < 0.20, (
+        f"p90 rel err {np.percentile(err, 90)}"
+    )
+
+
 def test_cli_smoke(tmp_path, monkeypatch):
     out = str(tmp_path / "cli.obj")
     from meshrecon.cli import main
