@@ -278,11 +278,11 @@ def variational_flow(
     per element on v5e).
 
     engine: "auto" (Pallas kernels on TPU, XLA elsewhere), "pallas", "xla".
-    solver: "jacobi" (default) runs ``iters`` fused relaxation sweeps per
-    warp — a single fori_loop the compiler keeps VMEM-resident, the
-    TPU-optimal form. "cheb" runs Chebyshev-accelerated sweeps (same
-    fixed point, ~3x fewer sweeps at equal convergence — the production
-    fast path). "mg" runs ``cycles`` multigrid W-cycles
+    solver: "cheb" (default, the production fast path) runs
+    Chebyshev-accelerated sweeps; "jacobi" runs ``iters`` plain fused
+    relaxation sweeps per warp — a single fori_loop the compiler keeps
+    VMEM-resident, same fixed point at ~3x the sweep count.
+    "mg" runs ``cycles`` multigrid W-cycles
     (flow/multigrid.py): 3x less arithmetic and better converged, but its
     coarse-level visits fragment into hundreds of small XLA ops and
     measured 20 ms vs 8.1 ms inside the fused update on v5e — an option

@@ -53,8 +53,9 @@ class Config:
     # measured 1.7x more accurate single-shot, NOTES_ROUND2.md)
     depth_mode: str = "flow"
     sampling: str = "taylor"  # flow-displaced depth sampling: taylor | exact
-    # HS linearized-system solver: "jacobi" (plain relaxation sweeps — one
-    # fused fori_loop per level, the TPU-optimal form) or "mg" (multigrid
+    # HS linearized-system solver: "cheb" (default — Chebyshev-accelerated
+    # Jacobi, same fixed point at ~1/3 the sweeps), "jacobi" (plain
+    # relaxation sweeps — one fused fori_loop per level) or "mg" (multigrid
     # W-cycles, flow/multigrid.py: 3x less arithmetic and better converged,
     # but its ~19 coarse-level visits per solve fragment into hundreds of
     # small XLA ops — measured 20 ms vs 8.1 ms flow inside the fused update
@@ -248,8 +249,10 @@ def config_from_args(argv=None) -> Config:
 
 def configs_from_args(argv=None) -> list:
     """One Config per input YAML. With several inputs, each scene's output
-    defaults to ``<input stem>.obj`` next to the input unless -o contains a
-    ``{}`` placeholder (formatted with the scene index)."""
+    comes from -o: a ``{}`` placeholder is formatted with the scene index,
+    any other explicit -o gets the index inserted before the extension
+    (``/r/out.obj`` -> ``/r/out0.obj``), and the untouched default falls
+    back to ``<input stem>.obj`` next to each input."""
     args = build_parser().parse_args(argv)
     in_files = ([args.input] if args.input else []) + list(args.input_pos)
     if not in_files:
@@ -257,13 +260,19 @@ def configs_from_args(argv=None) -> list:
         raise SystemExit(1)
     configs = []
     for idx, in_file in enumerate(in_files):
+        import os.path
+
         if len(in_files) == 1:
             out = args.output
         elif "{}" in args.output:
             out = args.output.format(idx)
+        elif args.output != "output.obj":
+            # explicit -o without a placeholder: keep the user's directory
+            # and name, disambiguate by scene index (silently writing next
+            # to the inputs instead would lose the outputs)
+            stem, ext = os.path.splitext(args.output)
+            out = f"{stem}{idx}{ext or '.obj'}"
         else:
-            import os.path
-
             out = os.path.splitext(in_file)[0] + ".obj"
         configs.append(_config_for_file(args, in_file, out))
     return configs

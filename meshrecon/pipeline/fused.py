@@ -140,13 +140,14 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
     # relaxation sweeps and pyramid ops widen elementwise, warps share one
     # stacked Pallas launch per level.
     if use_farneback:
+        # size-dependent parameters like flow.cpp:24-26 (same as api.py)
         sigma = max((height + width) / 1000.0, 0.7)
         flows2 = jax.vmap(jax.vmap(
             lambda fm, mixed: farneback_flow(
                 fm, mixed,
                 poly_n=5 if sigma < 1.5 else 7,
                 poly_sigma=sigma,
-                win=max((height + width) // 200, 2)),
+                winsize=int(max((height + width) // 100, 5))),
             in_axes=(None, 0)))(frames_main, mixed_all)
     else:
         flows2 = variational_flow(frames_main[:, None], mixed_all,
@@ -220,7 +221,7 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
     return jax.tree_util.tree_map(lambda x: x[0], out)
 
 
-def splat_visibility(pts4, valid, cam_mains, side_cams, height: int,
+def splat_visibility(pts4, valid, side_cams, height: int,
                      width: int, tol: float = 0.01):
     """Per-side visibility of a depth-map surface WITHOUT a mesh.
 
@@ -230,11 +231,12 @@ def splat_visibility(pts4, valid, cam_mains, side_cams, height: int,
     surface claiming its side-view pixel (z-test against a forward point
     splat). This replaces the mesh shadow map when the estimate exists only
     as a depth map (the second plane-sweep pass): project every main pixel
-    into the side view, scatter-min its side-NDC z into the side grid,
-    3x3-min dilate (splat gaps between quantized neighbors would otherwise
-    let occluded points peek through), then each pixel is visible iff its
-    own z is within ``tol`` of the winning splat — the same bias constant
-    as the mesh shadow test (fragment.py::projected_image).
+    into the side view, scatter-min its side-NDC z over a 2x2 footprint
+    (closes quantization gaps for side views magnifying up to 2x; larger
+    magnification can still leave gaps), then each pixel is visible iff
+    its own z is within a slope-adaptive ``tol`` of the winning splat —
+    the same bias constant as the mesh shadow test
+    (fragment.py::projected_image).
     """
     b, k = side_cams.shape[:2]
     h, w = pts4.shape[1:3]
@@ -278,8 +280,17 @@ def splat_visibility(pts4, valid, cam_mains, side_cams, height: int,
     # neighbors differ in z by up to the local gradient x footprint radius
     # — an oblique surface must not occlude itself, while a genuine
     # occluder is a DIFFERENT surface whose z gap dwarfs the local slope.
-    dzu = jnp.abs(jnp.diff(sz, axis=-1, append=sz[..., -1:]))
-    dzv = jnp.abs(jnp.diff(sz, axis=-2, append=sz[..., -1:, :]))
+    # Only valid-valid neighbor pairs contribute: behind-camera/off-frame
+    # pixels hold garbage z (sw clamped to 1e-6), and an unmasked diff
+    # would inflate the tolerance to ~infinity exactly at silhouette
+    # boundaries, re-admitting genuinely occluded points.
+    ok_u = ok & jnp.concatenate([ok[..., 1:], ok[..., -1:]], axis=-1)
+    ok_v = ok & jnp.concatenate([ok[..., 1:, :], ok[..., -1:, :]], axis=-2)
+    dzu = jnp.where(ok_u, jnp.abs(jnp.diff(sz, axis=-1, append=sz[..., -1:])),
+                    0.0)
+    dzv = jnp.where(ok_v,
+                    jnp.abs(jnp.diff(sz, axis=-2, append=sz[..., -1:, :])),
+                    0.0)
     tol_eff = tol + 2.0 * (dzu + dzv)
     return ok & (sz <= won + tol_eff)
 
@@ -366,7 +377,7 @@ def fused_sweep_update_batched(soup, soup_valid, cam_mains, frames_main,
         # itself is the better occluder (splat_visibility, no mesh needed)
         vis1 = out["valid"] & dvalid
         masks2 = splat_visibility(backproject(out["depth"]), vis1,
-                                  cam_mains, side_cams, height, width)
+                                  side_cams, height, width)
         out = plane_sweep_depth_batched(
             frames_main, side_frames, cam_mains, side_cams, side_valid,
             zlo, zhi, num_depths=num_depths,

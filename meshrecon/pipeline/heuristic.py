@@ -150,10 +150,18 @@ class Heuristic:
             from meshrecon.meshing.components import trim_unsupported_faces
             from meshrecon.meshing.poisson import robust_grid_frame
 
+            # cell size from the SPLAT set sp (the frame poisson_surface
+            # actually used — with --confidence-prune the full cloud's
+            # outliers would widen the span and mis-scale "grid cells");
+            # support distance against the FULL cloud (every observation
+            # supports the surface, pruned or not)
+            sp3 = np.asarray(sp, np.float64)
+            if sp3.shape[1] == 4:
+                sp3 = sp3[:, :3] / sp3[:, 3:4]
             pts3 = np.asarray(points, np.float64)
             if pts3.shape[1] == 4:
                 pts3 = pts3[:, :3] / pts3[:, 3:4]
-            _, scale = robust_grid_frame(pts3, self.config.poisson_grid)
+            _, scale = robust_grid_frame(sp3, self.config.poisson_grid)
             mesh = trim_unsupported_faces(mesh, pts3, trim / scale)
         self.alpha_vals.append(self.alpha_vals[-1] / 2.0)
         return mesh

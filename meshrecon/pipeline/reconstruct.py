@@ -623,7 +623,18 @@ def _reconstruct_scenes_sharded(configs, scene_devices: int) -> list[Mesh]:
     n_dev = max(1, min(scene_devices, S, len(jax.devices())))
     s_pad = -(-S // n_dev) * n_dev
     mesh = make_scene_mesh(n_dev, 1, 1, devices=jax.devices()[:n_dev])
-    step = sharded_multi_scene_fused(mesh, height=h, width=w)
+    # the dense step is shared across scenes: algorithm flags must agree
+    algo = (configs[0].use_farneback, configs[0].sampling,
+            configs[0].flow_solver)
+    for c in configs:
+        if (c.use_farneback, c.sampling, c.flow_solver) != algo:
+            raise ValueError(
+                "scene batching needs common algorithm flags "
+                "(-f/--sampling/--flow-solver); got "
+                f"{(c.use_farneback, c.sampling, c.flow_solver)} vs {algo}")
+    step = sharded_multi_scene_fused(
+        mesh, height=h, width=w, use_farneback=algo[0], sampling=algo[1],
+        flow_solver=algo[2])
 
     hints = [Heuristic(c) for c in configs]
     renderers = [Renderer(w, h) for _ in configs]

@@ -227,7 +227,9 @@ def make_window_mesh(n_window: int, devices=None) -> Mesh:
 
 
 def sharded_multi_scene_fused(mesh: Mesh, height: int, width: int,
-                              use_farneback: bool = False):
+                              use_farneback: bool = False,
+                              sampling: str = "taylor",
+                              flow_solver: str = "cheb"):
     """Scene-sharded FUSED dense update: each device runs the complete
     batched per-camera update (pipeline.fused.fused_main_update_batched —
     renders, reprojection, flow, triangulation, normals) for its local
@@ -257,7 +259,8 @@ def sharded_multi_scene_fused(mesh: Mesh, height: int, width: int,
             so, sv_, mc, fm, sc, sf, svv, ct, cv, k = args
             return fused_main_update_batched(
                 so, sv_, mc, fm, sc, sf, svv, ct, cv, k,
-                height=height, width=width, use_farneback=use_farneback)
+                height=height, width=width, use_farneback=use_farneback,
+                sampling=sampling, flow_solver=flow_solver)
 
         return jax.lax.map(per_scene, (soup, soup_valid, mains, fms, scs,
                                        sfs, svs, ctrs, cvs, ks))

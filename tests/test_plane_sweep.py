@@ -261,8 +261,7 @@ def test_splat_visibility_occlusion():
 
     vis = np.asarray(splat_visibility(
         jnp.asarray(pts4)[None], jnp.asarray(valid)[None],
-        jnp.asarray(cam_main)[None], jnp.asarray(side_cams),
-        h, w))[0]
+        jnp.asarray(side_cams), h, w))[0]
 
     # frontal side sees everything the main sees
     assert vis[0][4:-4, 4:-4].mean() > 0.98
