@@ -80,128 +80,44 @@ def plane_sweep_depth(frame_main, frames_side, cam_main, cams_side, side_valid,
     pixel's cost curve where the side set changes and corrupts the
     parabolic refinement (measured 0.0005 -> 0.02 NDC error on the plane
     scene).
+
+    The single-camera form IS the B=1 slice of plane_sweep_depth_batched
+    (one sweep implementation; the two copies had already begun to
+    drift), matching the fused_main_update / _batched pattern.
     """
     fm = jnp.asarray(frame_main, jnp.float32)
-    fs = jnp.asarray(frames_side, jnp.float32)
-    h, w = fm.shape
-    k = fs.shape[0]
-    main_inv = jnp.linalg.inv(jnp.asarray(cam_main, jnp.float32))
-    cm = jnp.einsum("kij,jl->kil", jnp.asarray(cams_side, jnp.float32),
-                    main_inv, precision=_HI)
-    vmask = jnp.asarray(side_valid).astype(jnp.float32)
     swt = (None if side_weight is None
-           else jnp.asarray(side_weight, jnp.float32))
-    use_pallas = (engine == "pallas"
-                  or (engine == "auto" and _tpu_backend()
-                      and h >= 64 and w >= 128))
-
-    cols = (jnp.arange(w, dtype=jnp.float32) - w / 2.0) * (2.0 / w)
-    rows = (h / 2.0 - jnp.arange(h, dtype=jnp.float32)) * (2.0 / h)
-    x = jnp.broadcast_to(cols[None, :], (h, w))
-    y = jnp.broadcast_to(rows[:, None], (h, w))
-
-    zs = jnp.linspace(z_min, z_max, num_depths)
-
-    def cost_at(z):
-        # plane math: cm components broadcast against (H, W) planes (avoids
-        # (K, H, W, 4) intermediates that Mosaic would tile wastefully)
-        def apply_cm(row):
-            return (
-                cm[:, row, 0][:, None, None] * x[None]
-                + cm[:, row, 1][:, None, None] * y[None]
-                + cm[:, row, 2][:, None, None] * z
-                + cm[:, row, 3][:, None, None]
-            )
-
-        s0, s1, sw = apply_cm(0), apply_cm(1), apply_cm(3)
-        ok = sw > 1e-6
-        sw = jnp.where(jnp.abs(sw) < 1e-6, 1e-6, sw)
-        sx = s0 / sw
-        sy = s1 / sw
-        ok &= (jnp.abs(sx) < 1.0) & (jnp.abs(sy) < 1.0)
-        scol = (sx + 1.0) * 0.5 * w
-        srow = (1.0 - sy) * 0.5 * h
-        if use_pallas:
-            from meshrecon.flow.tile_warp import tile_warp_sample_batched
-
-            samp = tile_warp_sample_batched(fs, scol, srow, valid=ok,
-                                            r_col=24, interpret=interpret)
-        else:
-            samp = jax.vmap(bilinear_sample)(fs, scol, srow)  # (K, H, W)
-        diff = jnp.abs(samp - fm[None])
-        wgt = ok.astype(jnp.float32) * vmask[:, None, None]
-        if swt is not None:
-            wgt = wgt * swt
-        num = jnp.sum(diff * wgt, axis=0)
-        den = jnp.sum(wgt, axis=0)
-        if axis_name is not None:
-            # window sharded across devices: each chip scores its K/n side
-            # frames against the SAME depth plane, then the photometric
-            # evidence reduces over ICI — the pass-the-evidence structure
-            # of ring attention, with the depth scan riding sequentially
-            num, den = jax.lax.psum((num, den), axis_name)
-        cost = num / jnp.maximum(den, 1e-6)
-        return _box3(cost), den
-
-    def step(carry, z):
-        best_c, best_z, prev_c, best_prev, best_next, last_c, pending, support = carry
-        c, sup = cost_at(z)
-        # parabola needs (prev, best, next): when the new best is found, its
-        # prev is the last cost; its next arrives on the following step
-        is_best = c < best_c
-        best_prev = jnp.where(is_best, last_c, best_prev)
-        best_next = jnp.where(pending & ~is_best, c, best_next)
-        pending = is_best
-        best_z = jnp.where(is_best, z, best_z)
-        best_c = jnp.where(is_best, c, best_c)
-        support = jnp.maximum(support, sup)
-        return (best_c, best_z, prev_c, best_prev, best_next, c, pending,
-                support), None
-
-    big = jnp.full((h, w), 1e30, jnp.float32)
-    init = (big, jnp.full((h, w), z_max, jnp.float32), big, big, big, big,
-            jnp.zeros((h, w), bool), jnp.zeros((h, w), jnp.float32))
-    (best_c, best_z, _, best_prev, best_next, _, _, support), _ = jax.lax.scan(
-        step, init, zs
-    )
-
-    # sub-plane parabolic refinement: z* = z + dz/2 * (c_prev - c_next) /
-    # (c_prev - 2c + c_next)
-    dz = (z_max - z_min) / (num_depths - 1)
-    denom = best_prev - 2.0 * best_c + best_next
-    ok_ref = (jnp.abs(denom) > 1e-12) & (best_prev < 1e29) & (best_next < 1e29)
-    offset = jnp.where(ok_ref,
-                       0.5 * (best_prev - best_next) / denom, 0.0)
-    offset = jnp.clip(offset, -1.0, 1.0)
-    depth = best_z + offset * dz
-
-    # Require two side views where the window HAS two — but a single-side
-    # bundle is classic 2-view stereo (main + side) and perfectly valid:
-    # the old hard ">= 2 sides" silently produced ZERO points for every
-    # K=1 bundle (the reference's flow path needs only one side,
-    # recon.cpp:81), which starved whole scenes whose policy picks
-    # single-side pairs (koberec at 320x240 -> empty output mesh).
-    n_sides = jnp.sum(vmask)
-    if axis_name is not None:
-        n_sides = jax.lax.psum(n_sides, axis_name)
-    need = jnp.minimum(2.0, jnp.maximum(n_sides, 1.0))
-    valid = support >= need
-    depth = jnp.where(valid, depth, BACKGROUND_DEPTH)
-    return {"depth": depth, "cost": best_c, "valid": valid}
+           else jnp.asarray(side_weight, jnp.float32)[None])
+    out = plane_sweep_depth_batched(
+        fm[None], jnp.asarray(frames_side, jnp.float32)[None],
+        jnp.asarray(cam_main, jnp.float32)[None],
+        jnp.asarray(cams_side, jnp.float32)[None],
+        jnp.asarray(side_valid)[None],
+        jnp.asarray(z_min, jnp.float32)[None],
+        jnp.asarray(z_max, jnp.float32)[None],
+        num_depths=num_depths, engine=engine, interpret=interpret,
+        side_weight=swt, axis_name=axis_name)
+    return {k: v[0] for k, v in out.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("num_depths", "engine",
-                                             "interpret"))
+                                             "interpret", "axis_name"))
 def plane_sweep_depth_batched(frames_main, frames_side, cam_mains, cams_side,
                               side_valid, z_min, z_max, num_depths: int = 64,
                               engine: str = "auto", interpret: bool = False,
-                              side_weight=None):
+                              side_weight=None, axis_name: str | None = None):
     """Batch-native plane sweep for B main cameras in ONE program.
 
     frames_main: (B, H, W); frames_side: (B, K, H, W); cam_mains: (B, 4, 4);
     cams_side: (B, K, 4, 4); side_valid: (B, K); z_min/z_max: (B,) per-main
     NDC sweep ranges; side_weight: optional (B, K, H, W). Returns dict with
     (B, H, W) fields — same per-element semantics as plane_sweep_depth.
+
+    axis_name: set when the SIDE WINDOW is sharded across devices of a
+    named mesh axis — each chip scores its K/n side frames against the
+    SAME depth planes and the photometric evidence (num, den, n_sides)
+    reduces over ICI with psum: the pass-the-evidence structure of ring
+    attention, with the depth scan riding sequentially.
 
     Batch-NATIVE rather than jax.vmap of the single-camera sweep: the per-
     plane resampling rides the vertically-stacked tile-warp kernel whose
@@ -267,6 +183,8 @@ def plane_sweep_depth_batched(frames_main, frames_side, cam_mains, cams_side,
             wgt = wgt * swt
         num = jnp.sum(diff * wgt, axis=1)
         den = jnp.sum(wgt, axis=1)
+        if axis_name is not None:
+            num, den = jax.lax.psum((num, den), axis_name)
         cost = num / jnp.maximum(den, 1e-6)
         return _box3(cost), den
 
@@ -300,6 +218,14 @@ def plane_sweep_depth_batched(frames_main, frames_side, cam_mains, cams_side,
     depth = best_z + offset * dz
 
     n_sides = jnp.sum(vmask, axis=1)
+    if axis_name is not None:
+        n_sides = jax.lax.psum(n_sides, axis_name)
+    # require two side views where the window HAS two — but a single-side
+    # bundle is classic 2-view stereo (main + side) and perfectly valid:
+    # a hard ">= 2 sides" silently produced ZERO points for every K=1
+    # bundle (the reference's flow path needs only one side,
+    # recon.cpp:81), which starved whole scenes whose policy picks
+    # single-side pairs (koberec at 320x240 -> empty output mesh)
     need = jnp.minimum(2.0, jnp.maximum(n_sides, 1.0))[:, None, None]
     valid = support >= need
     depth = jnp.where(valid, depth, BACKGROUND_DEPTH)

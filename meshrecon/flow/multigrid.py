@@ -72,20 +72,10 @@ COARSE_SWEEPS = 24
 COARSE_SIZE = 8
 
 
-def _pad_hw(u):
-    pad = [(0, 0)] * (u.ndim - 2) + [(1, 1), (1, 1)]
-    return jnp.pad(u, pad, mode="edge")
-
-
-def _hs_average(u):
-    """HS neighborhood average (4-neighbors 1/6, diagonals 1/12), edge
-    padded — identical to variational._hs_average."""
-    p = _pad_hw(u)
-    s4 = (p[..., :-2, 1:-1] + p[..., 2:, 1:-1]
-          + p[..., 1:-1, :-2] + p[..., 1:-1, 2:])
-    s8 = (p[..., :-2, :-2] + p[..., :-2, 2:]
-          + p[..., 2:, :-2] + p[..., 2:, 2:])
-    return s4 / 6.0 + s8 / 12.0
+# the MG operator MUST match the Jacobi fixed point it is documented to
+# share — import the stencil rather than copy it (variational imports
+# multigrid only lazily inside _hs_level, so this is cycle-free)
+from meshrecon.flow.variational import _hs_average, _pad_hw  # noqa: E402
 
 
 def _smooth(u, v, au, av, axy, bu, bv, iters):

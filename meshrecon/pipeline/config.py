@@ -94,13 +94,35 @@ class Config:
     mesh_devices: int = 1
     scene_devices: int = 1
     exposure: Optional[np.ndarray] = None
+    # lazy clip decode for multi-scene batches: frames may be None with a
+    # loader that decodes on first use (ensure_frames) — eagerly decoding
+    # every scene's full float32 clip before scene 0 even starts peaks at
+    # N x clip size host RAM (8 x 1080p x 400 frames > 24 GB) although the
+    # sequential driver needs one clip at a time
+    frames_loader: Optional[object] = None
+    shape_hint: Optional[tuple] = None  # (F, H, W) when frames is None
+
+    def ensure_frames(self) -> None:
+        if self.frames is None:
+            loaded = self.frames_loader()
+            if isinstance(loaded, tuple):
+                loaded, self.exposure = loaded
+            self.frames = np.asarray(loaded, np.float32)
+
+    def release_frames(self) -> None:
+        if self.frames_loader is not None:
+            self.frames = None
 
     @property
     def width(self) -> int:
+        if self.frames is None:
+            return int(self.shape_hint[2])
         return int(self.frames.shape[2])
 
     @property
     def height(self) -> int:
+        if self.frames is None:
+            return int(self.shape_hint[1])
         return int(self.frames.shape[1])
 
     @property
@@ -274,11 +296,13 @@ def configs_from_args(argv=None) -> list:
             out = f"{stem}{idx}{ext or '.obj'}"
         else:
             out = os.path.splitext(in_file)[0] + ".obj"
-        configs.append(_config_for_file(args, in_file, out))
+        configs.append(_config_for_file(args, in_file, out,
+                                        lazy=len(in_files) > 1))
     return configs
 
 
-def _config_for_file(args, in_file: str, out_file: str) -> Config:
+def _config_for_file(args, in_file: str, out_file: str,
+                     lazy: bool = False) -> Config:
     skip = max(1, args.skip_frames)
     track = load_tracks(in_file, skip_frames=skip)
 
@@ -293,26 +317,29 @@ def _config_for_file(args, in_file: str, out_file: str) -> Config:
         )
 
     exposure = None
+    gray = None
+    loader = None
+    shape_hint = None
     if args.synthetic:
         from meshrecon.io.synthetic import synthetic_frames
 
         gray = synthetic_frames(track, width, height, mode=args.synthetic,
                                 seed=args.seed)
     else:
-        bgr = _decode_clip(track, skip, width, height)
-        if args.estimate_exposure:
-            from meshrecon.pipeline.exposure import estimate_exposure
+        def decode():
+            bgr = _decode_clip(track, skip, width, height)
+            if args.estimate_exposure:
+                from meshrecon.pipeline.exposure import estimate_exposure
 
-            gray, exposure = estimate_exposure(
-                bgr, track.cameras, track.bundles, track.bundles_enabled,
-                track.distortion, track.center_x / scale,
-                track.center_y / scale, width, height,
-                dump_tab=args.hyper_verbose,
-            )
-        else:
+                return estimate_exposure(
+                    bgr, track.cameras, track.bundles, track.bundles_enabled,
+                    track.distortion, track.center_x / scale,
+                    track.center_y / scale, width, height,
+                    dump_tab=args.hyper_verbose,
+                )
             # BGR -> gray with the Rec.601 weights cv::cvtColor applies
             # (configuration.cpp:243-245)
-            gray = np.stack(
+            return np.stack(
                 [
                     (
                         0.114 * f[..., 0].astype(np.float32)
@@ -323,10 +350,23 @@ def _config_for_file(args, in_file: str, out_file: str) -> Config:
                 ]
             )
 
+        if lazy:
+            # multi-scene batch: decode on first use so host RAM peaks at
+            # one clip, not the whole batch (reconstruct_scenes releases
+            # each scene's frames when it finishes)
+            loader = decode
+            shape_hint = (track.frame_count, height, width)
+        else:
+            gray = decode()
+            if isinstance(gray, tuple):
+                gray, exposure = gray
+
     verbosity = 99 if args.hyper_verbose else (2 if args.verbose else 0)
     return Config(
         track=track,
-        frames=np.asarray(gray, np.float32),
+        frames=None if gray is None else np.asarray(gray, np.float32),
+        frames_loader=loader,
+        shape_hint=shape_hint,
         iteration_count=args.iterations,
         verbosity=verbosity,
         use_farneback=args.farneback,

@@ -332,10 +332,11 @@ class Heuristic:
            arc ONE camera sees every servable shot, so a visibility-based
            repair never fires (round-3 full-res study, NOTES_ROUND4.md).
         2. BASELINE DIVERSITY (``baseline_diversity``): for each chosen
-           main, if the best side NOT in its bundle scores more than
-           1/baseline_diversity times the best side IN it, append the
-           better side — a main whose sides all have narrow baselines
-           triangulates at high depth variance no matter how good the flow.
+           main, if the best side NOT in its bundle outscores the best
+           side IN it by more than a factor of ``baseline_diversity``,
+           append the better side — a main whose sides all have narrow
+           baselines triangulates at high depth variance no matter how
+           good the flow.
         """
         cfg = self.config
         frac = float(getattr(cfg, "camera_coverage", 0.0))
@@ -388,16 +389,21 @@ class Heuristic:
             serv = int(servable.sum())
             cov0 = int((covered & servable).sum())
             target = frac * max(serv, 1)
+            banned = np.zeros(n_cams, bool)  # mains with no usable side
             while int((covered & servable).sum()) < target:
                 gain = (well & (~covered & servable)[:, None]).sum(axis=0)
                 for m, _sides in chosen:
                     gain[m] = 0  # already chosen mains add no coverage
+                gain[banned] = 0
                 main = int(gain.argmax())
                 if gain[main] <= 0:
                     break
                 side, score = best_side(main, all_shots)
                 if side < 0:
-                    covered |= well[:, main]  # no usable side: skip this main
+                    # no usable side: BAN this main (marking its shots
+                    # covered would block a different main from serving
+                    # them and silently void the coverage guarantee)
+                    banned[main] = True
                     continue
                 append_pair(main, side, "coverage")
                 covered |= well[:, main]

@@ -465,6 +465,8 @@ def reconstruct(config) -> Mesh:
     """Full video -> mesh reconstruction (the main() flow of recon.cpp)."""
     from meshrecon.utils.profiling import StageTimer
 
+    if hasattr(config, "ensure_frames"):
+        config.ensure_frames()  # lazy multi-scene clips decode here
     hint = Heuristic(config)
     renderer = Renderer(config.width, config.height)
     timer = StageTimer(enabled=config.verbosity >= 2)
@@ -593,7 +595,15 @@ def reconstruct_scenes(configs, scene_devices: int = 1) -> list[Mesh]:
     """
     configs = list(configs)
     if scene_devices <= 1 or len(configs) <= 1:
-        return [reconstruct(cfg) for cfg in configs]
+        meshes = []
+        for cfg in configs:
+            meshes.append(reconstruct(cfg))
+            if hasattr(cfg, "release_frames"):
+                cfg.release_frames()  # host RAM peaks at ONE decoded clip
+        return meshes
+    for cfg in configs:  # lockstep genuinely needs every clip resident
+        if hasattr(cfg, "ensure_frames"):
+            cfg.ensure_frames()
     return _reconstruct_scenes_sharded(configs, scene_devices)
 
 

@@ -314,6 +314,11 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
     ntx = -(-width // TILE_W)
     n_tiles = nty * ntx
     nch = slab // chunk
+    if nch < supers or nch % supers:
+        raise ValueError(
+            f"slab/chunk = {nch} chunks must be a positive multiple of "
+            f"supers={supers} (got slab={slab}, chunk={chunk}); trailing "
+            "chunks would be silently dropped from every tile list")
     nsup = nch // supers
     per_cam = 14 * slab * 4 + n_tiles * nsup * 4 + 4 * nch * 4 + n_tiles * 4
     n_c = max(1, min(n, _SMEM_BUDGET // per_cam))
@@ -554,6 +559,11 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
     cymin, cymax = cmin(ymin), cmax(ymax)
 
     if two_level:
+        if nch < supers or nch % supers:
+            raise ValueError(
+                f"SLAB/chunk = {nch} chunks must be a positive multiple "
+                f"of supers={supers} (got chunk={chunk}); trailing chunks "
+                "would be silently dropped from every tile list")
         nsup = nch // supers
 
         def smin(a):

@@ -51,6 +51,33 @@ def _write_clip(path, n_frames, width=W, height=H):
     return colors
 
 
+def test_multi_scene_lazy_decode(tmp_path):
+    """Multi-scene batches decode clips lazily: configs carry a loader
+    (host RAM peaks at one clip, not the batch), shapes answer from the
+    hint, ensure_frames materializes, release_frames frees."""
+    from meshrecon.pipeline.config import configs_from_args
+
+    a, b = tmp_path / "a", tmp_path / "b"
+    a.mkdir(), b.mkdir()
+    ya = _write_scene(a, n_cams=3)
+    yb = _write_scene(b, n_cams=3)
+    _write_clip(a / "clip.avi", 3)
+    colors = _write_clip(b / "clip.avi", 3)
+
+    cfgs = configs_from_args([ya, yb])
+    assert all(c.frames is None for c in cfgs), "must not decode eagerly"
+    assert (cfgs[0].height, cfgs[0].width) == (H, W)  # from shape_hint
+    cfgs[1].ensure_frames()
+    assert cfgs[1].frames.shape == (3, H, W)
+    want = 0.114 * colors[0][0] + 0.587 * colors[0][1] + 0.299 * colors[0][2]
+    assert abs(float(np.median(cfgs[1].frames[0])) - want) < 4.0
+    cfgs[1].release_frames()
+    assert cfgs[1].frames is None
+    # single scene stays eager (no behavior change)
+    one = configs_from_args([ya])
+    assert one[0].frames is not None
+
+
 def test_decode_gray_rec601(tmp_path):
     yaml = _write_scene(tmp_path, n_cams=3)
     colors = _write_clip(tmp_path / "clip.avi", 3)
