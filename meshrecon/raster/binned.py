@@ -126,21 +126,22 @@ def _raster_kernel(height, width, chunk, tri_ref, lists_ref, counts_ref,
     out_ref[:] = jax.lax.fori_loop(0, counts_ref[tile], chunk_body, zbuf0)
 
 
-def _raster_kernel2(height, width, chunk, supers, tri_ref, lists_ref,
-                    counts_ref, cxmn_ref, cxmx_ref, cymn_ref, cymx_ref,
-                    dummy_ref, out_ref, zbuf_ref):
-    """Two-level tile walk: the tile's list holds SUPERCHUNK ids (supers
-    chunks each); chunk bboxes and then per-triangle bboxes are tested on
-    the scalar core and non-overlapping work is SKIPPED with pl.when —
-    the one-level kernel burned ~25 vector ops per listed triangle even
-    when its bbox missed the tile (the `overlap` flag only zeroed the
-    weights). At production face counts most listed triangles miss any
-    given (8, 128) tile, so the skip converts the per-triangle cost from
-    vector FMAs to a handful of scalar compares."""
-    ti = pl.program_id(0)
-    tj = pl.program_id(1)
-    tile = ti * pl.num_programs(1) + tj
+def _two_level_tile_walk(height, width, chunk, supers, ti, tj, fld, list_at,
+                         cbox_at, count, zbuf_ref):
+    """Shared two-level tile walk: the tile's list holds SUPERCHUNK ids
+    (supers chunks each); chunk bboxes and then per-triangle bboxes are
+    tested on the scalar core and non-overlapping work is SKIPPED with
+    pl.when — the one-level kernel burned ~25 vector ops per listed
+    triangle even when its bbox missed the tile (the `overlap` flag only
+    zeroed the weights). At production face counts most listed triangles
+    miss any given (8, 128) tile, so the skip converts the per-triangle
+    cost from vector FMAs to a handful of scalar compares.
 
+    The single-camera and camera-batched kernels differ ONLY in how they
+    index their scalar-prefetch tables, injected here as the ``fld``
+    (packed triangle field), ``list_at`` (tile list entry) and ``cbox_at``
+    (chunk bbox 4-tuple) accessors — one Mosaic-sensitive walk body, two
+    launch shells."""
     rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
         jnp.float32)
     cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
@@ -155,19 +156,15 @@ def _raster_kernel2(height, width, chunk, supers, tri_ref, lists_ref,
     tile_y_max = (height / 2.0 - row0) * (2.0 / height)
     tile_y_min = (height / 2.0 - (row0 + TILE_H - 1)) * (2.0 / height)
 
-    def fld(i, t):
-        return tri_ref[i * SLAB + t]
-
     zbuf_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
 
     def super_body(k, carry):
-        sc = lists_ref[tile, k]
+        sc = list_at(k)
         for sub in range(supers):
             c = sc * supers + sub
-            chunk_hit = ((cxmn_ref[c] <= tile_x_max)
-                         & (cxmx_ref[c] >= tile_x_min)
-                         & (cymn_ref[c] <= tile_y_max)
-                         & (cymx_ref[c] >= tile_y_min))
+            cxmn, cxmx, cymn, cymx = cbox_at(c)
+            chunk_hit = ((cxmn <= tile_x_max) & (cxmx >= tile_x_min)
+                         & (cymn <= tile_y_max) & (cymx >= tile_y_min))
 
             @pl.when(chunk_hit)
             def _chunk():
@@ -199,91 +196,52 @@ def _raster_kernel2(height, width, chunk, supers, tri_ref, lists_ref,
                             zbuf_ref[:], jnp.where(covered, zs, jnp.inf))
         return carry
 
-    jax.lax.fori_loop(0, counts_ref[tile], super_body, jnp.int32(0))
+    jax.lax.fori_loop(0, count, super_body, jnp.int32(0))
+
+
+def _raster_kernel2(height, width, chunk, supers, tri_ref, lists_ref,
+                    counts_ref, cxmn_ref, cxmx_ref, cymn_ref, cymx_ref,
+                    dummy_ref, out_ref, zbuf_ref):
+    """Single-camera two-level kernel: grid (nty, ntx); see
+    _two_level_tile_walk for the walk itself."""
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    tile = ti * pl.num_programs(1) + tj
+    _two_level_tile_walk(
+        height, width, chunk, supers, ti, tj,
+        lambda i, t: tri_ref[i * SLAB + t],
+        lambda k: lists_ref[tile, k],
+        lambda c: (cxmn_ref[c], cxmx_ref[c], cymn_ref[c], cymx_ref[c]),
+        counts_ref[tile], zbuf_ref)
     out_ref[:] = zbuf_ref[:]
 
 
 def _raster_kernel2b(height, width, chunk, supers, n_tiles, nch, slab,
                      tri_ref, lists_ref, counts_ref, cxmn_ref, cxmx_ref,
                      cymn_ref, cymx_ref, dummy_ref, out_ref, zbuf_ref):
-    """Camera-batched two-level kernel: grid (N, nty, ntx). Identical tile
-    walk to _raster_kernel2; the camera index only offsets the per-camera
-    rows of the scalar-prefetch tables (packed triangles, lists, counts,
-    chunk bboxes). One launch for a camera chunk — jax.vmap over a
-    pallas_call costs ~3x per element on v5e and cannot lower at all with
-    scratch refs. The lists table is FLAT 1-D: a 2-D (tiles, nsup) layout
-    lane-pads nsup up to 128 and doubled its SMEM (measured 600K vs 300K
-    at 4x640x480 — the whole scoped-SMEM budget is 1 MB)."""
+    """Camera-batched two-level kernel: grid (N, nty, ntx). Same walk as
+    _raster_kernel2 (_two_level_tile_walk); the camera index only offsets
+    the per-camera rows of the scalar-prefetch tables (packed triangles,
+    lists, counts, chunk bboxes). One launch for a camera chunk —
+    jax.vmap over a pallas_call costs ~3x per element on v5e and cannot
+    lower at all with scratch refs. The lists table is FLAT 1-D: a 2-D
+    (tiles, nsup) layout lane-pads nsup up to 128 and doubled its SMEM
+    (measured 600K vs 300K at 4x640x480 — the whole scoped-SMEM budget
+    is 1 MB). The packed table rides scalar prefetch (like the one-level
+    kernel); the camera selects its ROW — not a VMEM block (the in_specs
+    entry belongs to the dummy operand)."""
     cam = pl.program_id(0)
     ti = pl.program_id(1)
     tj = pl.program_id(2)
     tile = cam * n_tiles + ti * pl.num_programs(2) + tj
-
-    rows = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 0).astype(
-        jnp.float32)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_H, TILE_W), 1).astype(
-        jnp.float32)
-    row0 = (ti * TILE_H).astype(jnp.float32)
-    col0 = (tj * TILE_W).astype(jnp.float32)
-    py = (height / 2.0 - (rows + row0)) * (2.0 / height)
-    px = ((cols + col0) - width / 2.0) * (2.0 / width)
-
-    tile_x_min = (col0 - width / 2.0) * (2.0 / width)
-    tile_x_max = (col0 + (TILE_W - 1) - width / 2.0) * (2.0 / width)
-    tile_y_max = (height / 2.0 - row0) * (2.0 / height)
-    tile_y_min = (height / 2.0 - (row0 + TILE_H - 1)) * (2.0 / height)
-
-    def fld(i, t):
-        # packed rides scalar prefetch (like the one-level kernel); the
-        # camera selects its row — NOT a VMEM block (the in_specs entry
-        # belongs to the dummy operand)
-        return tri_ref[cam, i * slab + t]
-
-    zbuf_ref[:] = jnp.full((TILE_H, TILE_W), jnp.inf, jnp.float32)
-
     nsup = nch // supers
-
-    def super_body(k, carry):
-        sc = lists_ref[tile * nsup + k]
-        for sub in range(supers):
-            c = sc * supers + sub
-            cb = cam * nch + c
-            chunk_hit = ((cxmn_ref[cb] <= tile_x_max)
-                         & (cxmx_ref[cb] >= tile_x_min)
-                         & (cymn_ref[cb] <= tile_y_max)
-                         & (cymx_ref[cb] >= tile_y_min))
-
-            @pl.when(chunk_hit)
-            def _chunk():
-                base = c * chunk
-                for tt in range(chunk):
-                    t = base + tt
-                    tri_hit = ((fld(10, t) <= tile_x_max)
-                               & (fld(11, t) >= tile_x_min)
-                               & (fld(12, t) <= tile_y_max)
-                               & (fld(13, t) >= tile_y_min))
-
-                    @pl.when(tri_hit)
-                    def _tri():
-                        ax, bx, cx = fld(0, t), fld(1, t), fld(2, t)
-                        ay, by, cy = fld(3, t), fld(4, t), fld(5, t)
-                        az, bz, cz = fld(6, t), fld(7, t), fld(8, t)
-                        ia = fld(9, t)
-                        e0 = ((cx - bx) * (py - by)
-                              - (cy - by) * (px - bx)) * ia
-                        e1 = ((ax - cx) * (py - cy)
-                              - (ay - cy) * (px - cx)) * ia
-                        e2 = ((bx - ax) * (py - ay)
-                              - (by - ay) * (px - ax)) * ia
-                        zs = e0 * az + e1 * bz + e2 * cz
-                        covered = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-                                   & (zs >= -1.0) & (zs <= 1.0)
-                                   & (jnp.abs(ia) > 0))
-                        zbuf_ref[:] = jnp.minimum(
-                            zbuf_ref[:], jnp.where(covered, zs, jnp.inf))
-        return carry
-
-    jax.lax.fori_loop(0, counts_ref[tile], super_body, jnp.int32(0))
+    _two_level_tile_walk(
+        height, width, chunk, supers, ti, tj,
+        lambda i, t: tri_ref[cam, i * slab + t],
+        lambda k: lists_ref[tile * nsup + k],
+        lambda c: (cxmn_ref[cam * nch + c], cxmx_ref[cam * nch + c],
+                   cymn_ref[cam * nch + c], cymx_ref[cam * nch + c]),
+        counts_ref[tile], zbuf_ref)
     out_ref[0] = zbuf_ref[:]
 
 
