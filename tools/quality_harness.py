@@ -41,6 +41,14 @@ CONFIGS = {
                "sweep_depths": 48},
     "hybrid-n3": {"depth_mode": "hybrid", "iteration_count": 3,
                   "sweep_depths": 48},
+    # support-distance trim of the hallucinated Poisson closure — the
+    # round-3 flagship quality lever (med 7x, p90 10x at 1/8 res;
+    # NOTES_ROUND4.md)
+    "trim": {"depth_mode": "hybrid", "iteration_count": 2,
+             "sweep_depths": 48, "poisson_trim": 2.0},
+    "trim-sp2": {"depth_mode": "hybrid", "iteration_count": 2,
+                 "sweep_depths": 48, "poisson_trim": 2.0,
+                 "sweep_passes": 2},
 }
 
 
