@@ -174,6 +174,46 @@ def test_e2e_through_decoded_clip(tmp_path):
     assert os.path.exists(out)
 
 
+def test_e2e_multi_scene_lazy_sequential(tmp_path):
+    """Two-scene sequential reconstruct_scenes over LAZILY decoded clips:
+    each scene decodes on first use and releases its frames afterwards
+    (host RAM bounded at one clip, see Config.frames_loader)."""
+    from meshrecon.io.synthetic import synthetic_frames
+    from meshrecon.io.tracks import load_tracks
+    from meshrecon.pipeline.config import configs_from_args
+    from meshrecon.pipeline.reconstruct import reconstruct_scenes
+
+    src = load_tracks("tracks/koule-tr.yaml")
+    gray = synthetic_frames(src, 80, 60, mode="sphere", seed=0)
+    yamls = []
+    for s in range(2):
+        d = tmp_path / f"s{s}"
+        d.mkdir()
+        wr = cv2.VideoWriter(str(d / "koule.avi"),
+                             cv2.VideoWriter_fourcc(*"MJPG"), 24,
+                             (src.width, src.height))
+        assert wr.isOpened()
+        for f in gray:
+            big = cv2.resize(f.astype(np.uint8), (src.width, src.height),
+                             interpolation=cv2.INTER_NEAREST)
+            wr.write(np.stack([big] * 3, axis=-1))
+        wr.release()
+        text = open("tracks/koule-tr.yaml").read().replace(
+            "koule-perlin.mkv", "koule.avi")
+        (d / "koule.yaml").write_text(text)
+        yamls.append(str(d / "koule.yaml"))
+
+    cfgs = configs_from_args(yamls + ["-s", "8", "-n", "1", "--seed", "1",
+                                      "-o", str(tmp_path / "out.obj")])
+    assert all(c.frames is None for c in cfgs)  # lazy until reconstructed
+    meshes = reconstruct_scenes(cfgs)
+    assert len(meshes) == 2
+    assert all(c.frames is None for c in cfgs), "frames must be released"
+    # explicit -o without {}: index inserted before the extension
+    assert os.path.exists(str(tmp_path / "out0.obj"))
+    assert os.path.exists(str(tmp_path / "out1.obj"))
+
+
 def test_e2e_through_decoded_clip_320x240(tmp_path):
     """Same real-video e2e at -s 2 (320x240): catches resolution-dependent
     decode/pipeline bugs the 80x60 variant can't see (VERDICT r2 weak #6).
