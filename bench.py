@@ -14,12 +14,34 @@ Prints exactly one JSON line.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import numpy as np
 
 
+def _wait_for_tunnel(max_wait_s: float = 600.0) -> bool:
+    """The axon TPU rides a local relay; when it is down jax backend init
+    HANGS retrying the transport (it died outright mid-round-3). Wait up
+    to max_wait_s for the relay, polling — the environment may be
+    restoring it — then give up with a clear error instead of hanging."""
+    import __graft_entry__ as g
+
+    deadline = time.monotonic() + max_wait_s
+    while time.monotonic() < deadline:
+        if g._tpu_tunnel_alive():
+            return True
+        time.sleep(10.0)
+    return False
+
+
 def main():
+    if not _wait_for_tunnel():
+        print("bench: axon TPU tunnel unreachable (relay port 8083 down "
+              "for 10 min) — refusing to hang or record a CPU number",
+              file=sys.stderr)
+        return 1
+
     import jax
 
     try:
@@ -92,7 +114,8 @@ def main():
             }
         )
     )
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
