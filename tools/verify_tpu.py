@@ -55,6 +55,14 @@ def smooth_image(h, w, seed=0):
 
 
 def main():
+    import __graft_entry__ as g
+
+    if not g._tpu_tunnel_alive():
+        print("verify-tpu: axon TPU tunnel unreachable (relay port 8083 "
+              "down) — backend init would hang, not fail; aborting",
+              file=sys.stderr)
+        return 2
+
     import jax
     import jax.numpy as jnp
 
