@@ -133,10 +133,13 @@ class Config:
         return self.track.cameras[i]
 
     def frame(self, i: int) -> np.ndarray:
+        self.ensure_frames()  # lazy multi-scene configs decode on first use
         return self.frames[i]
 
     @property
     def frame_count(self) -> int:
+        if self.frames is None:
+            return int(self.shape_hint[0])
         return len(self.frames)
 
     def reconstructed_points(self) -> np.ndarray:
@@ -188,7 +191,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "process, configuration.cpp:169)")
     p.add_argument("-i", "--input", dest="input")
     p.add_argument("-m", "--initial-mesh", dest="initial_mesh")
-    p.add_argument("-o", "--output", default="output.obj")
+    # default=None so multi-scene routing can tell an explicit
+    # `-o output.obj` from the unset default (string equality cannot)
+    p.add_argument("-o", "--output", default=None)
     p.add_argument("-c", "--camera-threshold", type=float, default=10.0)
     p.add_argument("-e", "--estimate-exposure", action="store_true")
     p.add_argument("-n", "--iterations", type=int, default=2)
@@ -285,17 +290,17 @@ def configs_from_args(argv=None) -> list:
         import os.path
 
         if len(in_files) == 1:
-            out = args.output
+            out = args.output or "output.obj"
+        elif args.output is None:
+            out = os.path.splitext(in_file)[0] + ".obj"
         elif "{}" in args.output:
             out = args.output.format(idx)
-        elif args.output != "output.obj":
+        else:
             # explicit -o without a placeholder: keep the user's directory
             # and name, disambiguate by scene index (silently writing next
             # to the inputs instead would lose the outputs)
             stem, ext = os.path.splitext(args.output)
             out = f"{stem}{idx}{ext or '.obj'}"
-        else:
-            out = os.path.splitext(in_file)[0] + ".obj"
         configs.append(_config_for_file(args, in_file, out,
                                         lazy=len(in_files) > 1))
     return configs
