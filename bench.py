@@ -25,11 +25,11 @@ def _wait_for_tunnel(max_wait_s: float) -> bool:
     HANGS retrying the transport (it died outright mid-round-3). Wait up
     to max_wait_s for the relay, polling — the environment may be
     restoring it — then give up with a clear error instead of hanging."""
-    import __graft_entry__ as g
+    from meshrecon.utils.tunnel import tunnel_alive
 
     deadline = time.monotonic() + max_wait_s
     while True:
-        if g._tpu_tunnel_alive():
+        if tunnel_alive():
             return True
         if time.monotonic() >= deadline:
             return False
@@ -44,11 +44,10 @@ def main():
     # skips the probe entirely.
     import os
 
-    forced = os.environ.get("JAX_PLATFORMS", "")
-    axonish = forced == "" or "axon" in forced.split(",")
+    from meshrecon.utils.tunnel import axon_expected
+
     wait_s = float(os.environ.get("MESHRECON_BENCH_WAIT_S", "600"))
-    if axonish and os.path.exists("/root/.tpu_init.py") and wait_s > 0 \
-            and not _wait_for_tunnel(wait_s):
+    if axon_expected() and wait_s > 0 and not _wait_for_tunnel(wait_s):
         print("bench: axon TPU tunnel unreachable (relay port 8083 down "
               f"for {wait_s:.0f} s) — refusing to hang or record a CPU "
               "number (set MESHRECON_BENCH_WAIT_S=0 to skip this probe)",

@@ -26,6 +26,11 @@ def _enable_compile_cache():
 def main(argv=None):
     from meshrecon.pipeline.config import configs_from_args
     from meshrecon.pipeline.reconstruct import reconstruct, reconstruct_scenes
+    from meshrecon.utils.tunnel import force_cpu_if_tunnel_dead
+
+    # the axon plugin hangs backend init when its relay is down — fall
+    # back to CPU with a warning rather than hang
+    force_cpu_if_tunnel_dead()
 
     _enable_compile_cache()
 

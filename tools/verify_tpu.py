@@ -55,9 +55,9 @@ def smooth_image(h, w, seed=0):
 
 
 def main():
-    import __graft_entry__ as g
+    from meshrecon.utils.tunnel import axon_expected, tunnel_alive
 
-    if not g._tpu_tunnel_alive():
+    if axon_expected() and not tunnel_alive():
         print("verify-tpu: axon TPU tunnel unreachable (relay port 8083 "
               "down) — backend init would hang, not fail; aborting",
               file=sys.stderr)
