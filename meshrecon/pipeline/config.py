@@ -301,8 +301,12 @@ def configs_from_args(argv=None) -> list:
             # to the inputs instead would lose the outputs)
             stem, ext = os.path.splitext(args.output)
             out = f"{stem}{idx}{ext or '.obj'}"
-        configs.append(_config_for_file(args, in_file, out,
-                                        lazy=len(in_files) > 1))
+        cfg = _config_for_file(args, in_file, out, lazy=len(in_files) > 1)
+        if len(in_files) > 1 and cfg.checkpoint_dir:
+            # scenes must not clobber each other's iteration snapshots
+            cfg.checkpoint_dir = os.path.join(cfg.checkpoint_dir,
+                                              f"scene{idx}")
+        configs.append(cfg)
     return configs
 
 
