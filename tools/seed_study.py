@@ -31,6 +31,15 @@ CONFIGS = {
     "trim2": {"poisson_trim": 2.0},
     "trim2div": {"poisson_trim": 2.0, "baseline_diversity": 2.0},
     "trim2sp2": {"poisson_trim": 2.0, "sweep_passes": 2},
+    # flow-solver e2e A/B at FIXED cameras (same seed => same draw => same
+    # K-bucket shapes => warm compiles). NOTES_ROUND4 item 4: rule out a
+    # cheb quality regression vs round-2's jacobi-60 e2e numbers.
+    "jac": {"flow_solver": "jacobi"},
+    "trim2jac": {"poisson_trim": 2.0, "flow_solver": "jacobi"},
+    # render-proxy cap A/B (NOTES_ROUND4: 65k cap forces ~32 sequential
+    # slab kernels per render batch; does 16k lose quality on koule?)
+    "rf16k": {"max_render_faces": 16384},
+    "trim2rf16k": {"poisson_trim": 2.0, "max_render_faces": 16384},
 }
 
 
