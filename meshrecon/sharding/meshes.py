@@ -202,7 +202,7 @@ def sharded_plane_sweep(mesh: Mesh, num_depths: int = 64,
     """
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from meshrecon.sharding.compat import shard_map
 
     from meshrecon.depth.plane_sweep import plane_sweep_depth
 
@@ -248,7 +248,7 @@ def sharded_multi_scene_fused(mesh: Mesh, height: int, width: int,
     """
     from functools import partial
 
-    from jax.experimental.shard_map import shard_map
+    from meshrecon.sharding.compat import shard_map
 
     from meshrecon.pipeline.fused import fused_main_update_batched
 
