@@ -81,6 +81,11 @@ class Config:
     # set-cover top-up; 0 disables), and the side-weight ratio above which
     # a better-baseline side is appended to a bundle (0 disables)
     camera_coverage: float = 0.0
+    # seed-ensemble reconstruction: refine the cloud under each of these
+    # independent camera-draw seeds and mesh the UNION once (per-run quality
+    # tracks draw luck — the reference's unseeded cv::randu has the same
+    # variance by construction, heuristic.cpp:365); empty = single draw
+    ensemble_seeds: tuple = ()
     # a main "covers" a shot only when its cos/d^2 view weight is within
     # this fraction of the best possible main for that shot (0 = mere
     # visibility, which one arc camera satisfies everywhere — see
@@ -241,6 +246,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--poisson-trim", type=float, default=0.0,
                    help="trim Poisson faces farther than this many grid "
                         "cells from any input point (0 disables)")
+    p.add_argument("--ensemble-seeds", default=None, metavar="S1,S2,...",
+                   help="reconstruct the point cloud under each of these "
+                        "camera-draw seeds and mesh the union (averages out "
+                        "draw luck; seeds run sequentially on one chip or "
+                        "one-per-device with --scene-devices)")
     p.add_argument("--camera-coverage", type=float, default=0.0,
                    help="enforce that this fraction of surface shots is WELL "
                         "seen by a chosen main camera (deterministic greedy "
@@ -396,6 +406,9 @@ def _config_for_file(args, in_file: str, out_file: str,
         confidence_prune=args.confidence_prune,
         poisson_trim=args.poisson_trim,
         camera_coverage=args.camera_coverage,
+        ensemble_seeds=tuple(
+            int(s) for s in args.ensemble_seeds.split(",") if s.strip()
+        ) if args.ensemble_seeds else (),
         coverage_quality=args.coverage_quality,
         baseline_diversity=args.baseline_diversity,
         checkpoint_dir=args.checkpoint_dir,

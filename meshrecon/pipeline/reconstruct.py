@@ -463,6 +463,23 @@ def _process_main_plane_sweep(config, renderer, fa, sides, depth, timer):
 
 def reconstruct(config) -> Mesh:
     """Full video -> mesh reconstruction (the main() flow of recon.cpp)."""
+    if len(getattr(config, "ensemble_seeds", ()) or ()) > 1:
+        return reconstruct_ensemble(config)
+    points, normals, hint = _refine_cloud(config)
+
+    if config.verbosity >= 3:
+        save_mesh(Mesh(points, np.zeros((0, 3), np.int32)), "filteredpoints.obj")
+    config.log(1, "Calculating final mesh...")
+    mesh = hint.tessellate(points, normals)
+    config.log(2, f" {len(mesh.faces)} faces")
+    save_mesh(mesh, config.out_file_name)
+    config.log(2, " Saved, done.")
+    return mesh
+
+
+def _refine_cloud(config):
+    """The iterative dense-refinement loop (recon.cpp:12-139) up to — but
+    not including — the final meshing; returns (points, normals, hint)."""
     from meshrecon.utils.profiling import StageTimer
 
     if hasattr(config, "ensure_frames"):
@@ -566,8 +583,57 @@ def reconstruct(config) -> Mesh:
                             hint.alpha_vals, hint.iteration,
                             hint.rng.bit_generator.state)
 
+    return points, normals, hint
+
+
+def reconstruct_ensemble(config) -> Mesh:
+    """Seed-ensemble reconstruction: refine the cloud under each seed in
+    ``config.ensemble_seeds`` (independent randomized camera draws) and
+    mesh the UNION once.
+
+    Per-run quality tracks camera-draw luck — the reference's unseeded
+    cv::randu (heuristic.cpp:365) has the same variance by construction;
+    measured med-err spread 0.125-0.222 r over seeds at identical config.
+    The union covers the surface wherever ANY draw did, and the final
+    density filter restores uniform density, so the merge behaves like
+    averaging without correspondence. Draws are embarrassingly parallel:
+    with --scene-devices > 1 they run in lockstep, one seed per device,
+    through the scene-sharded fused dense step.
+    """
+    import dataclasses
+    import os.path
+
+    if hasattr(config, "ensure_frames"):
+        config.ensure_frames()  # decode ONCE; seed copies share the array
+    cfgs = []
+    for s in config.ensemble_seeds:
+        ck = (os.path.join(config.checkpoint_dir, f"seed{s}")
+              if config.checkpoint_dir else None)
+        cfgs.append(dataclasses.replace(config, seed=int(s),
+                                        ensemble_seeds=(),
+                                        checkpoint_dir=ck))
+
+    if config.scene_devices > 1:
+        pts_l, nrm_l, hints = _reconstruct_scenes_sharded(
+            cfgs, config.scene_devices, collect_points=True)
+    else:
+        pts_l, nrm_l, hints = [], [], []
+        for cfg in cfgs:
+            p, n, h = _refine_cloud(cfg)
+            pts_l.append(p)
+            nrm_l.append(n)
+            hints.append(h)
+
+    points = np.concatenate(pts_l)
+    normals = np.concatenate(nrm_l)
+    hint = hints[0]
+    points, normals, _ = filter_points(points, normals,
+                                       hint.filter_radius_sq())
+    config.log(2, f" ensemble union: {len(points)} filtered points from "
+                  f"{len(cfgs)} seeds")
     if config.verbosity >= 3:
-        save_mesh(Mesh(points, np.zeros((0, 3), np.int32)), "filteredpoints.obj")
+        save_mesh(Mesh(points, np.zeros((0, 3), np.int32)),
+                  "filteredpoints.obj")
     config.log(1, "Calculating final mesh...")
     mesh = hint.tessellate(points, normals)
     config.log(2, f" {len(mesh.faces)} faces")
@@ -607,8 +673,13 @@ def reconstruct_scenes(configs, scene_devices: int = 1) -> list[Mesh]:
     return _reconstruct_scenes_sharded(configs, scene_devices)
 
 
-def _reconstruct_scenes_sharded(configs, scene_devices: int) -> list[Mesh]:
+def _reconstruct_scenes_sharded(configs, scene_devices: int,
+                                collect_points: bool = False):
     """Lockstep multi-scene driver (see reconstruct_scenes).
+
+    collect_points: return the refined (points, normals, hints) lists
+    instead of meshing each scene — the seed-ensemble driver merges the
+    clouds and meshes the union once (reconstruct_ensemble).
 
     Per iteration: every active scene tessellates + picks camera bundles on
     the host (thread pool); bundles then stream through the scene-sharded
@@ -778,6 +849,10 @@ def _reconstruct_scenes_sharded(configs, scene_devices: int) -> list[Mesh]:
         list(pool.map(run_filter, live))
         for i in live:
             configs[i].log(2, f"scene {i}: {len(points[i])} filtered points")
+
+    if collect_points:
+        pool.shutdown()
+        return points, normals, hints
 
     def finish(i):
         mesh_i = hints[i].tessellate(points[i], normals[i])
