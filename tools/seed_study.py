@@ -40,6 +40,10 @@ CONFIGS = {
     # slab kernels per render batch; does 16k lose quality on koule?)
     "rf16k": {"max_render_faces": 16384},
     "trim2rf16k": {"poisson_trim": 2.0, "max_render_faces": 16384},
+    # seed ensemble: union of 2 independent draws, meshed once — attacks
+    # the draw-luck spread directly (the "seed" column then only picks
+    # which PAIR of draws runs: seed s uses draws (s, s+10))
+    "trim2ens2": {"poisson_trim": 2.0, "_ensemble_pair": True},
 }
 
 
@@ -77,12 +81,15 @@ def main(argv=None):
     worst = {}
     for name in args.configs.split(","):
         for seed in (int(s) for s in args.seeds.split(",")):
+            overrides = dict(CONFIGS[name])
+            if overrides.pop("_ensemble_pair", False):
+                overrides["ensemble_seeds"] = (seed, seed + 10)
             cfg = Config(track=track, frames=frames, seed=seed,
                          iteration_count=2, depth_mode="hybrid",
                          verbosity=1,  # stage progress (cold remote-AOT
                          # compiles run 10+ min; silence looks like a hang)
                          out_file_name=f"/tmp/seed_{name}_{seed}.obj",
-                         **CONFIGS[name])
+                         **overrides)
             t0 = time.perf_counter()
             mesh = reconstruct(cfg)
             dt = time.perf_counter() - t0
