@@ -61,6 +61,13 @@ _PALLAS_MIN_DIM = int(os.environ.get("MESHRECON_PALLAS_MIN_DIM", "16"))
 _HS_FUSED_MIN_PX = int(os.environ.get("MESHRECON_HS_FUSED_MIN_PX",
                                       "2000000"))
 
+# Sweep-count override for on-hardware A/Bs (0 = per-solver default: 20
+# accelerated Chebyshev sweeps / 60 plain Jacobi). The sweeps are the
+# compute-bound core of the flow solve; fewer sweeps trade fixed-point
+# residual for wall time, and the e2e quality cost must be measured, not
+# assumed (tools/iters_study.py).
+_FLOW_ITERS = int(os.environ.get("MESHRECON_FLOW_ITERS", "0"))
+
 
 def _pad_hw(u):
     pad = [(0, 0)] * (u.ndim - 2) + [(1, 1), (1, 1)]
@@ -295,7 +302,7 @@ def variational_flow(
         # per sweep; 20 accelerated sweeps out-converge 60 plain Jacobi
         # (test_flow.py::test_cheb_outconverges_jacobi) at ~1/3 the VPU
         # arithmetic — the sweeps are compute-bound, not HBM-bound.
-        iters = 20 if solver == "cheb" else 60
+        iters = _FLOW_ITERS or (20 if solver == "cheb" else 60)
     prev = jnp.asarray(prev, jnp.float32)
     next_ = jnp.asarray(next_, jnp.float32)
     alpha2 = float(alpha * alpha)
