@@ -670,7 +670,47 @@ def reconstruct_scenes(configs, scene_devices: int = 1) -> list[Mesh]:
     for cfg in configs:  # lockstep genuinely needs every clip resident
         if hasattr(cfg, "ensure_frames"):
             cfg.ensure_frames()
+    if any(len(getattr(c, "ensemble_seeds", ()) or ()) > 1 for c in configs):
+        return _reconstruct_scenes_sharded_ensemble(configs, scene_devices)
     return _reconstruct_scenes_sharded(configs, scene_devices)
+
+
+def _reconstruct_scenes_sharded_ensemble(configs, scene_devices: int):
+    """Sharded multi-scene x multi-seed: expand every scene into one
+    pseudo-scene per ensemble seed, refine the whole flat batch in
+    lockstep (one pseudo-scene per device), then merge each scene's seed
+    clouds and mesh once per scene (reconstruct_ensemble semantics)."""
+    import dataclasses
+    import os.path
+
+    flat = []
+    groups = []  # per original scene: (start, count) into flat
+    for cfg in configs:
+        seeds = tuple(cfg.ensemble_seeds) or (cfg.seed,)
+        start = len(flat)
+        for s in seeds:
+            ck = (os.path.join(cfg.checkpoint_dir, f"seed{s}")
+                  if cfg.checkpoint_dir else None)
+            flat.append(dataclasses.replace(cfg, seed=int(s),
+                                            ensemble_seeds=(),
+                                            checkpoint_dir=ck))
+        groups.append((start, len(seeds)))
+
+    pts_l, nrm_l, hints = _reconstruct_scenes_sharded(
+        flat, scene_devices, collect_points=True)
+
+    meshes = []
+    for cfg, (start, count) in zip(configs, groups):
+        points = np.concatenate(pts_l[start : start + count])
+        normals = np.concatenate(nrm_l[start : start + count])
+        hint = hints[start]
+        points, normals, _ = filter_points(points, normals,
+                                           hint.filter_radius_sq())
+        cfg.log(1, "Calculating final mesh...")
+        mesh = hint.tessellate(points, normals)
+        save_mesh(mesh, cfg.out_file_name)
+        meshes.append(mesh)
+    return meshes
 
 
 def _reconstruct_scenes_sharded(configs, scene_devices: int,

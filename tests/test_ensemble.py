@@ -87,3 +87,28 @@ def test_ensemble_sharded_matches_sequential(koule_small, tmp_path):
     v1 = m_seq.vertices[:, :3] / m_seq.vertices[:, 3:4]
     v2 = m_shd.vertices[:, :3] / m_shd.vertices[:, 3:4]
     assert np.linalg.norm(v1.mean(axis=0) - v2.mean(axis=0)) < 0.2
+
+
+def test_multi_scene_sharded_ensemble(koule_small, tmp_path):
+    """Several scenes x several seeds through the sharded multi-scene
+    driver: each scene gets its own union mesh at its own output path."""
+    import jax
+
+    from meshrecon.pipeline.reconstruct import reconstruct_scenes
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2+ devices")
+    track, frames = koule_small
+    cfgs = [
+        Config(track=track, frames=frames, iteration_count=1, seed=3,
+               ensemble_seeds=(3, 4), poisson_grid=48, depth_mode="hybrid",
+               poisson_trim=2.0,
+               out_file_name=str(tmp_path / f"sc{i}.obj"))
+        for i in range(2)
+    ]
+    meshes = reconstruct_scenes(cfgs, scene_devices=2)
+    assert len(meshes) == 2
+    for i, m in enumerate(meshes):
+        assert len(m.faces) > 50
+        assert os.path.exists(str(tmp_path / f"sc{i}.obj"))
+        assert np.median(_sphere_err(m, track)) < 0.06
