@@ -49,6 +49,10 @@ CONFIGS = {
     "trim-sp2": {"depth_mode": "hybrid", "iteration_count": 2,
                  "sweep_depths": 48, "poisson_trim": 2.0,
                  "sweep_passes": 2},
+    # union of two independent camera draws, meshed once
+    "trim-ens2": {"depth_mode": "hybrid", "iteration_count": 2,
+                  "sweep_depths": 48, "poisson_trim": 2.0,
+                  "ensemble_seeds": (3, 13)},
 }
 
 
