@@ -92,6 +92,18 @@ def main(argv=None):
         rc |= seed_study.main(["--scale", "1", "--seeds", args.study_seeds,
                                "--configs", args.study_configs]) or 0
 
+        # full-res quality gate for the 14-sweep default flip (1/8-res CPU
+        # study showed iters=14 quality-neutral; full-res displacements are
+        # 8x larger in pixels, so re-check before trusting it)
+        print(f"=== seed study trim2 @ FLOW_ITERS=14 "
+              f"({time.strftime('%H:%M:%S')})", flush=True)
+        variational._FLOW_ITERS = 14
+        jax.clear_caches()
+        rc |= seed_study.main(["--scale", "1", "--seeds", "3,4,5",
+                               "--configs", "trim2"]) or 0
+        variational._FLOW_ITERS = 0
+        jax.clear_caches()
+
     print(f"=== queue3 done rc={rc} ({time.strftime('%H:%M:%S')})",
           flush=True)
     return rc
