@@ -89,11 +89,22 @@ def _prewarm_flow_step(config, kb: int, cb: int):
     iteration >= 2 tessellates a Poisson mesh that lands on the top rung
     of the _soup_capacity ladder in practice. A wrong guess only wastes a
     background compile. TPU-only — CPU compiles are cheap.
+
+    On a single-core host the overlap INVERTS: tracing/lowering the big
+    fused program is GIL-bound Python, so a background tracer steals
+    cycles from iteration 1's host stages and the main thread's own
+    iteration-2 trace instead of hiding the remote AOT wait (measured: a
+    full-res first run went 37 min -> 100+ min with two concurrent
+    tracers on this 1-core environment). Prewarm only with >= 2 CPUs.
     """
+    import os
     import threading
 
     import jax
 
+    if (os.cpu_count() or 1) < 2 and not os.environ.get(
+            "MESHRECON_FORCE_PREWARM"):
+        return None
     try:
         if jax.devices()[0].platform not in ("tpu", "axon"):
             return None
