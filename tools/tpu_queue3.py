@@ -104,6 +104,14 @@ def main(argv=None):
         variational._FLOW_ITERS = 0
         jax.clear_caches()
 
+        # queue-1 verdict: full-res trim2 leaves seeds 3/5 at med ~0.18 —
+        # the tail is SUPPORTED by bad-draw points, so the draw-luck
+        # levers are next: 2-draw ensemble union and sweep-passes-2+trim
+        print(f"=== seed study trim2ens2,trim2sp2 "
+              f"({time.strftime('%H:%M:%S')})", flush=True)
+        rc |= seed_study.main(["--scale", "1", "--seeds", "3,4,5",
+                               "--configs", "trim2ens2,trim2sp2"]) or 0
+
     print(f"=== queue3 done rc={rc} ({time.strftime('%H:%M:%S')})",
           flush=True)
     return rc
