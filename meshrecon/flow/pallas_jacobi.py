@@ -364,10 +364,23 @@ def hs_level_fused(prev, warped, u0, v0, alpha2: float, iters: int = 60,
             hp, wp)
 
     a, b, u, v = map(prep, (prev, warped, u0, v0))
-    band = _pick_band_fused(hp1, wp, halo)
+    single = iters <= 24
+    band = _pick_band_fused(hp1, wp, iters if single else halo)
     n_bands = hp // band
     if n_bands == 1:
         halo_eff = 0
+        chunks = [iters]
+    elif single:
+        # single chunk with halo == iters: the whole relaxation runs in
+        # one launch with NO Chebyshev restart — the per-chunk restarted
+        # schedule damps ~4x worse per sweep than one global schedule,
+        # and at full res this kernel IS the production solver (stacks
+        # above _HS_FUSED_MIN_PX), so the restart was silently weakening
+        # the deployed flow vs the XLA path validated at low res. The
+        # wider halo costs redundant rows (2*iters per band) but saves
+        # the extra launch + cc round trip; 24 caps the redundancy at
+        # ~25% of a 192-row band.
+        halo_eff = iters
         chunks = [iters]
     else:
         halo_eff = halo

@@ -178,3 +178,51 @@ def test_hs_level_fused_cheb_converges(monkeypatch):
                             solver="cheb", interpret=True)
     uj, vj = _hs_sweeps(a, b, u0j, v0j, jnp.float32(144.0), 60)
     assert fp_err(uc, vc) < fp_err(uj, vj), (fp_err(uc, vc), fp_err(uj, vj))
+
+
+def test_hs_level_fused_cheb_single_chunk_exact(monkeypatch):
+    """iters <= 24 runs ONE chunk with halo == iters: no Chebyshev restart,
+    so the fused kernel must now match the global XLA schedule exactly —
+    the restarted schedule silently weakened the production (full-res)
+    solver vs the XLA path validated at low res."""
+    from meshrecon.flow.pallas_jacobi import hs_level_fused
+    from meshrecon.flow.variational import _hs_sweeps_cheb
+
+    h, w = 96, 128
+    # small budget forces multiple bands — the regime where restarts used
+    # to happen
+    monkeypatch.setattr(pj, "_VMEM_FIELD_BUDGET", 5 * w * 4 * 60)
+    prev, warped, u0, v0 = _smooth_problem(h, w, seed=14)
+    a, b = jnp.asarray(prev), jnp.asarray(warped)
+    u0j, v0j = jnp.asarray(u0), jnp.asarray(v0)
+    u_ref, v_ref = _hs_sweeps_cheb(a, b, u0j, v0j, jnp.float32(144.0), 20)
+    u, v = hs_level_fused(a, b, u0j, v0j, 144.0, iters=20, halo=8,
+                          solver="cheb", interpret=True)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=0, atol=2e-3)
+
+
+def test_hs_level_fused_cheb_single_chunk_batched(monkeypatch):
+    """Batched (K, H, W) single-chunk cheb vs the XLA schedule — the exact
+    production shape class (stacks above _HS_FUSED_MIN_PX)."""
+    from meshrecon.flow.pallas_jacobi import hs_level_fused
+    from meshrecon.flow.variational import _hs_sweeps_cheb
+
+    k, h, w = 2, 64, 128
+    monkeypatch.setattr(pj, "_VMEM_FIELD_BUDGET", 5 * w * 4 * 60)
+    a1, b1, _, _ = _smooth_problem(h, w, seed=15)
+    _, b2, _, _ = _smooth_problem(h, w, seed=16)
+    a = jnp.asarray(a1)
+    b = jnp.stack([jnp.asarray(b1), jnp.asarray(b2)])
+    rng = np.random.default_rng(17)
+    u0 = jnp.asarray(rng.normal(scale=1.5, size=(k, h, w)).astype(np.float32))
+    v0 = jnp.asarray(rng.normal(scale=1.5, size=(k, h, w)).astype(np.float32))
+    u_ref, v_ref = _hs_sweeps_cheb(a[None], b, u0, v0, jnp.float32(144.0), 20)
+    u, v = hs_level_fused(a, b, u0, v0, 144.0, iters=20, halo=8,
+                          solver="cheb", interpret=True)
+    np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                               rtol=0, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                               rtol=0, atol=2e-3)

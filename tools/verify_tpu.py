@@ -140,11 +140,23 @@ def main():
     check("hs_level_fused batched u vs XLA", uf3, ux3, 1e-3)
     check("hs_level_fused batched v vs XLA", vf3, vx3, 1e-3)
 
-    # Chebyshev (chunk-restarted): convergence bound, not bit-equality
+    # Chebyshev: iters <= 24 runs ONE chunk (halo == iters, no restart),
+    # so the fused kernel must match the global XLA schedule EXACTLY —
+    # this is the production full-res solver path
     from meshrecon.flow.variational import _hs_sweeps_cheb
 
-    ustar, vstar = _hs_sweeps(a, b, u0, v0, 144.0, 1200)
     ucf, vcf = hs_level_fused(a, b, u0, v0, 144.0, iters=20, solver="cheb")
+    uxc, vxc = _hs_sweeps_cheb(a, b, u0, v0, 144.0, 20)
+    check("hs_level_fused cheb20 u vs XLA cheb", ucf, uxc, 2e-3)
+    check("hs_level_fused cheb20 v vs XLA cheb", vcf, vxc, 2e-3)
+    ubc3, vbc3 = hs_level_fused(a, bb3, ub3, vb3, 144.0, iters=20,
+                                solver="cheb")
+    uxc3, vxc3 = _hs_sweeps_cheb(a[None], bb3, ub3, vb3, 144.0, 20)
+    check("hs_level_fused cheb20 batched u vs XLA", ubc3, uxc3, 2e-3)
+    check("hs_level_fused cheb20 batched v vs XLA", vbc3, vxc3, 2e-3)
+
+    # convergence guard (unchanged): cheb20 must still beat jacobi60
+    ustar, vstar = _hs_sweeps(a, b, u0, v0, 144.0, 1200)
     err_cf = float(jnp.abs(ucf - ustar)[8:-8, 8:-8].max())
     u60b, _ = _hs_sweeps(a, b, u0, v0, 144.0, 60)
     err_j60 = float(jnp.abs(u60b - ustar)[8:-8, 8:-8].max())
