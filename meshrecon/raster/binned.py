@@ -37,7 +37,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from meshrecon.raster.rasterizer import clip_project_planes
 
-TILE_H = 8
+# Image-tile height per grid step. 8 is the f32 sublane minimum; taller
+# tiles cut the grid-step count (and its fixed per-step cost, which
+# dominates at small soups: 4 cameras x 60x5 tiles = 1200 steps for a
+# 2.46 ms render of a 512-tri soup) at the cost of coarser tile-vs-chunk
+# selectivity. Env knob for on-hardware A/Bs; bit-exact at any value.
+TILE_H = int(__import__("os").environ.get("MESHRECON_RASTER_TILE_H", "8"))
 TILE_W = 128
 # Triangles per bin unit. Smaller chunks bin tighter (fewer wasted triangle
 # evaluations per tile) at the cost of a longer per-tile list in SMEM and

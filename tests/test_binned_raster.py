@@ -88,6 +88,33 @@ def test_two_level_multi_slab():
     np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
 
 
+def test_tile_h16_matches_xla_render(monkeypatch):
+    """MESHRECON_RASTER_TILE_H=16 (half the grid steps) must stay bit-exact
+    vs the brute XLA path — the knob only retiles the image grid."""
+    import jax
+
+    import meshrecon.raster.binned as rb
+    from meshrecon.raster.binned import render_depth_binned_batched
+
+    soup, valid = _soup()
+    order = morton_order(soup)
+    soup, valid = soup[order], valid[order]
+    cam = g._make_camera(eye=(0.3, 0.2, 0.5))
+    h, w = 96, 160
+    ref = np.asarray(render_depth(cam, soup, valid, h, w))
+    monkeypatch.setattr(rb, "TILE_H", 16)
+    jax.clear_caches()  # TILE_H is baked into existing traces
+    try:
+        out = np.asarray(render_depth_binned(cam, soup, valid, h, w,
+                                             interpret=True, two_level=True))
+        outb = np.asarray(render_depth_binned_batched(
+            cam[None], soup, valid, h, w, interpret=True))
+    finally:
+        jax.clear_caches()
+    np.testing.assert_allclose(out, ref, rtol=0, atol=1e-5)
+    np.testing.assert_allclose(outb[0], ref, rtol=0, atol=1e-5)
+
+
 def test_batched_matches_xla_render():
     """Camera-batched two-level kernel: per-camera prefetch-table rows must
     be selected by the camera grid index (a regression here once read every
