@@ -74,8 +74,10 @@ class Config:
     confidence_prune: float = 0.0
     # drop Poisson faces farther than this many grid cells from any input
     # point (screened-Poisson --trim analog; kills the hallucinated closure
-    # on partial-coverage scenes); 0 disables
-    poisson_trim: float = 0.0
+    # on partial-coverage scenes); 0 disables. Default 2.0: never worse on
+    # any measured seed/scale and large wins at low res and on
+    # well-covered draws (BASELINE.md full-res + 1/8-res trim studies)
+    poisson_trim: float = 2.0
     # deterministic camera-policy repairs (heuristic._enforce_coverage):
     # fraction of surface shots that must see a chosen main camera (greedy
     # set-cover top-up; 0 disables), and the side-weight ratio above which
@@ -243,9 +245,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--confidence-prune", type=float, default=0.0,
                    help="drop this quantile of lowest-confidence points "
                         "from the Poisson splat (0 disables)")
-    p.add_argument("--poisson-trim", type=float, default=0.0,
+    p.add_argument("--poisson-trim", type=float, default=2.0,
                    help="trim Poisson faces farther than this many grid "
-                        "cells from any input point (0 disables)")
+                        "cells from any input point (screened-Poisson "
+                        "--trim analog; default 2, 0 disables)")
     p.add_argument("--ensemble-seeds", default=None, metavar="S1,S2,...",
                    help="reconstruct the point cloud under each of these "
                         "camera-draw seeds and mesh the union (averages out "

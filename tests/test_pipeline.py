@@ -89,6 +89,9 @@ def test_end_to_end_sphere(koule_small, tmp_path):
         seed=3,
         poisson_grid=64,
         depth_mode="hybrid",  # the CLI default (plane-sweep bootstrap)
+        poisson_trim=0.0,  # keep the UNTRIMMED path regression-covered
+        # (trim defaults to 2.0 since the full-res study; the trimmed
+        # path has its own tighter test below)
         checkpoint_dir=str(tmp_path / "ckpt"),
         verbosity=0,
     )

@@ -17,16 +17,20 @@ import sys
 import time
 
 CONFIGS = {
-    "base": {},
-    "cov": {"camera_coverage": 0.9, "baseline_diversity": 3.0},
-    "covprune": {"camera_coverage": 0.9, "baseline_diversity": 3.0,
-                 "confidence_prune": 0.25},
-    "prune": {"confidence_prune": 0.25},
+    # poisson_trim defaults to 2.0 since the full-res study; "base" pins
+    # the historical untrimmed baseline the recorded rows were measured at
+    "base": {"poisson_trim": 0.0},
+    "cov": {"poisson_trim": 0.0, "camera_coverage": 0.9,
+            "baseline_diversity": 3.0},
+    "covprune": {"poisson_trim": 0.0, "camera_coverage": 0.9,
+                 "baseline_diversity": 3.0, "confidence_prune": 0.25},
+    "prune": {"poisson_trim": 0.0, "confidence_prune": 0.25},
     # second plane-sweep pass: visibility from the swept depth itself
-    "sp2": {"sweep_passes": 2},
-    "sp2cov": {"sweep_passes": 2, "camera_coverage": 0.9,
-               "baseline_diversity": 3.0},
-    "sp2prune": {"sweep_passes": 2, "confidence_prune": 0.25},
+    "sp2": {"poisson_trim": 0.0, "sweep_passes": 2},
+    "sp2cov": {"poisson_trim": 0.0, "sweep_passes": 2,
+               "camera_coverage": 0.9, "baseline_diversity": 3.0},
+    "sp2prune": {"poisson_trim": 0.0, "sweep_passes": 2,
+                 "confidence_prune": 0.25},
     # support-distance face trim (NOTES_ROUND4: 1/8-res med 7x, p90 10x)
     "trim2": {"poisson_trim": 2.0},
     "trim2div": {"poisson_trim": 2.0, "baseline_diversity": 2.0},
@@ -34,11 +38,11 @@ CONFIGS = {
     # flow-solver e2e A/B at FIXED cameras (same seed => same draw => same
     # K-bucket shapes => warm compiles). NOTES_ROUND4 item 4: rule out a
     # cheb quality regression vs round-2's jacobi-60 e2e numbers.
-    "jac": {"flow_solver": "jacobi"},
+    "jac": {"poisson_trim": 0.0, "flow_solver": "jacobi"},
     "trim2jac": {"poisson_trim": 2.0, "flow_solver": "jacobi"},
     # render-proxy cap A/B (NOTES_ROUND4: 65k cap forces ~32 sequential
     # slab kernels per render batch; does 16k lose quality on koule?)
-    "rf16k": {"max_render_faces": 16384},
+    "rf16k": {"poisson_trim": 0.0, "max_render_faces": 16384},
     "trim2rf16k": {"poisson_trim": 2.0, "max_render_faces": 16384},
     # seed ensemble: union of 2 independent draws, meshed once — attacks
     # the draw-luck spread directly (the "seed" column then only picks
