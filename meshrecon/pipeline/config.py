@@ -94,6 +94,12 @@ class Config:
     # NOTES_ROUND4.md)
     coverage_quality: float = 0.25
     baseline_diversity: float = 0.0
+    # floor on the number of main-camera bundles: when the stochastic
+    # accumulate-to-threshold draw stops short (a bad seed can stop at 2-4
+    # bundles, NOTES_ROUND4.md), promote the highest-accumulated
+    # sub-threshold (main, side) pairs from the selection's own weight
+    # table until this many mains are chosen; 0 disables
+    min_bundles: int = 0
     max_render_faces: int = 65536
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
@@ -266,6 +272,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append a better-parallax side to a bundle when the "
                         "best outside side outweighs the best in-bundle "
                         "side by this ratio (0 disables)")
+    p.add_argument("--min-bundles", type=int, default=0,
+                   help="floor on chosen main-camera bundles: promote the "
+                        "highest-accumulated sub-threshold pairs from the "
+                        "policy's own weight table until this many mains "
+                        "are chosen (0 disables)")
     p.add_argument("--max-render-faces", type=int, default=65536,
                    help="decimate the render/policy proxy mesh above "
                         "this face count (output mesh unaffected)")
@@ -414,6 +425,7 @@ def _config_for_file(args, in_file: str, out_file: str,
         ) if args.ensemble_seeds else (),
         coverage_quality=args.coverage_quality,
         baseline_diversity=args.baseline_diversity,
+        min_bundles=args.min_bundles,
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile,
         resume=args.resume,

@@ -307,9 +307,79 @@ class Heuristic:
                     chosen[pos][1].append(side)
 
         chosen = self._enforce_coverage(chosen, ok, cos_v, dist, cfv_n)
+        chosen = self._enforce_min_bundles(chosen, weights, ok, cos_v, dist,
+                                           cfv_n)
         chosen.sort()
         self.chosen = chosen
         return max(camera_count, len(chosen))
+
+    @staticmethod
+    def _best_side(main, ok, cos_v, dist, cfv_n, shot_mask=None):
+        """Best side camera for ``main`` over the masked shots by summed
+        reference side weight cos*parallax^2/d^2; (side, score) or (-1, 0)."""
+        vx, vy = cfv_n[..., 0], cfv_n[..., 1]
+        m_vis = ok[:, main] if shot_mask is None else shot_mask & ok[:, main]
+        if not np.any(m_vis):
+            return -1, 0.0
+        par2 = ((vx[m_vis] - vx[m_vis, main][:, None]) ** 2
+                + (vy[m_vis] - vy[m_vis, main][:, None]) ** 2) / FOCAL
+        w = np.where(ok[m_vis], cos_v[m_vis] * par2
+                     / np.maximum(dist[m_vis], 1e-20) ** 2, 0.0)
+        w[:, main] = 0.0
+        score = w.sum(axis=0)
+        side = int(score.argmax())
+        return (side, float(score[side])) if score[side] > 0 else (-1, 0.0)
+
+    def _enforce_min_bundles(self, chosen, weights, ok=None, cos_v=None,
+                             dist=None, cfv_n=None):
+        """Bundle-count floor (``min_bundles``): a bad draw can stop the
+        accumulate-to-threshold loop at 2-4 bundles (measured at 1/8 res,
+        NOTES_ROUND4.md) and per-run quality tracks that count. Promote the
+        highest-accumulated sub-threshold (main, side) pairs — the policy's
+        own ranking of "nearly chosen" — one pair per new main, until the
+        floor is met or candidates run out. Reference analog: none; its
+        unseeded draw (heuristic.cpp:429-486) simply gets unlucky."""
+        floor = int(getattr(self.config, "min_bundles", 0))
+        if floor <= 0 or len(chosen) >= floor:
+            return chosen
+        mains_have = {m for m, _ in chosen}
+        best: dict[int, tuple[float, int]] = {}  # main -> (weight, side)
+        for (m, s), w in weights.items():
+            if m == s or m in mains_have or w >= 1.0:
+                continue
+            if w > best.get(m, (0.0, -1))[0]:
+                best[m] = (w, s)
+        promoted = 0
+        for m, (w, s) in sorted(best.items(), key=lambda kv: -kv[1][0]):
+            if len(chosen) >= floor:
+                break
+            chosen.append((m, [s]))
+            promoted += 1
+        # weight table exhausted (sparse draws sample few distinct mains):
+        # synthesize bundles from the visibility matrix — rank unchosen
+        # cameras by summed main view weight, pair each with its best side
+        synthesized = 0
+        if len(chosen) < floor and ok is not None and ok.size:
+            w_main = np.where(ok, cos_v / np.maximum(dist, 1e-20) ** 2, 0.0)
+            rank = np.argsort(-w_main.sum(axis=0))
+            have = {m for m, _ in chosen}
+            for m in rank:
+                if len(chosen) >= floor:
+                    break
+                m = int(m)
+                if m in have or w_main[:, m].sum() <= 0:
+                    continue
+                side, score = self._best_side(m, ok, cos_v, dist, cfv_n)
+                if side < 0:
+                    continue
+                chosen.append((m, [side]))
+                have.add(m)
+                synthesized += 1
+        if (promoted or synthesized) and \
+                getattr(self.config, "verbosity", 0) >= 1:
+            print(f"Bundle floor: +{promoted} promoted, +{synthesized} "
+                  f"synthesized mains ({len(chosen)}/{floor})", flush=True)
+        return chosen
 
     def _enforce_coverage(self, chosen, ok, cos_v, dist, cfv_n):
         """Deterministic repair pass over the stochastic selection.
@@ -352,19 +422,7 @@ class Heuristic:
         added = {"coverage": 0, "diversity": 0}  # repair-fire telemetry
 
         def best_side(main, shot_mask):
-            """Best side for ``main`` over the masked shots by summed
-            reference side weight; returns (side, score)."""
-            m_vis = shot_mask & ok[:, main]
-            if not np.any(m_vis):
-                return -1, 0.0
-            par2 = ((vx[m_vis] - vx[m_vis, main][:, None]) ** 2
-                    + (vy[m_vis] - vy[m_vis, main][:, None]) ** 2) / FOCAL
-            w = np.where(ok[m_vis], cos_v[m_vis] * par2
-                         / np.maximum(dist[m_vis], 1e-20) ** 2, 0.0)
-            w[:, main] = 0.0
-            score = w.sum(axis=0)
-            side = int(score.argmax())
-            return (side, float(score[side])) if score[side] > 0 else (-1, 0.0)
+            return self._best_side(main, ok, cos_v, dist, cfv_n, shot_mask)
 
         def append_pair(main, side, tag):
             pos = next((p for p, (m, _) in enumerate(chosen) if m == main), -1)

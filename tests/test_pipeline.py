@@ -513,6 +513,55 @@ def test_enforce_coverage_repairs_policy():
     assert main == 0 and 1 in sides and len(sides) == 2
 
 
+def test_enforce_min_bundles_promotes_subthreshold_pairs():
+    """_enforce_min_bundles: the bundle-count floor promotes the policy's
+    own highest-accumulated sub-threshold pairs, one per new main, and
+    never duplicates an already-chosen main."""
+    import types
+
+    h = Heuristic.__new__(Heuristic)
+    h.config = types.SimpleNamespace(min_bundles=3, verbosity=0)
+    weights = {
+        (0, 0): 1.0, (0, 1): 1.2,   # chosen pair (over threshold)
+        (2, 3): 0.7, (2, 4): 0.4,   # best sub-threshold for main 2
+        (5, 1): 0.9,                # best overall sub-threshold
+        (0, 4): 0.95,               # main 0 already chosen: skipped
+    }
+    chosen = h._enforce_min_bundles([(0, [1])], dict(weights))
+    assert sorted(m for m, _ in chosen) == [0, 2, 5]
+    got = dict(chosen)
+    assert got[5] == [1] and got[2] == [3]  # highest-weight side per main
+
+    # floor already met: no-op
+    h.config = types.SimpleNamespace(min_bundles=1, verbosity=0)
+    assert h._enforce_min_bundles([(0, [1])], dict(weights)) == [(0, [1])]
+
+    # no candidates: floor unmet but no crash
+    h.config = types.SimpleNamespace(min_bundles=4, verbosity=0)
+    assert h._enforce_min_bundles([(0, [1])], {(0, 0): 1.0}) == [(0, [1])]
+
+
+def test_min_bundles_end_to_end(koule_small):
+    track, frames = koule_small
+    base = Config(track=track, frames=frames, seed=1)
+    floored = Config(track=track, frames=frames, seed=1, min_bundles=12)
+    counts = []
+    for cfg in (base, floored):
+        hint = Heuristic(cfg)
+        hint.not_happy(track.bundles)
+        mesh = hint.tessellate(track.bundles,
+                               np.zeros((len(track.bundles), 3)))
+        r = Renderer(cfg.width, cfg.height)
+        r.load_mesh(mesh)
+        hint.choose_cameras(mesh, track.cameras, r)
+        bundles = hint.camera_bundles()
+        for m, sides in bundles:
+            assert sides and m not in sides
+        counts.append(len(bundles))
+    assert counts[1] >= counts[0]
+    assert counts[1] >= min(12, counts[0] + 1) or counts[0] >= 12
+
+
 def test_heuristic_coverage_flags_end_to_end(koule_small):
     track, frames = koule_small
     cfg = Config(track=track, frames=frames, seed=1, camera_coverage=0.95,

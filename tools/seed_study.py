@@ -48,6 +48,10 @@ CONFIGS = {
     # the draw-luck spread directly (the "seed" column then only picks
     # which PAIR of draws runs: seed s uses draws (s, s+10))
     "trim2ens2": {"poisson_trim": 2.0, "_ensemble_pair": True},
+    # bundle-count floor: promote the policy's own nearly-chosen pairs
+    # when a bad draw stops short (seed 5 stopped at 2 bundles at 1/8 res)
+    "trim2mb8": {"poisson_trim": 2.0, "min_bundles": 8},
+    "trim2mb12": {"poisson_trim": 2.0, "min_bundles": 12},
 }
 
 
