@@ -54,12 +54,13 @@ _PALLAS_MIN_DIM = int(os.environ.get("MESHRECON_PALLAS_MIN_DIM", "16"))
 
 # Stack-size floor (pixels) above which a level's relaxation runs in the
 # fused Pallas setup+sweep band kernel (pallas_jacobi.hs_level_fused)
-# instead of the XLA-fused sweep loop: XLA keeps the working set
-# VMEM-resident and wins below ~2 Mpix (K=3 at 640x480: 1.3 ms/60 sweeps),
-# the kernel wins once the stack spills (12 images: 6.8 -> ~2 ms). Env
-# knob for on-hardware A/Bs.
+# instead of the XLA-fused sweep loop. The restarted-Chebyshev kernel
+# lost to XLA below ~2 Mpix; since the single-chunk fix (one launch, no
+# cc round trip, exact global schedule) the kernel wins already at the
+# 0.92 Mpix bench stack (22.7 vs 20.8 Mpix/s, tpu_queue4) — floor at
+# 5e5 px where launch overhead still dominates. Env knob for A/Bs.
 _HS_FUSED_MIN_PX = int(os.environ.get("MESHRECON_HS_FUSED_MIN_PX",
-                                      "2000000"))
+                                      "500000"))
 
 # Sweep-count override for on-hardware A/Bs (0 = per-solver default: 20
 # accelerated Chebyshev sweeps / 60 plain Jacobi). The sweeps are the

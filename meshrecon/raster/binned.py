@@ -42,7 +42,10 @@ from meshrecon.raster.rasterizer import clip_project_planes
 # dominates at small soups: 4 cameras x 60x5 tiles = 1200 steps for a
 # 2.46 ms render of a 512-tri soup) at the cost of coarser tile-vs-chunk
 # selectivity. Env knob for on-hardware A/Bs; bit-exact at any value.
-TILE_H = int(__import__("os").environ.get("MESHRECON_RASTER_TILE_H", "8"))
+# 24-row tiles cut the serial grid-step count 3x vs the VPU-native 8
+# (bench A/B: 20.84 -> 27.96 Mpix/s, tpu_queue4 2026-08-18; bit-exact —
+# the tile walk is a pure partition of the pixel grid)
+TILE_H = int(__import__("os").environ.get("MESHRECON_RASTER_TILE_H", "24"))
 TILE_W = 128
 # Triangles per bin unit. Smaller chunks bin tighter (fewer wasted triangle
 # evaluations per tile) at the cost of a longer per-tile list in SMEM and

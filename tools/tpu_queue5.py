@@ -39,7 +39,9 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-bench", action="store_true")
     ap.add_argument("--skip-raster", action="store_true")
-    ap.add_argument("--study-configs", default="trim2ens2,trim2sp2,trim2mb8")
+    # the single most promising full-res lever first — trim2sp2/trim2mb8
+    # have 1/8-res data and ride only if the lease survives a re-run
+    ap.add_argument("--study-configs", default="trim2ens2")
     ap.add_argument("--study-seeds", default="3,5")
     ap.add_argument("--skip-study", action="store_true")
     args = ap.parse_args(argv)
