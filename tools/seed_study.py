@@ -52,6 +52,10 @@ CONFIGS = {
     # when a bad draw stops short (seed 5 stopped at 2 bundles at 1/8 res)
     "trim2mb8": {"poisson_trim": 2.0, "min_bundles": 8},
     "trim2mb12": {"poisson_trim": 2.0, "min_bundles": 12},
+    # the two proven full-res levers stacked: 2-draw union of
+    # diversity-repaired refinements (ens med -32%/-15%, div p90 -27%)
+    "trim2divens2": {"poisson_trim": 2.0, "baseline_diversity": 2.0,
+                     "_ensemble_pair": True},
 }
 
 
