@@ -91,12 +91,18 @@ def _sweep_kernel(band, halo, height, stride_h, width, sweeps, alpha2,
         return jnp.where(right if dx > 0 else left, f, r)
 
     def hs_avg(f):
+        # 4 lane rolls instead of 6: the diagonal sum west(fn)+east(fn)
+        # +west(fs)+east(fs) equals west(fn+fs)+east(fn+fs) — the border
+        # select clamps each roll to its own operand, so the edge-clamped
+        # semantics are identical; the reassociation drifts only in the
+        # last ulp (tests/verify-tpu tolerance 1e-3). Lane rolls shuffle
+        # the whole band across vregs and were the costliest op per sweep.
         fn = shift_rows(f, -1)
         fs = shift_rows(f, 1)
+        g = fn + fs
         horiz = shift_cols(f, -1) + shift_cols(f, 1)
-        diag = (shift_cols(fn, -1) + shift_cols(fn, 1)
-                + shift_cols(fs, -1) + shift_cols(fs, 1))
-        return (fn + fs + horiz) * (1.0 / 6.0) + diag * (1.0 / 12.0)
+        diag = shift_cols(g, -1) + shift_cols(g, 1)
+        return (g + horiz) * (1.0 / 6.0) + diag * (1.0 / 12.0)
 
     for cp in copies:
         cp.wait()
@@ -270,12 +276,15 @@ def _fused_sweep_kernel(band, halo, height, stride_h, width, sweeps, alpha2,
         return jnp.where(right if dx > 0 else left, f, r)
 
     def hs_avg(f):
+        # 4 lane rolls instead of 6 (see _sweep_kernel.hs_avg: diagonal
+        # sum factored through fn+fs; edge-clamp identical, last-ulp
+        # reassociation only)
         fn = shift_rows(f, -1)
         fs = shift_rows(f, 1)
+        g = fn + fs
         horiz = shift_cols(f, -1) + shift_cols(f, 1)
-        diag = (shift_cols(fn, -1) + shift_cols(fn, 1)
-                + shift_cols(fs, -1) + shift_cols(fs, 1))
-        return (fn + fs + horiz) * (1.0 / 6.0) + diag * (1.0 / 12.0)
+        diag = shift_cols(g, -1) + shift_cols(g, 1)
+        return (g + horiz) * (1.0 / 6.0) + diag * (1.0 / 12.0)
 
     for cp in copies:
         cp.wait()

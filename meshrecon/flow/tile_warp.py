@@ -69,10 +69,18 @@ def _cubic_weight(t, a=-0.75):
     return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
 
 
-def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref,
+def _warp_tile_kernel(wh, ww, taps, sub, by_ref, bx_ref,
                       py_ref, px_ref, src_ref, out_ref, win, acc, sem):
-    """One output tile: DMA an ALIGNED window, realign with dynamic rolls,
-    accumulate static interpolation taps (bilinear taps=2, bicubic taps=4).
+    """One grid step = ``sub`` vertically-adjacent output tiles: start ALL
+    window DMAs up front (each tile's source window is independent), then
+    per tile realign with dynamic rolls and accumulate the static
+    interpolation taps (bilinear taps=2, bicubic taps=4).
+
+    The one-tile-per-step form serialized a window DMA against every
+    tile's compute (measured: the solver-budget warp of a 0.92 Mpix stack
+    ran 0.59 ms for ~0.2 ms of tap FLOPs — grid-step latency dominated);
+    batching ``sub`` tiles per step both cuts the fixed per-step cost and
+    hides DMA latency of tiles 1..sub-1 behind tile 0's compute.
 
     HBM DMA slice starts must be (8, 128)-aligned (Mosaic tiling), so the
     XLA wrapper aligns the window base down and passes the remainders; the
@@ -81,6 +89,10 @@ def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref,
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
+    ntx = pl.num_programs(1)
+    wh2 = wh + 8  # aligned window incl. alignment slack
+    ww2 = _round_up(ww, 128) + 128  # lane dynamic_rotate needs 128-aligned
+
     # scalar-prefetch arrays are 1-D tile-indexed: SMEM pads the last axis
     # to 128 lanes, so a (nty, ntx) layout with tiny ntx cost nty*128*4
     # bytes PER OPERAND (1.4 MB total at 12 stacked images — over the 1 MB
@@ -88,80 +100,88 @@ def _warp_tile_kernel(wh, ww, taps, by_ref, bx_ref,
     # UNALIGNED bases ship; the DMA alignment and its roll remainders are
     # rederived with scalar arithmetic (4 arrays of 64k tiles at 1080p x 32
     # stacked frames = the whole 1 MB SMEM budget by themselves).
-    tile = ti * pl.num_programs(1) + tj
-    wh2 = wh + 8  # aligned window incl. alignment slack
-    ww2 = _round_up(ww, 128) + 128  # lane dynamic_rotate needs 128-aligned
+    rems = []
+    dmas = []
+    for s in range(sub):
+        tile = (ti * sub + s) * ntx + tj
+        by_raw = by_ref[tile]
+        bx_raw = bx_ref[tile]
+        by = pl.multiple_of((by_raw // 8) * 8, 8)
+        bx = pl.multiple_of((bx_raw // 128) * 128, 128)
+        rems.append((by_raw - (by_raw // 8) * 8,
+                     bx_raw - (bx_raw // 128) * 128))
+        dma = pltpu.make_async_copy(
+            src_ref.at[pl.ds(by, wh2), pl.ds(bx, ww2)], win.at[s], sem.at[s],
+        )
+        dma.start()
+        dmas.append(dma)
 
-    by_raw = by_ref[tile]
-    bx_raw = bx_ref[tile]
-    by = pl.multiple_of((by_raw // 8) * 8, 8)
-    bx = pl.multiple_of((bx_raw // 128) * 128, 128)
-    rem_y = by_raw - (by_raw // 8) * 8
-    rem_x = bx_raw - (bx_raw // 128) * 128
-    dma = pltpu.make_async_copy(
-        src_ref.at[pl.ds(by, wh2), pl.ds(bx, ww2)], win, sem,
-    )
-    dma.start()
-
-    # residuals (computed while the DMA is in flight); cap so every tap
-    # (floor(r) - taps/2 + 1 .. floor(r) + taps/2) stays inside the window
-    # for every output row/col
     half = taps // 2 - 1
     i_loc = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(
         jnp.float32)
     j_loc = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(
         jnp.float32)
     weight = _hat_weight if taps == 2 else _cubic_weight
-    ry = jnp.clip(py_ref[:] - i_loc, half, wh - TH - half - 1e-3)
-    rx = jnp.clip(px_ref[:] - j_loc, half, ww - TW - half - 1e-3)
 
-    dma.wait()
-    w = win[:]
-    # out[p] = in[p + rem]: roll by (-rem) mod n (same convention the
-    # validated round-1 warp kernel used)
-    w = pltpu.roll(w, jnp.mod(wh2 - rem_y, wh2), axis=0)
-    w = pltpu.roll(w, jnp.mod(ww2 - rem_x, ww2), axis=1)
+    for s in range(sub):
+        rem_y, rem_x = rems[s]
+        # residuals (computed while the DMA is in flight); cap so every tap
+        # (floor(r) - taps/2 + 1 .. floor(r) + taps/2) stays inside the
+        # window for every output row/col
+        ry = jnp.clip(py_ref[s * TH:(s + 1) * TH] - i_loc, half,
+                      wh - TH - half - 1e-3)
+        rx = jnp.clip(px_ref[s * TH:(s + 1) * TH] - j_loc, half,
+                      ww - TW - half - 1e-3)
 
-    # Loop structure matters: the lane-axis slice (dx) costs a cross-vreg
-    # shift of the whole window, so hoist it to the OUTER loop (done once
-    # per dx); the inner dy step is a cheap sublane slice + FMA. The naive
-    # dy-outer/dx-inner order re-sliced lanes 289 times and ran 29 ms — this
-    # order is the difference between losing and beating the gather.
-    #
-    # Residual-span column SKIPPING (pl.when per dx column, guarding on
-    # max(rx) + taps/2) is applied ONLY at wide column budgets: scalar-core
-    # branches disrupt the VPU pipeline enough that the unconditional
-    # static enumeration wins below ~20 columns. Measured on v5e (K=3
-    # 640x480 stack, smooth ~2 px-spread field): solver r6/r8 0.59 ms
-    # unconditional vs 1.03 guarded; projection r14/r14 1.09 vs 1.18; but
-    # the plane-sweep budget r14/r24 1.62 vs 1.27 — the guard only earns
-    # its branches when most of a wide enumeration is dead. (A first cut
-    # guarding every (dy, dx) tap with the accumulator in VMEM scratch was
-    # 2.8x WORSE overall: per-tap branches + a scratch load/store per tap
-    # instead of vector registers.)
-    wys = [weight(ry - dy) for dy in range(wh - TH + 1)]
-    n_cols = ww - TW + 1
-    if n_cols >= 20:
-        rx_hi = jnp.max(rx) + taps * 0.5
-        acc[:] = jnp.zeros((TH, TW), jnp.float32)
-        for dx in range(n_cols):
-            @pl.when(dx <= rx_hi)
-            def _col():
+        dmas[s].wait()
+        w = win[s]
+        # out[p] = in[p + rem]: roll by (-rem) mod n (same convention the
+        # validated round-1 warp kernel used)
+        w = pltpu.roll(w, jnp.mod(wh2 - rem_y, wh2), axis=0)
+        w = pltpu.roll(w, jnp.mod(ww2 - rem_x, ww2), axis=1)
+
+        # Loop structure matters: the lane-axis slice (dx) costs a
+        # cross-vreg shift of the whole window, so hoist it to the OUTER
+        # loop (done once per dx); the inner dy step is a cheap sublane
+        # slice + FMA. The naive dy-outer/dx-inner order re-sliced lanes
+        # 289 times and ran 29 ms — this order is the difference between
+        # losing and beating the gather.
+        #
+        # Residual-span column SKIPPING (pl.when per dx column, guarding
+        # on max(rx) + taps/2) is applied ONLY at wide column budgets:
+        # scalar-core branches disrupt the VPU pipeline enough that the
+        # unconditional static enumeration wins below ~20 columns.
+        # Measured on v5e (K=3 640x480 stack, smooth ~2 px-spread field):
+        # solver r6/r8 0.59 ms unconditional vs 1.03 guarded; projection
+        # r14/r14 1.09 vs 1.18; but the plane-sweep budget r14/r24 1.62
+        # vs 1.27 — the guard only earns its branches when most of a wide
+        # enumeration is dead. (A first cut guarding every (dy, dx) tap
+        # with the accumulator in VMEM scratch was 2.8x WORSE overall:
+        # per-tap branches + a scratch load/store per tap instead of
+        # vector registers.)
+        wys = [weight(ry - dy) for dy in range(wh - TH + 1)]
+        n_cols = ww - TW + 1
+        if n_cols >= 20:
+            rx_hi = jnp.max(rx) + taps * 0.5
+            acc[:] = jnp.zeros((TH, TW), jnp.float32)
+            for dx in range(n_cols):
+                @pl.when(dx <= rx_hi)
+                def _col():
+                    wx = weight(rx - dx)
+                    wcol = w[:, dx:dx + TW]
+                    part = jnp.zeros((TH, TW), jnp.float32)
+                    for dy in range(wh - TH + 1):
+                        part = part + (wys[dy] * wx) * wcol[dy:dy + TH]
+                    acc[:] = acc[:] + part
+            out_ref[s * TH:(s + 1) * TH] = acc[:]
+        else:
+            out = jnp.zeros((TH, TW), jnp.float32)
+            for dx in range(n_cols):
                 wx = weight(rx - dx)
                 wcol = w[:, dx:dx + TW]
-                part = jnp.zeros((TH, TW), jnp.float32)
                 for dy in range(wh - TH + 1):
-                    part = part + (wys[dy] * wx) * wcol[dy:dy + TH]
-                acc[:] = acc[:] + part
-        out_ref[:] = acc[:]
-    else:
-        out = jnp.zeros((TH, TW), jnp.float32)
-        for dx in range(n_cols):
-            wx = weight(rx - dx)
-            wcol = w[:, dx:dx + TW]
-            for dy in range(wh - TH + 1):
-                out = out + (wys[dy] * wx) * wcol[dy:dy + TH]
-        out_ref[:] = out
+                    out = out + (wys[dy] * wx) * wcol[dy:dy + TH]
+            out_ref[s * TH:(s + 1) * TH] = out
 
 
 @functools.partial(
@@ -201,7 +221,10 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
     scol = jnp.asarray(scol, jnp.float32)
     srow = jnp.asarray(srow, jnp.float32)
 
-    hp = _round_up(ho, TH)
+    # tiles per grid step (vertical): fewer, fatter steps amortize the
+    # fixed per-step cost and overlap the window DMAs (see kernel docstring)
+    sub = min(4, -(-ho // TH))
+    hp = _round_up(ho, TH * sub)
     wp = _round_up(wo, TW)
     # Pad the DISPLACEMENT fields (srow - row, scol - col) with edge mode —
     # padding the raw coordinates would put a steep artificial gradient in
@@ -272,24 +295,24 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(nty, ntx),
+        grid=(nty // sub, ntx),
         in_specs=[
-            pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
+            pl.BlockSpec((TH * sub, TW), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
+            pl.BlockSpec((TH * sub, TW), lambda i, j, *_: (i, j),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((TH, TW), lambda i, j, *_: (i, j),
+        out_specs=pl.BlockSpec((TH * sub, TW), lambda i, j, *_: (i, j),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((wh + 8, _round_up(ww, 128) + 128), jnp.float32),
+            pltpu.VMEM((sub, wh + 8, _round_up(ww, 128) + 128), jnp.float32),
             pltpu.VMEM((TH, TW), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((sub,)),
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_warp_tile_kernel, wh, ww, taps),
+        functools.partial(_warp_tile_kernel, wh, ww, taps, sub),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         interpret=interpret,

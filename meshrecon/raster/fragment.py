@@ -207,12 +207,24 @@ def projected_image_batched(cam_mains, depth_mains, frames, projectors,
         # fields, reprojection coordinates jump at depth boundaries and a
         # reduced row budget measurably degraded the downstream flow
         # targets (koule full e2e med 0.125 -> 0.141 with r_row=6 for a
-        # +0.35 Mpix/s gain — rejected)
+        # +0.35 Mpix/s gain — rejected).
+        #
+        # Both sampling passes share the same coordinate field (shadow is
+        # the nearest sample = bilinear at rounded coords), so they ride
+        # ONE stacked kernel launch over 2*B*K images instead of two
+        # launches — the per-launch + per-grid-step fixed costs halve.
         coord_ok = valid & inframe
-        shadow_z = tile_warp_sample_batched(
-            shadow, jnp.round(scol), jnp.round(srow), valid=coord_ok)
-        intensity = tile_warp_sample_batched(frames, scol, srow,
-                                             valid=coord_ok)
+        bk = b * k
+        both = tile_warp_sample_batched(
+            jnp.concatenate([shadow.reshape(bk, h, w),
+                             frames.reshape(bk, h, w)], axis=0),
+            jnp.concatenate([jnp.round(scol).reshape(bk, h, w),
+                             scol.reshape(bk, h, w)], axis=0),
+            jnp.concatenate([jnp.round(srow).reshape(bk, h, w),
+                             srow.reshape(bk, h, w)], axis=0),
+            valid=jnp.concatenate([coord_ok.reshape(bk, h, w)] * 2, axis=0))
+        shadow_z = both[:bk].reshape(b, k, h, w)
+        intensity = both[bk:].reshape(b, k, h, w)
     else:
         shadow_z = jax.vmap(jax.vmap(nearest_sample))(shadow, scol, srow)
         intensity = jax.vmap(jax.vmap(bilinear_sample))(frames, scol, srow)
