@@ -35,6 +35,9 @@ def main(argv=None):
     _enable_compile_cache()
 
     configs = configs_from_args(argv)
+    from meshrecon.pipeline.config import apply_kernel_knobs
+
+    apply_kernel_knobs(configs[0])
     configs[0].log(2, " Loaded configuration and video clip")
 
     def run():

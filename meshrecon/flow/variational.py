@@ -70,6 +70,27 @@ _HS_FUSED_MIN_PX = int(os.environ.get("MESHRECON_HS_FUSED_MIN_PX",
 _FLOW_ITERS = int(os.environ.get("MESHRECON_FLOW_ITERS", "0"))
 
 
+def set_flow_knobs(iters: int | None = None, fused_min_px: int | None = None,
+                   pallas_min_dim: int | None = None):
+    """Set the flow-solver knobs mid-process (config/CLI plumbing); clears
+    jit caches so traces that baked the old values cannot go stale."""
+    global _FLOW_ITERS, _HS_FUSED_MIN_PX, _PALLAS_MIN_DIM
+    changed = False
+    if iters is not None and int(iters) != _FLOW_ITERS:
+        if iters < 0:
+            raise ValueError(f"flow iters must be >= 0 (0 = auto): {iters}")
+        _FLOW_ITERS = int(iters)
+        changed = True
+    if fused_min_px is not None and int(fused_min_px) != _HS_FUSED_MIN_PX:
+        _HS_FUSED_MIN_PX = int(fused_min_px)
+        changed = True
+    if pallas_min_dim is not None and int(pallas_min_dim) != _PALLAS_MIN_DIM:
+        _PALLAS_MIN_DIM = int(pallas_min_dim)
+        changed = True
+    if changed:
+        jax.clear_caches()
+
+
 def _pad_hw(u):
     pad = [(0, 0)] * (u.ndim - 2) + [(1, 1), (1, 1)]
     return jnp.pad(u, pad, mode="edge")

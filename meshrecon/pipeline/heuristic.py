@@ -309,6 +309,13 @@ class Heuristic:
         chosen = self._enforce_coverage(chosen, ok, cos_v, dist, cfv_n)
         chosen = self._enforce_min_bundles(chosen, weights, ok, cos_v, dist,
                                            cfv_n)
+        cap = int(getattr(self.config, "max_sides", 8) or 0)
+        if cap > 0:
+            # keep the FIRST cap sides (threshold-crossing order — the
+            # strongest accumulators cross first); pins the flow-stack K
+            # bucket set to {4, 8} so camera re-draws cannot introduce new
+            # compiled shapes (see reconstruct._k_bucket)
+            chosen = [(m, s[:cap]) for m, s in chosen]
         chosen.sort()
         self.chosen = chosen
         return max(camera_count, len(chosen))

@@ -34,6 +34,21 @@ def _bucket(k: int) -> int:
     return b
 
 
+def _k_bucket(config, klen: int) -> int:
+    """Stable side-count bucket: floor 4, cap ``config.max_sides`` (default
+    8, 0 = uncapped legacy). With the cap on, every compiled (B, K) shape
+    comes from the two-element set {4, 8} BY CONSTRUCTION, so a new camera
+    draw (seed/config change) can never introduce a fresh K shape and
+    re-pay minutes of remote AOT compile (round-3 infra note: a K-bucket
+    flip cost ~20 min mid-study). The heuristic truncates side lists to the
+    cap (choose_cameras), so no evidence silently exceeds the bucket."""
+    cap = int(getattr(config, "max_sides", 8) or 0)
+    if cap > 0:
+        klen = min(klen, cap)
+    lo = min(4, cap) if cap > 0 else 4
+    return _bucket(max(klen, lo))
+
+
 # main cameras vmapped per dispatch on a single chip (compile-shape stable;
 # amortizes the fixed per-dispatch tunnel latency and the flow solver's
 # kernel-launch sequencing across the batch)
@@ -231,7 +246,7 @@ def process_main_camera(config, renderer, fa: int, sides: list[int],
     if k == 0:
         return np.zeros((0, 4), np.float32), np.zeros((0, 3), np.float32), 0
 
-    kb = _bucket(k)
+    kb = _k_bucket(config, k)
     h, w = config.height, config.width
     flows_arr = np.zeros((kb, h, w, 4), np.float32)
     flows_arr[:k] = np.stack(flows)
@@ -277,7 +292,7 @@ def _process_main_fused(config, renderer, fa, sides, timer):
     k = len(sides)
     if k == 0:
         return np.zeros((0, 4), np.float32), np.zeros((0, 3), np.float32), 0
-    kb = _bucket(k)
+    kb = _k_bucket(config, k)
     h, w = config.height, config.width
     side_cams = np.tile(np.eye(4, dtype=np.float32), (kb, 1, 1))
     side_frames = np.zeros((kb, h, w), np.float32)
@@ -354,7 +369,7 @@ def _process_bundles_batched(config, renderer, bundles, timer,
 
     npix = h * w
 
-    kb = _bucket(max(len(s) for _, s in bundles))
+    kb = _k_bucket(config, max(len(s) for _, s in bundles))
     cb = _bucket(kb + 1)
     results = []
     for start in range(0, len(bundles), n_dev):
@@ -474,8 +489,17 @@ def _process_main_plane_sweep(config, renderer, fa, sides, depth, timer):
 
 def reconstruct(config) -> Mesh:
     """Full video -> mesh reconstruction (the main() flow of recon.cpp)."""
-    if len(getattr(config, "ensemble_seeds", ()) or ()) > 1:
+    seeds = tuple(getattr(config, "ensemble_seeds", ()) or ())
+    if len(seeds) > 1:
         return reconstruct_ensemble(config)
+    if len(seeds) == 1:
+        # a single --ensemble-seeds entry means "use THIS draw": honor it
+        # like the sharded multi-scene driver does instead of silently
+        # falling back to config.seed
+        import dataclasses
+
+        config = dataclasses.replace(config, seed=int(seeds[0]),
+                                     ensemble_seeds=())
     points, normals, hint = _refine_cloud(config)
 
     if config.verbosity >= 3:
@@ -502,12 +526,18 @@ def _refine_cloud(config):
     points = np.asarray(config.reconstructed_points(), np.float32)
     normals = np.zeros((len(points), 3), np.float32)
     config.log(2, f" Loaded {len(points)} points")
+    # per-point provenance codes (iteration * 1000 + main-camera id; -1 for
+    # sparse bundle seeds) — survives filtering via kept_idx, exposed on the
+    # heuristic for quality attribution (tools/error_attrib.py); one int32
+    # per point, negligible next to the cloud itself
+    prov = np.full(len(points), -1, np.int32)
 
     if config.resume and config.checkpoint_dir:
         state = load_checkpoint(config.checkpoint_dir)
         if state is not None:
             points, normals, hint.alpha_vals, hint.iteration, rng_state = state
             hint.rng.bit_generator.state = rng_state
+            prov = np.full(len(points), -1, np.int32)
             config.log(1, f"Resumed at iteration {hint.iteration}")
 
     while hint.not_happy(points):
@@ -551,13 +581,14 @@ def _refine_cloud(config):
         config.log(1, "Tracking the whole clip...")
         new_pts = [points]
         new_nrm = [normals]
+        new_prov = [prov]
         bundles = hint.camera_bundles()
         depth_mode = _effective_depth_mode(config, hint.iteration)
         if (depth_mode == "plane-sweep" and len(bundles) > 1
                 and hint.iteration < config.iteration_count
                 and _effective_depth_mode(config, hint.iteration + 1)
                 == "flow"):
-            kb = _bucket(max(len(s) for _, s in bundles))
+            kb = _k_bucket(config, max(len(s) for _, s in bundles))
             _prewarm_flow_step(config, kb, _bucket(kb + 1))
         if depth_mode in ("flow", "plane-sweep") and config.verbosity < 3 \
                 and len(bundles) > 1:
@@ -566,6 +597,8 @@ def _refine_cloud(config):
             for (fa, _), (pts, nrm, n) in zip(bundles, results):
                 new_pts.append(pts)
                 new_nrm.append(nrm)
+                new_prov.append(np.full(len(pts),
+                                        hint.iteration * 1000 + fa, np.int32))
                 config.log(2, f" After processing main frame {fa}: "
                               f"{sum(len(p) for p in new_pts)} points")
         else:
@@ -575,16 +608,20 @@ def _refine_cloud(config):
                                                   depth_mode=depth_mode)
                 new_pts.append(pts)
                 new_nrm.append(nrm)
+                new_prov.append(np.full(len(pts),
+                                        hint.iteration * 1000 + fa, np.int32))
                 config.log(2, f" After processing main frame {fa}: "
                               f"{sum(len(p) for p in new_pts)} points")
         points = np.concatenate(new_pts)
         normals = np.concatenate(new_nrm)
+        prov = np.concatenate(new_prov)
 
         if config.verbosity >= 3:
             save_mesh(Mesh(points, np.zeros((0, 3), np.int32)), "purepoints.obj")
         with timer.stage("filter_points") as done:
-            points, normals, _ = filter_points(points, normals,
-                                               hint.filter_radius_sq())
+            points, normals, kept = filter_points(points, normals,
+                                                  hint.filter_radius_sq())
+        prov = prov[kept] if len(kept) == len(points) else prov[:0]
         config.log(2, f" {len(points)} filtered points")
         if timer.enabled:
             config.log(2, timer.report())
@@ -594,6 +631,7 @@ def _refine_cloud(config):
                             hint.alpha_vals, hint.iteration,
                             hint.rng.bit_generator.state)
 
+    hint.point_provenance = prov
     return points, normals, hint
 
 
@@ -620,9 +658,14 @@ def reconstruct_ensemble(config) -> Mesh:
     for s in config.ensemble_seeds:
         ck = (os.path.join(config.checkpoint_dir, f"seed{s}")
               if config.checkpoint_dir else None)
+        # per-seed profile subdirs too: seeds sharing one profile_dir would
+        # overwrite each other's stage traces (ADVICE r3)
+        pd = (os.path.join(config.profile_dir, f"seed{s}")
+              if getattr(config, "profile_dir", None) else None)
         cfgs.append(dataclasses.replace(config, seed=int(s),
                                         ensemble_seeds=(),
-                                        checkpoint_dir=ck))
+                                        checkpoint_dir=ck,
+                                        profile_dir=pd))
 
     if config.scene_devices > 1:
         pts_l, nrm_l, hints = _reconstruct_scenes_sharded(
@@ -836,7 +879,7 @@ def _reconstruct_scenes_sharded(configs, scene_devices: int,
         if flow_scenes:
             bundles = {i: preps[i][1] for i in flow_scenes}
             rounds = max(len(b) for b in bundles.values())
-            kb = _bucket(max(max(len(s) for _, s in b)
+            kb = _k_bucket(configs[0], max(max(len(s) for _, s in b)
                              for b in bundles.values()))
             cb = _bucket(kb + 1)
             t_max = max(len(np.asarray(renderers[i].soup))

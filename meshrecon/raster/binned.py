@@ -37,16 +37,48 @@ from jax.experimental.pallas import tpu as pltpu
 
 from meshrecon.raster.rasterizer import clip_project_planes
 
-# Image-tile height per grid step. 8 is the f32 sublane minimum; taller
-# tiles cut the grid-step count (and its fixed per-step cost, which
+# Image-tile height/width per grid step. 8 is the f32 sublane minimum;
+# taller tiles cut the grid-step count (and its fixed per-step cost, which
 # dominates at small soups: 4 cameras x 60x5 tiles = 1200 steps for a
 # 2.46 ms render of a 512-tri soup) at the cost of coarser tile-vs-chunk
-# selectivity. Env knob for on-hardware A/Bs; bit-exact at any value.
-# 24-row tiles cut the serial grid-step count 3x vs the VPU-native 8
-# (bench A/B: 20.84 -> 27.96 Mpix/s, tpu_queue4 2026-08-18; bit-exact —
-# the tile walk is a pure partition of the pixel grid)
-TILE_H = int(__import__("os").environ.get("MESHRECON_RASTER_TILE_H", "24"))
-TILE_W = 128
+# selectivity. 24-row tiles cut the serial grid-step count 3x vs the
+# VPU-native 8 (bench A/B: 20.84 -> 27.96 Mpix/s, tpu_queue4 2026-08-18;
+# bit-exact at any legal value — the tile walk is a pure partition of the
+# pixel grid). Legal values: TILE_H a multiple of 8 (the f32 sublane; an
+# unaligned VMEM output block fails Mosaic compilation), TILE_W a multiple
+# of 128 (the lane width). Set via config/CLI (--raster-tile-h) or the
+# MESHRECON_RASTER_TILE_H / _TILE_W env vars; use set_tile_dims() to change
+# them mid-process.
+def _valid_tile(v: int, mult: int, name: str) -> int:
+    v = int(v)
+    if v < mult or v % mult:
+        raise ValueError(
+            f"{name} must be a positive multiple of {mult} (got {v}): "
+            "Mosaic rejects unaligned VMEM output blocks")
+    return v
+
+
+def set_tile_dims(tile_h: int | None = None, tile_w: int | None = None):
+    """Set the raster tile dims (validated); clears jit caches so traces
+    that baked the old values cannot go stale."""
+    global TILE_H, TILE_W
+    changed = False
+    if tile_h is not None and tile_h != TILE_H:
+        TILE_H = _valid_tile(tile_h, 8, "raster tile_h")
+        changed = True
+    if tile_w is not None and tile_w != TILE_W:
+        TILE_W = _valid_tile(tile_w, 128, "raster tile_w")
+        changed = True
+    if changed:
+        jax.clear_caches()
+
+
+TILE_H = _valid_tile(
+    __import__("os").environ.get("MESHRECON_RASTER_TILE_H", "24"), 8,
+    "MESHRECON_RASTER_TILE_H")
+TILE_W = _valid_tile(
+    __import__("os").environ.get("MESHRECON_RASTER_TILE_W", "128"), 128,
+    "MESHRECON_RASTER_TILE_W")
 # Triangles per bin unit. Smaller chunks bin tighter (fewer wasted triangle
 # evaluations per tile) at the cost of a longer per-tile list in SMEM and
 # more fori_loop trips. Measured at 640x480 on v5e (ms/render, eps-forced):
