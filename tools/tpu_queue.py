@@ -1,31 +1,127 @@
-"""One-lease TPU work queue: run the round's on-hardware checklist in a
-single attached process (the axon tunnel is exclusive and lease handoff
-between processes costs 10-15 min — batching everything into one process
-pays the attach cost once).
+"""One-lease TPU work queue — THE parameterized on-hardware session runner.
 
-Order: bench first (secure the headline number in case the tunnel dies
-again — it did mid-round-3), then the kernel equality sweep, then the
-full-res quality study.
+The axon tunnel is EXCLUSIVE and lease handoff between processes costs
+10-15 min, so every hardware session batches all its work into one attached
+process. Rounds 3's five sequential one-shot queue scripts encoded session
+history as code (VERDICT r3 weak 6); this runner replaces them with a
+declarative step list on the command line:
 
-Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_queue.py \
-           [--study-configs trim2,trim2div] [--study-seeds 3,4,5]
+  PYTHONPATH=/root/repo:/root/.axon_site python tools/tpu_queue.py \\
+      bench verify breakdown \\
+      'bench:tile_h=48' 'bench:iters=14' \\
+      'study:configs=trim2ens2;seeds=3,5;scale=1' \\
+      'attrib:seeds=3,5;scale=1'
+
+Steps (options after ':', ';'-separated key=val):
+  bench       headline bench.py     [tile_h= tile_w= iters= min_px=]
+  verify      on-TPU kernel equality sweep (tools/verify_tpu.py)
+  breakdown   per-stage fused-update timing (tools/fused_breakdown.py)
+  raster      raster tile/face-count sweep (tools/raster_sweep.py)
+  warp        tile-warp kernel micro (tools/warp_micro.py)
+  study       full-res seed study    [configs= seeds= scale=]
+  attrib      error attribution      [seeds= scale= trim= sensitivity=1]
+  harness     quality harness        [configs= scene= scale=]
+
+Every step is wrapped: a failure (or tunnel death mid-step) reports and
+continues, so earlier results are never lost. Kernel knobs (tile_h/iters/
+min_px) are applied through the validated config setters, which clear jit
+caches — A/Bs within one process are real retraces, not stale traces.
 """
 
 from __future__ import annotations
 
-import argparse
 import sys
 import time
+import traceback
 
 
-def main(argv=None):
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--study-configs", default="trim2,trim2div")
-    ap.add_argument("--study-seeds", default="3,4,5")
-    ap.add_argument("--skip-bench", action="store_true")
-    ap.add_argument("--skip-verify", action="store_true")
-    ap.add_argument("--skip-study", action="store_true")
-    args = ap.parse_args(argv)
+def _parse(arg: str):
+    name, _, rest = arg.partition(":")
+    opts = {}
+    if rest:
+        for kv in rest.split(";"):
+            k, _, v = kv.partition("=")
+            opts[k.strip()] = v.strip()
+    return name.strip(), opts
+
+
+def _apply_knobs(opts) -> list[str]:
+    applied = []
+    th, tw = opts.get("tile_h"), opts.get("tile_w")
+    if th or tw:
+        from meshrecon.raster.binned import set_tile_dims
+
+        set_tile_dims(int(th) if th else None, int(tw) if tw else None)
+        applied.append(f"tile={th or 'keep'}x{tw or 'keep'}")
+    it, mp = opts.get("iters"), opts.get("min_px")
+    if it or mp:
+        from meshrecon.flow.variational import set_flow_knobs
+
+        set_flow_knobs(iters=int(it) if it else None,
+                       fused_min_px=int(float(mp)) if mp else None)
+        applied.append(f"flow={it or 'keep'}/{mp or 'keep'}")
+    return applied
+
+
+def run_step(name: str, opts: dict) -> int:
+    knobs = _apply_knobs(opts)
+    tag = f"{name}{' ' + ' '.join(knobs) if knobs else ''}"
+    print(f"=== {tag} ({time.strftime('%H:%M:%S')})", flush=True)
+    if name == "bench":
+        import importlib
+
+        import bench
+
+        importlib.reload(bench)  # re-times under the current knobs
+        return bench.main() or 0
+    if name == "verify":
+        import verify_tpu
+
+        return verify_tpu.main() or 0
+    if name == "breakdown":
+        import fused_breakdown
+
+        return fused_breakdown.main() or 0
+    if name == "raster":
+        import raster_sweep
+
+        return raster_sweep.main() or 0
+    if name == "warp":
+        import warp_micro
+
+        return warp_micro.main() or 0
+    if name == "study":
+        import seed_study
+
+        return seed_study.main(
+            ["--scale", opts.get("scale", "1"),
+             "--seeds", opts.get("seeds", "3,4,5"),
+             "--configs", opts.get("configs", "trim2")]) or 0
+    if name == "attrib":
+        import error_attrib
+
+        argv = ["--scale", opts.get("scale", "1"),
+                "--seeds", opts.get("seeds", "3,5"),
+                "--trim", opts.get("trim", "2.0")]
+        if opts.get("sensitivity"):
+            argv.append("--sensitivity")
+        return error_attrib.main(argv) or 0
+    if name == "harness":
+        import quality_harness
+
+        argv = ["--scale", opts.get("scale", "8"),
+                "--configs", opts.get("configs", "default")]
+        if opts.get("scene"):
+            argv += ["--scene", opts["scene"]]
+        return quality_harness.main(argv) or 0
+    print(f"tpu_queue: unknown step {name!r}", file=sys.stderr)
+    return 2
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv:
+        argv = ["bench", "verify"]
 
     from meshrecon.utils.tunnel import axon_expected, tunnel_alive
 
@@ -35,28 +131,15 @@ def main(argv=None):
         return 2
 
     rc = 0
-    if not args.skip_bench:
-        print(f"=== bench ({time.strftime('%H:%M:%S')})", flush=True)
-        import bench
-
-        rc |= bench.main() or 0
-
-    if not args.skip_verify:
-        print(f"=== verify-tpu ({time.strftime('%H:%M:%S')})", flush=True)
-        import verify_tpu
-
-        rc |= verify_tpu.main() or 0
-
-    if not args.skip_study:
-        print(f"=== seed study {args.study_configs} "
-              f"({time.strftime('%H:%M:%S')})", flush=True)
-        import seed_study
-
-        rc |= seed_study.main(["--scale", "1", "--seeds", args.study_seeds,
-                               "--configs", args.study_configs]) or 0
-
-    print(f"=== queue done rc={rc} ({time.strftime('%H:%M:%S')})",
-          flush=True)
+    for arg in argv:
+        name, opts = _parse(arg)
+        try:
+            rc |= run_step(name, opts)
+        except Exception:
+            print(f"tpu_queue: step {arg!r} FAILED:", file=sys.stderr)
+            traceback.print_exc()
+            rc |= 1
+    print(f"=== queue done rc={rc} ({time.strftime('%H:%M:%S')})", flush=True)
     return rc
 
 
