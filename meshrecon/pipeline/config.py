@@ -100,6 +100,13 @@ class Config:
     # sub-threshold (main, side) pairs from the selection's own weight
     # table until this many mains are chosen; 0 disables
     min_bundles: int = 0
+    # iterated-consensus trim of the final cloud before meshing: mesh, drop
+    # points > consensus_tau * median-NN-distance from the surface, re-mesh
+    # (with re-admission) this many times. Attacks the draw-luck garbage
+    # minority that no static per-point signal finds (round-4 attribution:
+    # worst-seed med 0.0345 -> 0.0107 r at 1/8 res). 0 disables.
+    consensus_rounds: int = 0
+    consensus_tau: float = 3.0
     # cap on sides per camera bundle (0 = uncapped). Capping pins the
     # compiled flow-stack K shapes to the {4, 8} bucket set so a new camera
     # draw can never trigger a fresh remote-AOT compile mid-study (the
@@ -293,6 +300,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "highest-accumulated sub-threshold pairs from the "
                         "policy's own weight table until this many mains "
                         "are chosen (0 disables)")
+    p.add_argument("--consensus-rounds", type=int, default=0,
+                   help="iterated-consensus trim rounds on the final cloud "
+                        "before meshing: mesh, drop points far from the "
+                        "surface, re-mesh with re-admission (0 disables). "
+                        "Targets camera-draw garbage minorities; host-side "
+                        "cost only")
+    p.add_argument("--consensus-tau", type=float, default=3.0,
+                   help="consensus keep distance in units of the cloud's "
+                        "median nearest-neighbor spacing")
     p.add_argument("--max-sides", type=int, default=8,
                    help="cap on side cameras per bundle (0 = uncapped): "
                         "pins the compiled K-bucket shapes to {4, 8} so "
@@ -479,6 +495,8 @@ def _config_for_file(args, in_file: str, out_file: str,
         coverage_quality=args.coverage_quality,
         baseline_diversity=args.baseline_diversity,
         min_bundles=args.min_bundles,
+        consensus_rounds=args.consensus_rounds,
+        consensus_tau=args.consensus_tau,
         max_sides=args.max_sides,
         checkpoint_dir=args.checkpoint_dir,
         profile_dir=args.profile,

@@ -113,7 +113,8 @@ class Heuristic:
         return self.iteration <= self.config.iteration_count
 
     # -- tessellation dispatch (heuristic.cpp:525-545) --
-    def tessellate(self, points: np.ndarray, normals: np.ndarray) -> Mesh:
+    def tessellate(self, points: np.ndarray, normals: np.ndarray,
+                   final: bool = False) -> Mesh:
         if self.iteration <= 1:
             if self.config.in_mesh_file:
                 self.alpha_vals.append(1.0)
@@ -121,6 +122,58 @@ class Heuristic:
             faces, alpha = alpha_shape_faces(points)
             self.alpha_vals.append(alpha)
             return Mesh(points, faces)
+        rounds = int(getattr(self.config, "consensus_rounds", 0) or 0)
+        if final and rounds > 0 and len(points) > 1000:
+            # ITERATED-CONSENSUS trim of the input cloud before the final
+            # mesh (round-4 attribution finding): the worst-seed median
+            # lives in a ~15% minority of high-confidence, cross-supported
+            # GARBAGE points spread across bundles — invisible to every
+            # static per-point signal (confidence, cross-bundle support),
+            # but far from the Poisson surface of the good majority. Mesh,
+            # drop points > tau * median-NN-distance from the surface,
+            # re-mesh — with RE-ADMISSION each round (the keep set is
+            # re-derived from the full cloud, so points wrongly dropped
+            # while the surface was still dragged come back). Measured at
+            # 1/8-res koule seed 5: med 0.0345 -> 0.0107 r in 3 rounds
+            # (oracle ceiling 0.0094); seed 3 unharmed. Cost: ``rounds``
+            # extra host-side Poisson meshes; no extra device compute
+            # (compare: the 2-draw ensemble costs a full second refinement).
+            from scipy.spatial import cKDTree
+
+            tau = float(getattr(self.config, "consensus_tau", 3.0))
+            p3 = np.asarray(points, np.float64)
+            if p3.shape[1] == 4:
+                p3 = p3[:, :3] / p3[:, 3:4]
+            dnn, _ = cKDTree(p3).query(p3, k=2)
+            nn_med = float(np.median(dnn[:, 1])) or 1e-9
+            keep = np.ones(len(points), bool)
+            for _ in range(rounds):
+                mesh = self._poisson_mesh(points[keep], normals[keep],
+                                          points[keep])
+                if not len(mesh.faces):
+                    break
+                v3 = np.asarray(mesh.vertices, np.float64)
+                if v3.shape[1] == 4:
+                    v3 = v3[:, :3] / v3[:, 3:4]
+                dm, _ = cKDTree(v3).query(p3, k=1)
+                new_keep = dm <= tau * nn_med
+                if new_keep.sum() < 1000 or bool(np.all(new_keep == keep)):
+                    keep = new_keep if new_keep.sum() >= 1000 else keep
+                    break
+                keep = new_keep
+            mesh = self._poisson_mesh(points[keep], normals[keep],
+                                      points[keep])
+            self.alpha_vals.append(self.alpha_vals[-1] / 2.0)
+            return mesh
+        mesh = self._poisson_mesh(points, normals, points)
+        self.alpha_vals.append(self.alpha_vals[-1] / 2.0)
+        return mesh
+
+    def _poisson_mesh(self, points: np.ndarray, normals: np.ndarray,
+                      support: np.ndarray) -> Mesh:
+        """Poisson surface + supported-components + support-distance trim
+        (the iteration>=2 meshing body; ``support`` is the cloud faces must
+        stay near for the trim/component tests)."""
         from meshrecon.meshing.extras import normalize_normals_average
 
         # normal magnitude is per-point confidence; normalize the global
@@ -144,7 +197,7 @@ class Heuristic:
         # them; our FFT indicator can — see meshing/components.py)
         from meshrecon.meshing.components import keep_supported_components
 
-        mesh = keep_supported_components(mesh, points)
+        mesh = keep_supported_components(mesh, support)
         trim = getattr(self.config, "poisson_trim", 0.0)
         if trim > 0.0 and len(mesh.faces):
             from meshrecon.meshing.components import trim_unsupported_faces
@@ -153,17 +206,16 @@ class Heuristic:
             # cell size from the SPLAT set sp (the frame poisson_surface
             # actually used — with --confidence-prune the full cloud's
             # outliers would widen the span and mis-scale "grid cells");
-            # support distance against the FULL cloud (every observation
-            # supports the surface, pruned or not)
+            # support distance against the FULL support cloud (every
+            # observation supports the surface, pruned or not)
             sp3 = np.asarray(sp, np.float64)
             if sp3.shape[1] == 4:
                 sp3 = sp3[:, :3] / sp3[:, 3:4]
-            pts3 = np.asarray(points, np.float64)
+            pts3 = np.asarray(support, np.float64)
             if pts3.shape[1] == 4:
                 pts3 = pts3[:, :3] / pts3[:, 3:4]
             _, scale = robust_grid_frame(sp3, self.config.poisson_grid)
             mesh = trim_unsupported_faces(mesh, pts3, trim / scale)
-        self.alpha_vals.append(self.alpha_vals[-1] / 2.0)
         return mesh
 
     def filter_radius_sq(self) -> float:

@@ -505,7 +505,7 @@ def reconstruct(config) -> Mesh:
     if config.verbosity >= 3:
         save_mesh(Mesh(points, np.zeros((0, 3), np.int32)), "filteredpoints.obj")
     config.log(1, "Calculating final mesh...")
-    mesh = hint.tessellate(points, normals)
+    mesh = hint.tessellate(points, normals, final=True)
     config.log(2, f" {len(mesh.faces)} faces")
     save_mesh(mesh, config.out_file_name)
     config.log(2, " Saved, done.")
@@ -689,7 +689,7 @@ def reconstruct_ensemble(config) -> Mesh:
         save_mesh(Mesh(points, np.zeros((0, 3), np.int32)),
                   "filteredpoints.obj")
     config.log(1, "Calculating final mesh...")
-    mesh = hint.tessellate(points, normals)
+    mesh = hint.tessellate(points, normals, final=True)
     config.log(2, f" {len(mesh.faces)} faces")
     save_mesh(mesh, config.out_file_name)
     config.log(2, " Saved, done.")
@@ -761,7 +761,7 @@ def _reconstruct_scenes_sharded_ensemble(configs, scene_devices: int):
         points, normals, _ = filter_points(points, normals,
                                            hint.filter_radius_sq())
         cfg.log(1, "Calculating final mesh...")
-        mesh = hint.tessellate(points, normals)
+        mesh = hint.tessellate(points, normals, final=True)
         save_mesh(mesh, cfg.out_file_name)
         meshes.append(mesh)
     return meshes

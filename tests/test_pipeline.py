@@ -575,3 +575,33 @@ def test_heuristic_coverage_flags_end_to_end(koule_small):
     assert count > 0
     for m, sides in hint.camera_bundles():
         assert sides and m not in sides
+
+
+def test_end_to_end_consensus_rounds(koule_small, tmp_path):
+    """--consensus-rounds regression: the iterated-consensus trim of the
+    final cloud (mesh -> drop far points -> re-mesh with re-admission) must
+    not degrade a good draw and must produce a valid mesh at least as tight
+    as the trimmed bound (the lever's value shows on BAD draws: 1/8-res
+    seed-5 med 0.0345 -> 0.0107, tools/remesh_lab.py)."""
+    track, frames = koule_small
+    cfg = Config(
+        track=track,
+        frames=frames,
+        iteration_count=2,
+        out_file_name=str(tmp_path / "cons.obj"),
+        seed=3,
+        poisson_grid=64,
+        depth_mode="hybrid",
+        poisson_trim=2.0,
+        consensus_rounds=3,
+        verbosity=0,
+    )
+    mesh = reconstruct(cfg)
+    assert len(mesh.faces) > 50
+    center, radius = fit_sphere(track.bundles)
+    v3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
+    err = np.abs(np.linalg.norm(v3 - center, axis=1) - radius) / radius
+    assert np.median(err) < 0.05, f"median rel err {np.median(err)}"
+    assert np.percentile(err, 90) < 0.20, (
+        f"p90 rel err {np.percentile(err, 90)}"
+    )

@@ -55,6 +55,23 @@ def _mesh_err(mesh, center, radius):
     return _err(_p3(mesh.vertices), center, radius)
 
 
+def _bundle_rule(prov, iters, values, pred):
+    """Keep-mask from a per-bundle rule: bundle statistic = median of
+    ``values`` over its points; ``pred(stat, within-iteration median of the
+    bundle stats)`` decides whether the whole bundle is kept."""
+    keep = np.ones(len(prov), bool)
+    for it in np.unique(iters):
+        codes = np.unique(prov[iters == it])
+        if len(codes) < 3:
+            continue  # no robust within-iteration median to compare to
+        stats = {c: float(np.median(values[prov == c])) for c in codes}
+        med = float(np.median(list(stats.values())))
+        for c, v in stats.items():
+            if not pred(v, med):
+                keep[prov == c] = False
+    return keep
+
+
 def _remesh(hint, points, normals, **overrides):
     """tessellate() under temporary config overrides; alpha_vals restored
     (tessellate appends a halved alpha per call)."""
@@ -76,6 +93,11 @@ def main(argv=None):
                     help="oracle point-drop threshold (err/r)")
     ap.add_argument("--sensitivity", action="store_true",
                     help="also run the poisson grid/sigma sensitivity table")
+    ap.add_argument("--dump", default=None, metavar="PATH",
+                    help="save the refined cloud + provenance to an npz "
+                         "('{seed}' placeholder) for offline remeshing "
+                         "experiments (tools/remesh_lab.py) — dump once on "
+                         "the TPU, iterate meshing rules on CPU")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (method iteration without "
                          "grabbing the exclusive TPU tunnel lease; the axon "
@@ -117,6 +139,18 @@ def main(argv=None):
         points, normals, hint = _refine_cloud(cfg)
         print(f"\n== seed {seed}: {len(points)} filtered points "
               f"({time.perf_counter() - t0:.0f}s)", flush=True)
+        if args.dump:
+            np.savez(args.dump.format(seed=seed), points=points,
+                     normals=normals,
+                     prov=getattr(hint, "point_provenance",
+                                  np.zeros(0, np.int32)),
+                     alpha_vals=np.asarray(hint.alpha_vals, np.float64),
+                     iteration=hint.iteration, center=center, radius=radius,
+                     scale=args.scale, seed=seed,
+                     poisson_grid=cfg.poisson_grid,
+                     poisson_sigma=cfg.poisson_sigma,
+                     poisson_trim=cfg.poisson_trim)
+            print(f"   dumped -> {args.dump.format(seed=seed)}", flush=True)
 
         # A. cloud vs mesh
         ec = _err(_p3(points), center, radius)
@@ -129,23 +163,43 @@ def main(argv=None):
               f"({len(mesh.faces)} faces)", flush=True)
 
         # B. per-bundle error (provenance codes: iter*1000 + main camera)
+        # plus the two GROUND-TRUTH-FREE per-bundle signals a production
+        # filter could use: median cross-support distance (to the nearest
+        # point of any OTHER bundle, in filter-radius units) and median
+        # confidence (normal magnitude). If cross-support separates the
+        # bad bundles as well as the true error does, a bundle-outlier
+        # filter needs no ground truth.
         prov = getattr(hint, "point_provenance", np.zeros(0, np.int32))
         if len(prov) == len(points):
+            from scipy.spatial import cKDTree
+
+            p3 = _p3(points)
+            runit = float(np.sqrt(hint.filter_radius_sq()))
+            conf = np.linalg.norm(np.asarray(normals, np.float64), axis=1)
             rows = []
             for code in np.unique(prov):
                 sel = prov == code
+                other = ~sel
+                if other.any() and sel.any():
+                    d, _ = cKDTree(p3[other]).query(p3[sel], k=1)
+                    xsup = float(np.median(d)) / max(runit, 1e-12)
+                else:
+                    xsup = float("nan")
                 m, p = _stats(ec[sel])
                 # error mass: how much of the total summed error this
                 # bundle carries (bad bundles dominate this, not count)
                 rows.append((code, int(sel.sum()), m, p,
-                             float(ec[sel].sum() / max(ec.sum(), 1e-12))))
+                             float(ec[sel].sum() / max(ec.sum(), 1e-12)),
+                             xsup, float(np.median(conf[sel]))))
             rows.sort(key=lambda r: -r[4])
-            print("B  bundle  it  cam   count    med    p90  err-mass")
-            for code, n, m, p, mass in rows:
+            print("B  bundle  it  cam   count    med    p90  err-mass"
+                  "   xsup/r  medconf")
+            for code, n, m, p, mass, xsup, mc in rows:
                 it, cam = (code // 1000, code % 1000) if code >= 0 \
                     else (-1, -1)
                 print(f"   {code:>6} {it:>3} {cam:>4} {n:>7} {m:>6.4f} "
-                      f"{p:>6.4f} {mass:>9.3f}", flush=True)
+                      f"{p:>6.4f} {mass:>9.3f} {xsup:>8.2f} {mc:>8.4f}",
+                      flush=True)
 
         # C. confidence (normal magnitude) vs error
         conf = np.linalg.norm(np.asarray(normals, np.float64), axis=1)
@@ -156,6 +210,34 @@ def main(argv=None):
                     else float("nan") for b in range(4)]
             print("C  conf-quartile med err (low->high): "
                   + " ".join(f"{m:.4f}" for m in meds), flush=True)
+
+        # E. candidate GROUND-TRUTH-FREE rejection rules, simulated: re-mesh
+        # after each rule and report the real mesh error. Rules are
+        # within-iteration relative (confidence scales differ ~50x between
+        # the plane-sweep bootstrap and flow iterations).
+        if len(prov) == len(points):
+            iters = prov // 1000
+            xsup_pt = np.zeros(len(points))
+            for code in np.unique(prov):
+                sel = prov == code
+                other = ~sel
+                if other.any() and sel.any():
+                    d, _ = cKDTree(p3[other]).query(p3[sel], k=1)
+                    xsup_pt[sel] = d / max(runit, 1e-12)
+            for rule, keep in [
+                ("bundle xsup>3x med", _bundle_rule(
+                    prov, iters, xsup_pt, lambda v, m: v <= 3.0 * m)),
+                ("bundle conf<med/8", _bundle_rule(
+                    prov, iters, conf, lambda v, m: v >= m / 8.0)),
+                ("point xsup>0.25", xsup_pt <= 0.25),
+            ]:
+                if keep.all() or not keep.any():
+                    print(f"E  {rule}: no-op", flush=True)
+                    continue
+                mr = _remesh(hint, points[keep], normals[keep])
+                mm, mp = _stats(_mesh_err(mr, center, radius))
+                print(f"E  {rule}: kept {int(keep.sum())}/{len(points)} "
+                      f"-> mesh med/p90 {mm:.4f}/{mp:.4f}", flush=True)
 
         # D. oracle experiments
         good = ec <= args.oracle

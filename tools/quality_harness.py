@@ -1,14 +1,27 @@
 """Mesh-quality harness: ground-truth error metrics on synthetic scenes.
 
-Runs the full pipeline on scenes whose geometry is known analytically (the
-synthetic sphere/plane fixtures are ray-traced from fitted primitives, so the
-primitive IS the ground truth) and reports per-configuration surface error —
-the quantitative counterpart of BASELINE.json's "meshes matching CPU
-reference" criterion while the reference's sample videos are unavailable.
+Runs the full pipeline on scenes whose geometry is known analytically — the
+synthetic fixtures are ray-traced from fitted primitives (io/synthetic.py),
+so the primitive IS the ground truth — and reports per-configuration
+surface error: the quantitative counterpart of BASELINE.json's "meshes
+matching CPU reference" criterion while the reference's sample videos are
+unavailable.
 
-Usage: python tools/quality_harness.py [--scene tracks/koule-tr.yaml]
-       [--scale 8] [--configs default,exact,plane-sweep,farneback]
-Prints one table; exits nonzero if the default config misses the tolerance.
+Multi-scene (VERDICT r3 item 3): every preset is validated on THREE
+geometries, not one sphere — koule-tr (sphere), koberec- (bounded plane,
+carpet-like; the reference's Makefile demo scene, Makefile:43-45) and
+zatisi (still-life arc, sphere-fit fixture). The metric follows the
+fixture's auto-resolved mode:
+
+  sphere: | |v - center| - radius | / radius      (all vertices)
+  plane:  | (v - pc) . n | / radius               (vertices within the
+          rendered extent; outside is background, not surface)
+
+Exits nonzero when any scene's default-config median exceeds its
+regression bound (--tolerance scales all bounds).
+
+Usage: python tools/quality_harness.py [--scenes koule-tr,koberec-,zatisi]
+       [--scale 8] [--configs default,trim-ens2]
 """
 
 from __future__ import annotations
@@ -20,10 +33,31 @@ import time
 import numpy as np
 
 
-def surface_error(mesh, center, radius):
-    """Median/p90 absolute distance of mesh vertices from the true sphere."""
+def scene_truth(track):
+    """(mode, params) for the fixture synthetic_frames(mode='auto') renders."""
+    from meshrecon.io.synthetic import fit_sphere, fit_plane
+
+    center, radius = fit_sphere(track.bundles)
+    pc, pn, resid = fit_plane(track.bundles)
+    if resid < 0.2 * radius:
+        p3 = track.bundles[:, :3] / track.bundles[:, 3:4]
+        extent = 1.3 * float(np.max(np.linalg.norm(p3 - pc, axis=1)))
+        return "plane", (pc, pn, extent, radius)
+    return "sphere", (center, radius)
+
+
+def surface_error(mesh, mode, params):
+    """(median, p90) relative surface error of mesh vertices vs the truth."""
     v3 = mesh.vertices[:, :3] / mesh.vertices[:, 3:4]
-    err = np.abs(np.linalg.norm(v3 - center, axis=1) - radius)
+    if mode == "plane":
+        pc, pn, extent, radius = params
+        inside = np.linalg.norm(v3 - pc, axis=1) < extent
+        if not inside.any():
+            return float("inf"), float("inf")
+        err = np.abs((v3[inside] - pc) @ pn) / radius
+    else:
+        center, radius = params
+        err = np.abs(np.linalg.norm(v3 - center, axis=1) - radius) / radius
     return float(np.median(err)), float(np.percentile(err, 90))
 
 
@@ -55,47 +89,61 @@ CONFIGS = {
                   "ensemble_seeds": (3, 13)},
 }
 
+# Default-config regression bounds on the MEDIAN at --scale 8 (measured
+# this round; --tolerance multiplies them). Generous vs measured so draw
+# noise cannot flake the gate, tight enough to catch a real regression.
+SCENE_BOUNDS = {
+    "koule-tr": 0.15,
+    "koberec-": 0.15,
+    "zatisi": 0.30,  # non-primitive still life approximated by a sphere
+}
+
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
-    ap.add_argument("--scene", default="tracks/koule-tr.yaml")
+    ap.add_argument("--scenes", default="koule-tr,koberec-,zatisi")
+    ap.add_argument("--scene", default=None,
+                    help="single scene YAML path (legacy form)")
     ap.add_argument("--scale", type=int, default=8)
-    ap.add_argument("--configs", default="default,exact,plane-sweep")
-    ap.add_argument("--tolerance", type=float, default=0.15,
-                    help="relative median-error tolerance for the default")
+    ap.add_argument("--configs", default="default")
+    ap.add_argument("--tolerance", type=float, default=1.0,
+                    help="multiplier on the per-scene regression bounds")
     args = ap.parse_args(argv)
 
     from meshrecon.io.tracks import load_tracks
-    from meshrecon.io.synthetic import synthetic_frames, fit_sphere
+    from meshrecon.io.synthetic import synthetic_frames
     from meshrecon.pipeline.config import Config
     from meshrecon.pipeline.reconstruct import reconstruct
 
-    track = load_tracks(args.scene)
-    w = track.width // args.scale
-    h = track.height // args.scale
-    frames = synthetic_frames(track, w, h, mode="sphere", seed=0)
-    center, radius = fit_sphere(track.bundles)
-
-    rows = []
-    failed = False
-    for name in args.configs.split(","):
-        kw = dict(iteration_count=1, poisson_grid=64)
-        kw.update(CONFIGS[name])
-        cfg = Config(track=track, frames=frames,
-                     out_file_name=f"/tmp/quality_{name}.obj", seed=3, **kw)
-        t0 = time.perf_counter()
-        mesh = reconstruct(cfg)
-        dt = time.perf_counter() - t0
-        med, p90 = surface_error(mesh, center, radius)
-        rows.append((name, len(mesh.faces), med / radius, p90 / radius, dt))
-        if name == "default" and med / radius > args.tolerance:
-            failed = True
-
-    print(f"scene={args.scene} {w}x{h} true_radius={radius:.3f}")
-    print(f"{'config':<14}{'faces':>8}{'med_err/r':>11}{'p90_err/r':>11}"
-          f"{'seconds':>9}")
-    for name, faces, med, p90, dt in rows:
-        print(f"{name:<14}{faces:>8}{med:>11.4f}{p90:>11.4f}{dt:>9.1f}")
+    scenes = ([args.scene.split("/")[-1].removesuffix(".yaml")]
+              if args.scene else args.scenes.split(","))
+    failed = []
+    for scene in scenes:
+        track = load_tracks(f"tracks/{scene}.yaml")
+        w = track.width // args.scale
+        h = track.height // args.scale
+        frames = synthetic_frames(track, w, h, mode="auto", seed=0)
+        mode, params = scene_truth(track)
+        print(f"scene={scene} {w}x{h} mode={mode}", flush=True)
+        print(f"{'config':<14}{'faces':>8}{'med_err/r':>11}{'p90_err/r':>11}"
+              f"{'seconds':>9}", flush=True)
+        for name in args.configs.split(","):
+            kw = dict(iteration_count=1, poisson_grid=64)
+            kw.update(CONFIGS[name])
+            cfg = Config(track=track, frames=frames,
+                         out_file_name=f"/tmp/quality_{scene}_{name}.obj",
+                         seed=3, **kw)
+            t0 = time.perf_counter()
+            mesh = reconstruct(cfg)
+            dt = time.perf_counter() - t0
+            med, p90 = surface_error(mesh, mode, params)
+            print(f"{name:<14}{len(mesh.faces):>8}{med:>11.4f}{p90:>11.4f}"
+                  f"{dt:>9.1f}", flush=True)
+            bound = SCENE_BOUNDS.get(scene, 0.3) * args.tolerance
+            if name == "default" and med > bound:
+                failed.append(f"{scene}: default med {med:.4f} > {bound}")
+    for f in failed:
+        print(f"FAIL {f}", file=sys.stderr)
     return 1 if failed else 0
 
 

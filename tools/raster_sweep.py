@@ -17,12 +17,18 @@ def main():
     reps = 10
     chunks = [int(c) for c in (sys.argv[1].split(",") if len(sys.argv) > 1
                                else [8, 16, 32, 64])]
+    # argv[2] nonempty: ALSO time the camera-batched two-level form (the
+    # production path of the fused update: B*(K+1)=4 cameras per launch) —
+    # VERDICT r3 item 6's target is <= 5 ms at the 65k production cap there
+    batched = len(sys.argv) > 2 and bool(sys.argv[2])
 
     import jax
     import jax.numpy as jnp
 
     import __graft_entry__ as g
-    from meshrecon.raster.binned import render_depth_binned, morton_order
+    from meshrecon.raster.binned import (render_depth_binned,
+                                         render_depth_binned_batched,
+                                         morton_order)
     from meshrecon.raster.rasterizer import render_depth
 
     print(f"# {jax.devices()}", flush=True)
@@ -65,6 +71,8 @@ def main():
         s, v = make_soup(t)
         cases.append((f"sphere{t}", jax.device_put(s), jax.device_put(v)))
 
+    cams4 = jax.device_put(jnp.asarray(
+        np.stack([np.asarray(mains[0])] * 4), jnp.float32))
     for name, s, v in cases:
         for c in chunks:
             timeit(f"{name} chunk={c}",
@@ -74,6 +82,10 @@ def main():
                    lambda eps, s_, v_, c=c: render_depth_binned(
                        cam, s_ + eps, v_, H, W, chunk=c, two_level=True),
                    s, v)
+            if batched:
+                timeit(f"{name} chunk={c} batched4",
+                       lambda eps, s_, v_, c=c: render_depth_binned_batched(
+                           cams4, s_ + eps, v_, H, W, chunk=c), s, v)
         if name == "bench578":
             timeit(f"{name} xla-brute",
                    lambda eps, s_, v_: render_depth(cam, s_ + eps, v_, H, W),

@@ -56,6 +56,14 @@ CONFIGS = {
     # diversity-repaired refinements (ens med -32%/-15%, div p90 -27%)
     "trim2divens2": {"poisson_trim": 2.0, "baseline_diversity": 2.0,
                      "_ensemble_pair": True},
+    # round-4 attribution lever: iterated-consensus trim of the final
+    # cloud (worst-seed med 0.0345 -> 0.0107 at 1/8 res, host-side cost
+    # only — no second device refinement like ens2)
+    "trim2cons3": {"poisson_trim": 2.0, "consensus_rounds": 3},
+    "cons3g192": {"poisson_trim": 2.0, "consensus_rounds": 3,
+                  "poisson_grid": 192},
+    "trim2cons3ens2": {"poisson_trim": 2.0, "consensus_rounds": 3,
+                       "_ensemble_pair": True},
 }
 
 

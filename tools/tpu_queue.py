@@ -15,8 +15,8 @@ declarative step list on the command line:
 Steps (options after ':', ';'-separated key=val):
   bench       headline bench.py     [tile_h= tile_w= iters= min_px=]
   verify      on-TPU kernel equality sweep (tools/verify_tpu.py)
-  breakdown   per-stage fused-update timing (tools/fused_breakdown.py)
-  raster      raster tile/face-count sweep (tools/raster_sweep.py)
+  breakdown   per-stage fused-update timing [h= w= k= reps= b= solver=]
+  raster      raster tile/face sweep [chunks=8,16 batched=1]
   warp        tile-warp kernel micro (tools/warp_micro.py)
   study       full-res seed study    [configs= seeds= scale=]
   attrib      error attribution      [seeds= scale= trim= sensitivity=1]
@@ -81,11 +81,28 @@ def run_step(name: str, opts: dict) -> int:
     if name == "breakdown":
         import fused_breakdown
 
-        return fused_breakdown.main() or 0
+        # positional-sys.argv tool: H W K reps B solver (defaults filled so
+        # any single option can be overridden)
+        defaults = {"h": "480", "w": "640", "k": "3", "reps": "10",
+                    "b": "1", "solver": "cheb"}  # cheb = production solver
+        saved, sys.argv = sys.argv, ["fused_breakdown"] + [
+            opts.get(k, defaults[k])
+            for k in ("h", "w", "k", "reps", "b", "solver")]
+        try:
+            return fused_breakdown.main() or 0
+        finally:
+            sys.argv = saved
     if name == "raster":
         import raster_sweep
 
-        return raster_sweep.main() or 0
+        argv = [opts.get("chunks", "8,16,32,64")]
+        if opts.get("batched"):
+            argv.append("1")
+        saved, sys.argv = sys.argv, ["raster_sweep"] + argv
+        try:
+            return raster_sweep.main() or 0
+        finally:
+            sys.argv = saved
     if name == "warp":
         import warp_micro
 
