@@ -374,7 +374,13 @@ def hs_level_fused(prev, warped, u0, v0, alpha2: float, iters: int = 60,
 
     a, b, u, v = map(prep, (prev, warped, u0, v0))
     single = iters <= 24
-    band = _pick_band_fused(hp1, wp, iters if single else halo)
+    # the band DMA extent is band + 2*halo and Mosaic requires 8-aligned
+    # row slices — round the single-chunk halo up to a multiple of 4
+    # (halo > sweeps is exact: the per-shift border masks clamp at true
+    # image rows, extra halo rows are merely redundant work). iters=14
+    # with halo==14 produced a 188-row slice and failed to compile.
+    single_halo = -(-iters // 4) * 4
+    band = _pick_band_fused(hp1, wp, single_halo if single else halo)
     n_bands = hp // band
     if n_bands == 1:
         halo_eff = 0
@@ -389,7 +395,7 @@ def hs_level_fused(prev, warped, u0, v0, alpha2: float, iters: int = 60,
         # wider halo costs redundant rows (2*iters per band) but saves
         # the extra launch + cc round trip; 24 caps the redundancy at
         # ~25% of a 192-row band.
-        halo_eff = iters
+        halo_eff = single_halo
         chunks = [iters]
     else:
         halo_eff = halo

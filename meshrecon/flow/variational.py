@@ -69,12 +69,25 @@ _HS_FUSED_MIN_PX = int(os.environ.get("MESHRECON_HS_FUSED_MIN_PX",
 # assumed (tools/iters_study.py).
 _FLOW_ITERS = int(os.environ.get("MESHRECON_FLOW_ITERS", "0"))
 
+# Warp-iteration override for the FINEST pyramid level only (0 = keep the
+# global ``warps`` default, 2). The finest level's warp+solve pair is the
+# single most expensive flow stage (tile warp + band kernel at the full
+# stack); the coarser levels' second warp is nearly free and seeds the
+# fine initialization, so the cut applies only where it pays.
+_FLOW_FINE_WARPS = int(os.environ.get("MESHRECON_FLOW_FINE_WARPS", "0"))
+
+# import-time values = the process defaults a zero config knob restores
+# (config.apply_kernel_knobs) — otherwise one study config's override
+# would leak into the next config's run
+_DEFAULTS = (_FLOW_ITERS, _HS_FUSED_MIN_PX, _FLOW_FINE_WARPS)
+
 
 def set_flow_knobs(iters: int | None = None, fused_min_px: int | None = None,
-                   pallas_min_dim: int | None = None):
+                   pallas_min_dim: int | None = None,
+                   fine_warps: int | None = None):
     """Set the flow-solver knobs mid-process (config/CLI plumbing); clears
     jit caches so traces that baked the old values cannot go stale."""
-    global _FLOW_ITERS, _HS_FUSED_MIN_PX, _PALLAS_MIN_DIM
+    global _FLOW_ITERS, _HS_FUSED_MIN_PX, _PALLAS_MIN_DIM, _FLOW_FINE_WARPS
     changed = False
     if iters is not None and int(iters) != _FLOW_ITERS:
         if iters < 0:
@@ -86,6 +99,12 @@ def set_flow_knobs(iters: int | None = None, fused_min_px: int | None = None,
         changed = True
     if pallas_min_dim is not None and int(pallas_min_dim) != _PALLAS_MIN_DIM:
         _PALLAS_MIN_DIM = int(pallas_min_dim)
+        changed = True
+    if fine_warps is not None and int(fine_warps) != _FLOW_FINE_WARPS:
+        if fine_warps < 0:
+            raise ValueError(
+                f"fine warps must be >= 0 (0 = global default): {fine_warps}")
+        _FLOW_FINE_WARPS = int(fine_warps)
         changed = True
     if changed:
         jax.clear_caches()
@@ -345,7 +364,8 @@ def variational_flow(
             # pyr_up preserves magnitude; flow VALUES double at 2x resolution
             u = pyr_up(u, a.shape[-2:]) * 2.0
             v = pyr_up(v, a.shape[-2:]) * 2.0
-        for _ in range(warps):
+        n_warps = (_FLOW_FINE_WARPS or warps) if lvl == 0 else warps
+        for _ in range(n_warps):
             u, v, _ = _hs_level(a, b, u, v, alpha2, iters, engine=engine,
                                 solver=solver, cycles=cycles)
     return jnp.stack([u, v], axis=-1)

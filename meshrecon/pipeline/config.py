@@ -123,6 +123,7 @@ class Config:
     raster_tile_h: int = 0   # raster tile rows/grid step (multiple of 8)
     raster_tile_w: int = 0   # raster tile cols/grid step (multiple of 128)
     flow_iters: int = 0      # relaxation sweeps/warp (0 = solver default)
+    flow_fine_warps: int = 0  # warp iterations at the finest level only
     hs_fused_min_px: int = 0  # stack-px floor for the fused band kernel
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
@@ -337,6 +338,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--flow-iters", type=int, default=0,
                    help="relaxation sweeps per flow warp (0 = per-solver "
                         "default: 20 Chebyshev / 60 Jacobi)")
+    p.add_argument("--flow-fine-warps", type=int, default=0,
+                   help="warp iterations at the FINEST pyramid level only "
+                        "(0 = keep the global default 2); the finest "
+                        "warp+solve pair is the costliest flow stage")
     p.add_argument("--hs-fused-min-px", type=int, default=0,
                    help="stack-pixel floor above which a pyramid level's "
                         "relaxation runs the fused Pallas band kernel "
@@ -347,19 +352,19 @@ def build_parser() -> argparse.ArgumentParser:
 def apply_kernel_knobs(config) -> None:
     """Apply a Config's kernel knobs to the kernel modules (validated; the
     setters clear jit caches when a value actually changes, so earlier
-    traces cannot go stale). Zero values keep the current defaults."""
-    if getattr(config, "raster_tile_h", 0) or getattr(config,
-                                                      "raster_tile_w", 0):
-        from meshrecon.raster.binned import set_tile_dims
+    traces cannot go stale). A zero knob RESTORES the import-time default —
+    back-to-back study configs must not leak overrides into each other."""
+    from meshrecon.raster import binned
+    from meshrecon.flow import variational
 
-        set_tile_dims(config.raster_tile_h or None,
-                      config.raster_tile_w or None)
-    if getattr(config, "flow_iters", 0) or getattr(config,
-                                                   "hs_fused_min_px", 0):
-        from meshrecon.flow.variational import set_flow_knobs
-
-        set_flow_knobs(iters=config.flow_iters or None,
-                       fused_min_px=config.hs_fused_min_px or None)
+    binned.set_tile_dims(
+        getattr(config, "raster_tile_h", 0) or binned.DEFAULT_TILE_H,
+        getattr(config, "raster_tile_w", 0) or binned.DEFAULT_TILE_W)
+    d_it, d_mp, d_fw = variational._DEFAULTS
+    variational.set_flow_knobs(
+        iters=getattr(config, "flow_iters", 0) or d_it,
+        fused_min_px=getattr(config, "hs_fused_min_px", 0) or d_mp,
+        fine_warps=getattr(config, "flow_fine_warps", 0) or d_fw)
 
 
 def config_from_args(argv=None) -> Config:
@@ -507,5 +512,6 @@ def _config_for_file(args, in_file: str, out_file: str,
         raster_tile_h=args.raster_tile_h,
         raster_tile_w=args.raster_tile_w,
         flow_iters=args.flow_iters,
+        flow_fine_warps=args.flow_fine_warps,
         hs_fused_min_px=args.hs_fused_min_px,
     )

@@ -55,17 +55,30 @@ def _depth_fn(use_pallas, height: int, width: int):
 
 
 def _depth_batched_fn(use_pallas, height: int, width: int):
-    """N depth renders (N, 4, 4) -> (N, H, W): ONE camera-batched two-level
-    Pallas launch on TPU (render_depth_binned_batched — jax.vmap over a
-    pallas_call costs ~3x per element and cannot lower with scratch refs),
-    vmapped XLA elsewhere."""
+    """N depth renders (N, 4, 4) -> (N, H, W): N SEQUENTIAL single-camera
+    Pallas launches on TPU, vmapped XLA elsewhere.
+
+    Sequential singles replaced the camera-batched two-level launch in
+    round 4: the batched kernel shares one SMEM budget across cameras
+    (slab 2048 vs 4096 -> 2x the slab launches) and its per-camera grid
+    steps pay the two-level walk's scalar overhead — measured per 4-camera
+    batch at TILE_H=24 (raster_sweep, v5e): 578 tris 0.82 ms batched vs
+    ~0.2 sequential; 16k 11.7 vs 7.3; 65k 46.8 vs 26.3. (jax.vmap over a
+    pallas_call would cost ~3x per element and cannot lower with scratch
+    refs — sequential calls in one traced program have no such tax; XLA
+    compiles the repeated identical kernel once.)"""
     if use_pallas is None:
         use_pallas = _sampling_engine() == "pallas"
     if use_pallas:
-        from meshrecon.raster.binned import render_depth_binned_batched
+        from meshrecon.raster.binned import render_depth_binned
 
-        return lambda cams, soup, valid: render_depth_binned_batched(
-            cams, soup, valid, height, width)
+        def render_all(cams, soup, valid):
+            return jnp.stack([
+                render_depth_binned(cams[i], soup, valid, height, width)
+                for i in range(cams.shape[0])
+            ])
+
+        return render_all
     return lambda cams, soup, valid: jax.vmap(
         lambda c: render_depth(c, soup, valid, height, width))(cams)
 

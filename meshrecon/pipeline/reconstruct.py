@@ -489,6 +489,12 @@ def _process_main_plane_sweep(config, renderer, fa, sides, depth, timer):
 
 def reconstruct(config) -> Mesh:
     """Full video -> mesh reconstruction (the main() flow of recon.cpp)."""
+    from meshrecon.pipeline.config import apply_kernel_knobs
+
+    # kernel knobs work from EVERY entry point (CLI, studies, library use):
+    # the setters no-op when values are unchanged, so this is free on the
+    # common path and a correct retrace (caches cleared) otherwise
+    apply_kernel_knobs(config)
     seeds = tuple(getattr(config, "ensemble_seeds", ()) or ())
     if len(seeds) > 1:
         return reconstruct_ensemble(config)

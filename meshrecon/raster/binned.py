@@ -79,6 +79,10 @@ TILE_H = _valid_tile(
 TILE_W = _valid_tile(
     __import__("os").environ.get("MESHRECON_RASTER_TILE_W", "128"), 128,
     "MESHRECON_RASTER_TILE_W")
+# import-time values = the process defaults a zero config knob restores
+# (apply_kernel_knobs) — otherwise one study config's override would leak
+# into the next config's run
+DEFAULT_TILE_H, DEFAULT_TILE_W = TILE_H, TILE_W
 # Triangles per bin unit. Smaller chunks bin tighter (fewer wasted triangle
 # evaluations per tile) at the cost of a longer per-tile list in SMEM and
 # more fori_loop trips. Measured at 640x480 on v5e (ms/render, eps-forced):
@@ -112,8 +116,8 @@ def morton_order(soup: np.ndarray) -> np.ndarray:
     return np.argsort(code, kind="stable")
 
 
-def _raster_kernel(height, width, chunk, tri_ref, lists_ref, counts_ref,
-                   dummy_ref, out_ref):
+def _raster_kernel(height, width, chunk, slab, tri_ref, lists_ref,
+                   counts_ref, dummy_ref, out_ref):
     """One image tile: walk the tile's chunk list, z-buffer its triangles."""
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -134,7 +138,7 @@ def _raster_kernel(height, width, chunk, tri_ref, lists_ref, counts_ref,
     tile_y_min = (height / 2.0 - (row0 + TILE_H - 1)) * (2.0 / height)
 
     def fld(i, t):
-        return tri_ref[i * SLAB + t]
+        return tri_ref[i * slab + t]
 
     def chunk_body(k, zbuf):
         c = lists_ref[tile, k]
@@ -239,7 +243,7 @@ def _two_level_tile_walk(height, width, chunk, supers, ti, tj, fld, list_at,
     jax.lax.fori_loop(0, count, super_body, jnp.int32(0))
 
 
-def _raster_kernel2(height, width, chunk, supers, tri_ref, lists_ref,
+def _raster_kernel2(height, width, chunk, supers, slab, tri_ref, lists_ref,
                     counts_ref, cxmn_ref, cxmx_ref, cymn_ref, cymx_ref,
                     dummy_ref, out_ref, zbuf_ref):
     """Single-camera two-level kernel: grid (nty, ntx); see
@@ -249,7 +253,7 @@ def _raster_kernel2(height, width, chunk, supers, tri_ref, lists_ref,
     tile = ti * pl.num_programs(1) + tj
     _two_level_tile_walk(
         height, width, chunk, supers, ti, tj,
-        lambda i, t: tri_ref[i * SLAB + t],
+        lambda i, t: tri_ref[i * slab + t],
         lambda k: lists_ref[tile, k],
         lambda c: (cxmn_ref[c], cxmx_ref[c], cymn_ref[c], cymx_ref[c]),
         counts_ref[tile], zbuf_ref)
@@ -436,10 +440,10 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
 
 
 def _rasterize_slab2(packed, lists, counts, cxmn, cxmx, cymn, cymx,
-                     height, width, chunk, supers, interpret):
+                     height, width, chunk, supers, slab, interpret):
     grid = (pl.cdiv(height, TILE_H), pl.cdiv(width, TILE_W))
     kernel = functools.partial(_raster_kernel2, float(height), float(width),
-                               chunk, supers)
+                               chunk, supers, slab)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=grid,
@@ -458,10 +462,11 @@ def _rasterize_slab2(packed, lists, counts, cxmn, cxmx, cymn, cymx,
     )(packed, lists, counts, cxmn, cxmx, cymn, cymx, dummy)
 
 
-def _rasterize_slab(packed, lists, counts, height, width, chunk, interpret):
+def _rasterize_slab(packed, lists, counts, height, width, chunk, slab,
+                    interpret):
     grid = (pl.cdiv(height, TILE_H), pl.cdiv(width, TILE_W))
     kernel = functools.partial(_raster_kernel, float(height), float(width),
-                               chunk)
+                               chunk, slab)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
@@ -481,10 +486,11 @@ def _rasterize_slab(packed, lists, counts, height, width, chunk, interpret):
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "chunk",
                                              "interpret", "two_level",
-                                             "supers"))
+                                             "supers", "slab"))
 def render_depth_binned(camera, soup, soup_valid, height, width,
                         chunk: int = CHUNK, interpret: bool = False,
-                        two_level: bool = False, supers: int = 8):
+                        two_level: bool = False, supers: int = 8,
+                        slab: int = SLAB):
     """Full-frame z-buffer depth render via the binned Pallas kernel.
 
     Same contract as rasterizer.render_depth. ``soup`` should be Morton-
@@ -503,7 +509,7 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
         camera, soup, soup_valid)
 
     t = x0.shape[0]
-    pad = (-t) % SLAB
+    pad = (-t) % slab
 
     def padc(a, fill=0.0):
         return jnp.pad(a, (0, pad), constant_values=fill)
@@ -513,7 +519,7 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
     z0, z1, z2 = padc(z0), padc(z1), padc(z2)
     area = padc(area, 1.0)
     ok = padc(ok)
-    n_slabs = x0.shape[0] // SLAB
+    n_slabs = x0.shape[0] // slab
 
     inv_area = jnp.where(ok & (jnp.abs(area) > 1e-12), 1.0 / area, 0.0)
     big = jnp.float32(3e38)
@@ -542,9 +548,9 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
     packed_all = jnp.concatenate(
         [x0, x1, x2, y0, y1, y2, z0, z1, z2,
          inv_area, xmin, xmax, ymin, ymax]
-    ).reshape(14, n_slabs, SLAB)
+    ).reshape(14, n_slabs, slab)
 
-    nch = SLAB // chunk
+    nch = slab // chunk
 
     # per-chunk bbox unions, (n_slabs, nch)
     def cmin(a):
@@ -559,7 +565,7 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
     if two_level:
         if nch < supers or nch % supers:
             raise ValueError(
-                f"SLAB/chunk = {nch} chunks must be a positive multiple "
+                f"slab/chunk = {nch} chunks must be a positive multiple "
                 f"of supers={supers} (got chunk={chunk}); trailing chunks "
                 "would be silently dropped from every tile list")
         nsup = nch // supers
@@ -589,7 +595,7 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
             counts = jnp.sum(active, axis=1).astype(jnp.int32)
             zb = _rasterize_slab2(packed, lists, counts, cxmin[s], cxmax[s],
                                   cymin[s], cymax[s], height, width, chunk,
-                                  supers, interpret)
+                                  supers, slab, interpret)
         else:
             # chunk-vs-tile interval overlap -> (n_tiles, nch) activity
             ax = ((cxmin[s][None, :] <= tx1[:, None])
@@ -603,7 +609,7 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
             lists = jnp.sort(keys, axis=1)  # active chunk ids first
             counts = jnp.sum(active, axis=1).astype(jnp.int32)
             zb = _rasterize_slab(packed, lists, counts, height, width, chunk,
-                                 interpret)
+                                 slab, interpret)
         zbuf = zb if zbuf is None else jnp.minimum(zbuf, zb)
 
     zbuf = zbuf[:height, :width]

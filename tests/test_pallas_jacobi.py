@@ -226,3 +226,28 @@ def test_hs_level_fused_cheb_single_chunk_batched(monkeypatch):
                                rtol=0, atol=2e-3)
     np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
                                rtol=0, atol=2e-3)
+
+
+def test_hs_level_fused_unaligned_iters_halo(monkeypatch):
+    """iters=14 single-chunk: halo rounds UP to a multiple of 4 so the band
+    DMA extent (band + 2*halo) stays 8-row aligned — halo==14 produced a
+    188-row slice Mosaic rejects (round-4 on-hardware failure); the extra
+    halo rows beyond the sweep count are exact (border masks clamp at true
+    image rows)."""
+    from meshrecon.flow.pallas_jacobi import hs_level_fused
+    from meshrecon.flow.variational import _hs_sweeps_cheb
+
+    h, w = 96, 128
+    monkeypatch.setattr(pj, "_VMEM_FIELD_BUDGET", 5 * w * 4 * 60)
+    prev, warped, u0, v0 = _smooth_problem(h, w, seed=7)
+    a, b = jnp.asarray(prev), jnp.asarray(warped)
+    u0j, v0j = jnp.asarray(u0), jnp.asarray(v0)
+    for iters in (14, 18, 22):
+        u_ref, v_ref = _hs_sweeps_cheb(a, b, u0j, v0j, jnp.float32(144.0),
+                                       iters)
+        u, v = hs_level_fused(a, b, u0j, v0j, 144.0, iters=iters, halo=8,
+                              solver="cheb", interpret=True)
+        np.testing.assert_allclose(np.asarray(u), np.asarray(u_ref),
+                                   rtol=0, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(v), np.asarray(v_ref),
+                                   rtol=0, atol=2e-3)

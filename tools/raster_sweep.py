@@ -21,6 +21,7 @@ def main():
     # production path of the fused update: B*(K+1)=4 cameras per launch) —
     # VERDICT r3 item 6's target is <= 5 ms at the 65k production cap there
     batched = len(sys.argv) > 2 and bool(sys.argv[2])
+    slab = int(sys.argv[3]) if len(sys.argv) > 3 else 0  # 0 = module default
 
     import jax
     import jax.numpy as jnp
@@ -75,13 +76,15 @@ def main():
         np.stack([np.asarray(mains[0])] * 4), jnp.float32))
     for name, s, v in cases:
         for c in chunks:
-            timeit(f"{name} chunk={c}",
+            kw = {"slab": slab} if slab else {}
+            tag = f" slab={slab}" if slab else ""
+            timeit(f"{name} chunk={c}{tag}",
                    lambda eps, s_, v_, c=c: render_depth_binned(
-                       cam, s_ + eps, v_, H, W, chunk=c), s, v)
-            timeit(f"{name} chunk={c} two-level",
+                       cam, s_ + eps, v_, H, W, chunk=c, **kw), s, v)
+            timeit(f"{name} chunk={c}{tag} two-level",
                    lambda eps, s_, v_, c=c: render_depth_binned(
-                       cam, s_ + eps, v_, H, W, chunk=c, two_level=True),
-                   s, v)
+                       cam, s_ + eps, v_, H, W, chunk=c, two_level=True,
+                       **kw), s, v)
             if batched:
                 timeit(f"{name} chunk={c} batched4",
                        lambda eps, s_, v_, c=c: render_depth_binned_batched(

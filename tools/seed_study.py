@@ -60,6 +60,12 @@ CONFIGS = {
     # cloud (worst-seed med 0.0345 -> 0.0107 at 1/8 res, host-side cost
     # only — no second device refinement like ens2)
     "trim2cons3": {"poisson_trim": 2.0, "consensus_rounds": 3},
+    # flow-cost knobs (perf A/Bs — quality gate before flipping defaults):
+    # one warp at the finest pyramid level / 14 Chebyshev sweeps
+    "trim2fw1": {"poisson_trim": 2.0, "flow_fine_warps": 1},
+    "trim2it14": {"poisson_trim": 2.0, "flow_iters": 14},
+    "trim2fw1it14": {"poisson_trim": 2.0, "flow_fine_warps": 1,
+                     "flow_iters": 14},
     "cons3g192": {"poisson_trim": 2.0, "consensus_rounds": 3,
                   "poisson_grid": 192},
     "trim2cons3ens2": {"poisson_trim": 2.0, "consensus_rounds": 3,
@@ -72,7 +78,15 @@ def main(argv=None):
     ap.add_argument("--scale", type=int, default=1)
     ap.add_argument("--seeds", default="3,4,5")
     ap.add_argument("--configs", default="base,cov,covprune")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (1/8-res method runs while "
+                         "a TPU job holds the exclusive tunnel lease)")
     args = ap.parse_args(argv)
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 

@@ -13,7 +13,7 @@ declarative step list on the command line:
       'attrib:seeds=3,5;scale=1'
 
 Steps (options after ':', ';'-separated key=val):
-  bench       headline bench.py     [tile_h= tile_w= iters= min_px=]
+  bench       headline bench.py     [tile_h= tile_w= iters= min_px= fw=]
   verify      on-TPU kernel equality sweep (tools/verify_tpu.py)
   breakdown   per-stage fused-update timing [h= w= k= reps= b= solver=]
   raster      raster tile/face sweep [chunks=8,16 batched=1]
@@ -53,13 +53,14 @@ def _apply_knobs(opts) -> list[str]:
 
         set_tile_dims(int(th) if th else None, int(tw) if tw else None)
         applied.append(f"tile={th or 'keep'}x{tw or 'keep'}")
-    it, mp = opts.get("iters"), opts.get("min_px")
-    if it or mp:
+    it, mp, fw = opts.get("iters"), opts.get("min_px"), opts.get("fw")
+    if it or mp or fw:
         from meshrecon.flow.variational import set_flow_knobs
 
         set_flow_knobs(iters=int(it) if it else None,
-                       fused_min_px=int(float(mp)) if mp else None)
-        applied.append(f"flow={it or 'keep'}/{mp or 'keep'}")
+                       fused_min_px=int(float(mp)) if mp else None,
+                       fine_warps=int(fw) if fw else None)
+        applied.append(f"flow={it or 'keep'}/{mp or 'keep'}/fw{fw or '-'}")
     return applied
 
 
@@ -96,8 +97,10 @@ def run_step(name: str, opts: dict) -> int:
         import raster_sweep
 
         argv = [opts.get("chunks", "8,16,32,64")]
-        if opts.get("batched"):
-            argv.append("1")
+        if opts.get("batched") or opts.get("slab"):
+            argv.append("1" if opts.get("batched") else "")
+        if opts.get("slab"):
+            argv.append(opts["slab"])
         saved, sys.argv = sys.argv, ["raster_sweep"] + argv
         try:
             return raster_sweep.main() or 0
