@@ -3,7 +3,7 @@
 
 PY ?= python
 
-.PHONY: test test_flow test_alpha_shapes test_poisson test_raster test_unit bench
+.PHONY: test test_flow test_alpha_shapes test_poisson test_raster test_unit bench quality
 
 # end-to-end smoke run on the bundled small carpet scene (synthetic frames,
 # since the sample videos are not shipped; reference: `./recon
@@ -42,3 +42,8 @@ verify-tpu:
 
 bench:
 	$(PY) bench.py
+
+# multi-scene ground-truth quality gate (sphere + plane + still-life
+# fixtures with per-scene regression bounds; tools/quality_harness.py)
+quality:
+	$(PY) tools/quality_harness.py

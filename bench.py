@@ -74,7 +74,10 @@ def main():
     # pipeline still batches B=4 per dispatch to amortize this dev
     # environment's ~30 ms tunnel latency — a real TPU host dispatches in
     # ~0.1 ms and runs B=1.
-    B, K, H, W = 1, 3, 480, 640
+    # MESHRECON_BENCH_B: camera-batch A/B knob (per-update fixed costs
+    # amortize with B until the flow stack spills VMEM — B=1 measured
+    # fastest per-chip at K=3, see note above)
+    B, K, H, W = int(os.environ.get("MESHRECON_BENCH_B", "1")), 3, 480, 640
     (soup, soup_valid, mains, fm, sides, fs, sv, centers, cvalid, ns) = (
         g._fused_problem(b=B, k=K, h=H, w=W, seed=0)
     )

@@ -90,12 +90,23 @@ CONFIGS = {
 }
 
 # Default-config regression bounds on the MEDIAN at --scale 8 (measured
-# this round; --tolerance multiplies them). Generous vs measured so draw
-# noise cannot flake the gate, tight enough to catch a real regression.
+# this round: koule 0.082, koberec- 0.057, zatisi 0.074; bounds ~2x the
+# measured values — --tolerance multiplies them). Generous vs measured so
+# draw noise cannot flake the gate, tight enough to catch a regression.
 SCENE_BOUNDS = {
     "koule-tr": 0.15,
-    "koberec-": 0.15,
-    "zatisi": 0.30,  # non-primitive still life approximated by a sphere
+    "koberec-": 0.12,
+    "zatisi": 0.20,  # non-primitive still life approximated by a sphere
+}
+
+# Per-scene config adjustments: koberec-/zatisi at 1/8 res leave the
+# accumulate-to-threshold camera policy sub-threshold EVERYWHERE (the
+# reference's thresholds scale with pixel counts the same way,
+# heuristic.cpp:429-486) — the --min-bundles floor promotes the policy's
+# own nearly-chosen pairs so the fixture is testable at small scale.
+SCENE_KW = {
+    "koberec-": {"min_bundles": 4},
+    "zatisi": {"min_bundles": 4},
 }
 
 
@@ -129,6 +140,7 @@ def main(argv=None):
               f"{'seconds':>9}", flush=True)
         for name in args.configs.split(","):
             kw = dict(iteration_count=1, poisson_grid=64)
+            kw.update(SCENE_KW.get(scene, {}))
             kw.update(CONFIGS[name])
             cfg = Config(track=track, frames=frames,
                          out_file_name=f"/tmp/quality_{scene}_{name}.obj",

@@ -125,6 +125,8 @@ def run_step(name: str, opts: dict) -> int:
                 "--trim", opts.get("trim", "2.0")]
         if opts.get("sensitivity"):
             argv.append("--sensitivity")
+        if opts.get("dump"):
+            argv += ["--dump", opts["dump"]]
         return error_attrib.main(argv) or 0
     if name == "harness":
         import quality_harness
