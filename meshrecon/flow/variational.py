@@ -340,10 +340,15 @@ def variational_flow(
         engine = "pallas" if _tpu_backend() else "xla"
     if iters is None:
         # Chebyshev damps every mode below rho at ~rho/(1+sqrt(1-rho^2))
-        # per sweep; 20 accelerated sweeps out-converge 60 plain Jacobi
+        # per sweep; accelerated sweeps out-converge 60 plain Jacobi
         # (test_flow.py::test_cheb_outconverges_jacobi) at ~1/3 the VPU
         # arithmetic — the sweeps are compute-bound, not HBM-bound.
-        iters = _FLOW_ITERS or (20 if solver == "cheb" else 60)
+        # 14 sweeps (was 20): quality-neutral on every seed at 1/8 res
+        # (worst-seed med 0.0345 -> 0.0347, BASELINE.md round-4 table) and
+        # the round-3 full-res gate was draw-noise-ambiguous; combined with
+        # the single finest-level warp below it buys bench 28 -> 34.9
+        # Mpix/s/chip. MESHRECON_FLOW_ITERS / --flow-iters 20 restores.
+        iters = _FLOW_ITERS or (14 if solver == "cheb" else 60)
     prev = jnp.asarray(prev, jnp.float32)
     next_ = jnp.asarray(next_, jnp.float32)
     alpha2 = float(alpha * alpha)
@@ -364,7 +369,13 @@ def variational_flow(
             # pyr_up preserves magnitude; flow VALUES double at 2x resolution
             u = pyr_up(u, a.shape[-2:]) * 2.0
             v = pyr_up(v, a.shape[-2:]) * 2.0
-        n_warps = (_FLOW_FINE_WARPS or warps) if lvl == 0 else warps
+        # One warp at the finest level (coarser levels keep ``warps``): the
+        # full-res displacement is already pyramid-initialized to sub-pixel
+        # scale, so the second finest-level warp re-solves an almost-settled
+        # system — dropping it is quality-neutral at 1/8 res on every seed
+        # (trim2fw1 worst-seed med 0.0336 vs 0.0345) and saves ~2.4 ms of
+        # the 8.8 ms fused update. --flow-fine-warps 2 restores.
+        n_warps = (_FLOW_FINE_WARPS or 1) if lvl == 0 else warps
         for _ in range(n_warps):
             u, v, _ = _hs_level(a, b, u, v, alpha2, iters, engine=engine,
                                 solver=solver, cycles=cycles)

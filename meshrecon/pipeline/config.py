@@ -337,11 +337,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "0 = keep default 128)")
     p.add_argument("--flow-iters", type=int, default=0,
                    help="relaxation sweeps per flow warp (0 = per-solver "
-                        "default: 20 Chebyshev / 60 Jacobi)")
+                        "default: 14 Chebyshev / 60 Jacobi; 20 restores "
+                        "the pre-round-4 Chebyshev budget)")
     p.add_argument("--flow-fine-warps", type=int, default=0,
                    help="warp iterations at the FINEST pyramid level only "
-                        "(0 = keep the global default 2); the finest "
-                        "warp+solve pair is the costliest flow stage")
+                        "(0 = default 1; 2 restores the pre-round-4 "
+                        "double warp); the finest warp+solve pair is the "
+                        "costliest flow stage")
     p.add_argument("--hs-fused-min-px", type=int, default=0,
                    help="stack-pixel floor above which a pyramid level's "
                         "relaxation runs the fused Pallas band kernel "

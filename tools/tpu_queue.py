@@ -21,6 +21,8 @@ Steps (options after ':', ';'-separated key=val):
   study       full-res seed study    [configs= seeds= scale=]
   attrib      error attribution      [seeds= scale= trim= sensitivity=1]
   harness     quality harness        [configs= scene= scale=]
+  multiscene  full-pipeline N-scene wall [n=8 scale=2 scene=koule-tr]
+  e2e         cold+warm single-scene wall [scene=koberec- scale=1]
 
 Every step is wrapped: a failure (or tunnel death mid-step) reports and
 continues, so earlier results are never lost. Kernel knobs (tile_h/iters/
@@ -128,6 +130,66 @@ def run_step(name: str, opts: dict) -> int:
         if opts.get("dump"):
             argv += ["--dump", opts["dump"]]
         return error_attrib.main(argv) or 0
+    if name == "multiscene":
+        # VERDICT r3 item 4a: the full-pipeline multi-scene wall (the
+        # sequential driver shares every compiled executable across scenes,
+        # so scene 0 pays compilation and scenes 1..N-1 measure steady
+        # state). N same-shape clips with independent camera draws.
+        import time as _t
+
+        from meshrecon.io.tracks import load_tracks
+        from meshrecon.io.synthetic import synthetic_frames
+        from meshrecon.pipeline.config import Config
+        from meshrecon.pipeline.reconstruct import reconstruct_scenes
+
+        n = int(opts.get("n", "8"))
+        scale = int(opts.get("scale", "2"))
+        scene = opts.get("scene", "koule-tr")
+        track = load_tracks(f"tracks/{scene}.yaml")
+        w, h = track.width // scale, track.height // scale
+        frames = synthetic_frames(track, w, h, mode="auto", seed=0)
+        cfgs = [Config(track=track, frames=frames, seed=3 + i,
+                       iteration_count=2, depth_mode="hybrid",
+                       out_file_name=f"/tmp/ms_{scene}_{i}.obj")
+                for i in range(n)]
+        t0 = _t.perf_counter()
+        reconstruct_scenes(cfgs[:1])
+        t1 = _t.perf_counter()
+        reconstruct_scenes(cfgs[1:])
+        t2 = _t.perf_counter()
+        print(f"multiscene {scene} {w}x{h}: scene0 (cold) {t1 - t0:.1f} s, "
+              f"scenes 1..{n - 1} {t2 - t1:.1f} s "
+              f"({(t2 - t1) / (n - 1):.1f} s/scene warm), "
+              f"total {t2 - t0:.1f} s", flush=True)
+        return 0
+    if name == "e2e":
+        # VERDICT r3 item 4b: cold AND warm end-to-end wall for one scene
+        # (cold pays every remote-AOT compile; warm re-runs with a fresh
+        # camera draw in the same process — fixed-K side caps keep the
+        # compiled shapes stable, so warm is the production steady state).
+        import time as _t
+
+        from meshrecon.io.tracks import load_tracks
+        from meshrecon.io.synthetic import synthetic_frames
+        from meshrecon.pipeline.config import Config
+        from meshrecon.pipeline.reconstruct import reconstruct
+
+        scene = opts.get("scene", "koberec-")
+        scale = int(opts.get("scale", "1"))
+        track = load_tracks(f"tracks/{scene}.yaml")
+        w, h = track.width // scale, track.height // scale
+        frames = synthetic_frames(track, w, h, mode="auto", seed=0)
+        walls = []
+        for seed in (3, 4):
+            cfg = Config(track=track, frames=frames, seed=seed,
+                         iteration_count=2, depth_mode="hybrid", verbosity=1,
+                         out_file_name=f"/tmp/e2e_{scene}_{seed}.obj")
+            t0 = _t.perf_counter()
+            reconstruct(cfg)
+            walls.append(_t.perf_counter() - t0)
+        print(f"e2e {scene} {w}x{h}: cold {walls[0]:.1f} s, "
+              f"warm {walls[1]:.1f} s", flush=True)
+        return 0
     if name == "harness":
         import quality_harness
 
