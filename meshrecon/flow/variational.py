@@ -298,7 +298,7 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla",
 @functools.partial(
     jax.jit,
     static_argnames=("levels", "iters", "warps", "alpha", "min_size",
-                     "engine", "solver", "cycles"),
+                     "engine", "solver", "cycles", "want_residual"),
 )
 def variational_flow(
     prev,
@@ -311,6 +311,7 @@ def variational_flow(
     engine: str = "auto",
     solver: str = "cheb",
     cycles: int = 2,
+    want_residual: bool = False,
 ):
     """Dense flow prev -> next: next(x + flow(x)) ~= prev(x).
 
@@ -324,6 +325,20 @@ def variational_flow(
     the vertically-stacked tile-warp kernel — one Pallas launch per level
     instead of K (jax.vmap over a pallas_call measured ~3x the kernel cost
     per element on v5e).
+
+    want_residual: additionally return the FIRST-ORDER re-warped image
+    ``warped + Ix*(u - u0) + Iy*(v - v0)`` — ``next_`` warped by the final
+    flow, evaluated through the solver's own linearization around the last
+    warp point instead of a fresh bicubic gather pass. Its difference from
+    ``prev`` is exactly the converged data-term residual of the HS energy,
+    i.e. the photometric error the variance channel estimates
+    (util.cpp:332-361 feeds compare() with the true re-warp; the Taylor
+    form replaces a ~1.5 ms tile-warp kernel with fused elementwise FMAs —
+    see pipeline/fused.py variance="taylor"). The expansion is exact to
+    first order in the final solve's increment, which is sub-pixel by
+    construction after the pyramid initialization; where it is NOT small
+    the extrapolated error is LARGE, which only strengthens the
+    down-weighting that the variance exists to provide.
 
     engine: "auto" (Pallas kernels on TPU, XLA elsewhere), "pallas", "xla".
     solver: "cheb" (default, the production fast path) runs
@@ -377,6 +392,17 @@ def variational_flow(
         # the 8.8 ms fused update. --flow-fine-warps 2 restores.
         n_warps = (_FLOW_FINE_WARPS or 1) if lvl == 0 else warps
         for _ in range(n_warps):
-            u, v, _ = _hs_level(a, b, u, v, alpha2, iters, engine=engine,
-                                solver=solver, cycles=cycles)
-    return jnp.stack([u, v], axis=-1)
+            u_lin, v_lin = u, v  # linearization point of this warp
+            u, v, warped = _hs_level(a, b, u, v, alpha2, iters, engine=engine,
+                                     solver=solver, cycles=cycles)
+    flow = jnp.stack([u, v], axis=-1)
+    if not want_residual:
+        return flow
+    # first-order re-warp through the final level's own linearization:
+    # warped is next_ gathered at (u_lin, v_lin); the solve moved the flow
+    # by a sub-pixel increment, so the gradient extrapolation matches a
+    # true re-gather to first order (and _gradients is the same symmetric
+    # stencil the relaxation itself linearized with)
+    ix, iy = _gradients(pyr_a[0], warped)
+    rewarped = warped + ix * (u - u_lin) + iy * (v - v_lin)
+    return flow, rewarped

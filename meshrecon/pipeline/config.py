@@ -125,6 +125,7 @@ class Config:
     flow_iters: int = 0      # relaxation sweeps/warp (0 = solver default)
     flow_fine_warps: int = 0  # warp iterations at the finest level only
     hs_fused_min_px: int = 0  # stack-px floor for the fused band kernel
+    variance_mode: str = ""   # "" = default; rewarp|taylor (fused.py)
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
     resume: bool = False
@@ -348,6 +349,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stack-pixel floor above which a pyramid level's "
                         "relaxation runs the fused Pallas band kernel "
                         "(0 = keep default 5e5)")
+    p.add_argument("--variance-mode", choices=("rewarp", "taylor"),
+                   default="",
+                   help="flow-variance re-warp: 'rewarp' re-gathers the "
+                        "side stack with the final flow (bicubic tile-warp "
+                        "kernel); 'taylor' reuses the solver's final warp "
+                        "+ gradients (first-order, no second gather pass)")
     return p
 
 
@@ -367,6 +374,11 @@ def apply_kernel_knobs(config) -> None:
         iters=getattr(config, "flow_iters", 0) or d_it,
         fused_min_px=getattr(config, "hs_fused_min_px", 0) or d_mp,
         fine_warps=getattr(config, "flow_fine_warps", 0) or d_fw)
+
+    from meshrecon.pipeline import fused
+
+    fused.set_variance_mode(
+        getattr(config, "variance_mode", "") or fused._DEFAULT_VARIANCE)
 
 
 def config_from_args(argv=None) -> Config:
@@ -516,4 +528,5 @@ def _config_for_file(args, in_file: str, out_file: str,
         flow_iters=args.flow_iters,
         flow_fine_warps=args.flow_fine_warps,
         hs_fused_min_px=args.hs_fused_min_px,
+        variance_mode=args.variance_mode,
     )

@@ -15,6 +15,7 @@ XLA executable per (H, W, K-bucket) shape.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -28,6 +29,30 @@ from meshrecon.raster.rasterizer import render_depth
 from meshrecon.raster.fragment import (projected_image,
                                        projected_image_batched,
                                        mix_background)
+
+
+# Variance-estimate mode: "rewarp" re-gathers the mixed stack with the
+# final flow through the bicubic tile-warp kernel (the literal analog of
+# util.cpp:332-361's remap-then-compare); "taylor" reuses the flow
+# solver's final warp + gradients for a first-order re-warp (see
+# variational_flow(want_residual=True)) — same compare() cascade on top,
+# no second gather pass (~1.5 ms of the 8.3 ms fused update). Default
+# via env for A/Bs; config/CLI plumbing in pipeline/config.py.
+_VARIANCE_MODE = os.environ.get("MESHRECON_VARIANCE", "rewarp")
+_DEFAULT_VARIANCE = _VARIANCE_MODE
+
+
+def set_variance_mode(mode: str | None = None):
+    """Set the variance-estimate mode mid-process (config/CLI plumbing);
+    clears jit caches so traces that baked the old mode cannot go stale."""
+    global _VARIANCE_MODE
+    if mode is None:
+        return
+    if mode not in ("rewarp", "taylor"):
+        raise ValueError(f"variance mode must be rewarp|taylor: {mode!r}")
+    if mode != _VARIANCE_MODE:
+        _VARIANCE_MODE = mode
+        jax.clear_caches()
 
 
 def _sampling_engine() -> str:
@@ -86,14 +111,15 @@ def _depth_batched_fn(use_pallas, height: int, width: int):
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "use_farneback", "use_pallas",
-                     "sampling", "flow_solver"),
+                     "sampling", "flow_solver", "variance"),
 )
 def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
                               side_cams, side_frames, side_valid, centers,
                               centers_valid, n_side, height: int, width: int,
                               use_farneback: bool = False, use_pallas=None,
                               sampling: str = "taylor",
-                              flow_solver: str = "cheb"):
+                              flow_solver: str = "cheb",
+                              variance: str | None = None):
     """Full dense update for B main cameras x K (padded) sides each — the
     production step of reconstruct.py's camera-bundle batching.
 
@@ -152,6 +178,8 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
     # Stage 2 — ONE batched flow solve over all B*K (main, side) pairs:
     # relaxation sweeps and pyramid ops widen elementwise, warps share one
     # stacked Pallas launch per level.
+    var_mode = variance or _VARIANCE_MODE
+    rewarped = None
     if use_farneback:
         # size-dependent parameters like flow.cpp:24-26 (same as api.py)
         sigma = max((height + width) / 1000.0, 0.7)
@@ -162,21 +190,30 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
                 poly_sigma=sigma,
                 winsize=int(max((height + width) // 100, 5))),
             in_axes=(None, 0)))(frames_main, mixed_all)
+    elif var_mode == "taylor":
+        # cross-stage fusion: the flow solve's final warp + gradients give
+        # the re-warped stack to first order in the last solve increment —
+        # no second gather pass (variational_flow docstring; the compare()
+        # cascade below is identical to the rewarp path)
+        flows2, rewarped = variational_flow(frames_main[:, None], mixed_all,
+                                            solver=flow_solver,
+                                            want_residual=True)
     else:
         flows2 = variational_flow(frames_main[:, None], mixed_all,
                                   solver=flow_solver)
 
-    # bicubic re-warp for the variance estimate: 16 gathers/pixel cost
-    # ~49 ms real at 640x480 — the tile-warp kernel does it in <1 ms
-    # (flow fields are smooth by construction after relaxation)
-    if _sampling_engine() == "pallas":
-        from meshrecon.flow.tile_warp import tile_warp_flow_batched
+    if rewarped is None:
+        # bicubic re-warp for the variance estimate: 16 gathers/pixel cost
+        # ~49 ms real at 640x480 — the tile-warp kernel does it in <1 ms
+        # (flow fields are smooth by construction after relaxation)
+        if _sampling_engine() == "pallas":
+            from meshrecon.flow.tile_warp import tile_warp_flow_batched
 
-        # relaxed final flow: reduced residual budget (see variational.py)
-        rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4,
-                                          r_row=6, r_col=8)
-    else:
-        rewarped = jax.vmap(jax.vmap(flow_remap))(flows2, mixed_all)
+            # relaxed final flow: reduced residual budget (variational.py)
+            rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4,
+                                              r_row=6, r_col=8)
+        else:
+            rewarped = jax.vmap(jax.vmap(flow_remap))(flows2, mixed_all)
     var = compare(frames_main[:, None], rewarped)  # (B, K, H, W)
     flows = jnp.concatenate(
         [flows2, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
@@ -201,13 +238,14 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
 @functools.partial(
     jax.jit,
     static_argnames=("height", "width", "use_farneback", "use_pallas",
-                     "sampling", "flow_solver"),
+                     "sampling", "flow_solver", "variance"),
 )
 def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
                       side_frames, side_valid, centers, centers_valid, n_side,
                       height: int, width: int, use_farneback: bool = False,
                       use_pallas=None, sampling: str = "taylor",
-                      flow_solver: str = "cheb"):
+                      flow_solver: str = "cheb",
+                      variance: str | None = None):
     """Full dense update for ONE main camera against K (padded) sides —
     the B=1 slice of :func:`fused_main_update_batched` (same program,
     same semantics; see there for the stage structure).
@@ -230,6 +268,7 @@ def fused_main_update(soup, soup_valid, cam_main, frame_main, side_cams,
         jnp.asarray(n_side)[None],
         height=height, width=width, use_farneback=use_farneback,
         use_pallas=use_pallas, sampling=sampling, flow_solver=flow_solver,
+        variance=variance,
     )
     return jax.tree_util.tree_map(lambda x: x[0], out)
 

@@ -70,6 +70,11 @@ CONFIGS = {
                   "poisson_grid": 192},
     "trim2cons3ens2": {"poisson_trim": 2.0, "consensus_rounds": 3,
                        "_ensemble_pair": True},
+    # first-order variance re-warp (fused.py variance="taylor"): skips the
+    # post-flow bicubic gather pass — perf lever, gate quality before flip
+    "trim2tay": {"poisson_trim": 2.0, "variance_mode": "taylor"},
+    "trim2cons3tay": {"poisson_trim": 2.0, "consensus_rounds": 3,
+                      "variance_mode": "taylor"},
 }
 
 

@@ -63,6 +63,12 @@ def _apply_knobs(opts) -> list[str]:
                        fused_min_px=int(float(mp)) if mp else None,
                        fine_warps=int(fw) if fw else None)
         applied.append(f"flow={it or 'keep'}/{mp or 'keep'}/fw{fw or '-'}")
+    var = opts.get("var")
+    if var:
+        from meshrecon.pipeline.fused import set_variance_mode
+
+        set_variance_mode(var)
+        applied.append(f"var={var}")
     return applied
 
 
