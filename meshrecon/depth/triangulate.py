@@ -105,7 +105,13 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
                        gn_iters: int = 50, sampling: str = "exact"):
     """Triangulate every valid pixel of the main frame against K side flows.
 
-    flows: (K, H, W, 4) (fx, fy, variance, 0); main_camera: (4, 4);
+    flows: (K, H, W, 4) (fx, fy, variance, 0) — or a tuple of three
+    (K, H, W) channel planes ``(fx, fy, variance)``. The fused pipeline
+    passes planes: packing the channels into a minor-4 tensor only for
+    this function to unstack them again costs a pure HBM round trip
+    (~0.5 ms of the 8.3 ms fused update at 640x480 K=3) and a dead zeros
+    channel (the CV_32FC4 pad, flow.cpp:37-41, exists only at the public
+    API surface). main_camera: (4, 4);
     side_cameras: (K, 4, 4); side_valid: (K,) bool mask (capacity padding —
     K can be bucket-padded so one compiled program serves many camera
     bundles); depth: (H, W) NDC depth with background = 1.0.
@@ -113,11 +119,16 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
     Returns dict with: ``point4`` (H, W, 4) homogeneous world points,
     ``pdf`` (H, W) triangulation density, ``valid`` (H, W) bool.
     """
-    flows = jnp.asarray(flows, jnp.float32)
+    if isinstance(flows, (tuple, list)):
+        flx_in, fly_in, var_in = (jnp.asarray(f, jnp.float32) for f in flows)
+    else:
+        flows = jnp.asarray(flows, jnp.float32)
+        flx_in, fly_in, var_in = (flows[..., 0], flows[..., 1],
+                                  flows[..., 2])
     main_camera = jnp.asarray(main_camera, jnp.float32)
     side_cameras = jnp.asarray(side_cameras, jnp.float32)
     depth = jnp.asarray(depth, jnp.float32)
-    k, h, w = flows.shape[0], depth.shape[0], depth.shape[1]
+    k, h, w = flx_in.shape[0], depth.shape[0], depth.shape[1]
     side_valid = jnp.asarray(side_valid, bool)
 
     main_inv = jnp.linalg.inv(main_camera)
@@ -135,13 +146,13 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
 
     gx, gy = sobel_gradient(depth)
 
-    # unstack flow channels once (transpose to plane layout)
-    flx = flows[..., 0]
-    fly = flows[..., 1]
+    # flow channels in plane layout (see the flows tuple form above)
+    flx = flx_in
+    fly = fly_in
     # variance floor: uint8 quantization noise alone has variance ~1/12;
     # synthetic or perfectly-predicted frames can drive compare() to ~0,
     # which explodes det(icov) = 1/(det(S) var^2) and with it the pdf
-    variance = jnp.maximum(flows[..., 2], 1e-2)
+    variance = jnp.maximum(var_in, 1e-2)
 
     if sampling == "exact":
         fcol = cols[None] + flx

@@ -76,19 +76,35 @@ _FLOW_ITERS = int(os.environ.get("MESHRECON_FLOW_ITERS", "0"))
 # fine initialization, so the cut applies only where it pays.
 _FLOW_FINE_WARPS = int(os.environ.get("MESHRECON_FLOW_FINE_WARPS", "0"))
 
+# Pyramid-depth override (0 = the caller's ``levels`` default, 6). The
+# pyramid exists to capture LARGE displacements; in the production
+# pipeline every variational solve runs against the RENDERED PREDICTION
+# of the main frame (recon.cpp:82-101 analog), whose residual flow is a
+# few pixels — the deep levels may be pure overhead there. Quality-gated
+# A/B knob, not a validated default.
+_FLOW_LEVELS = int(os.environ.get("MESHRECON_FLOW_LEVELS", "0"))
+
 # import-time values = the process defaults a zero config knob restores
 # (config.apply_kernel_knobs) — otherwise one study config's override
 # would leak into the next config's run
-_DEFAULTS = (_FLOW_ITERS, _HS_FUSED_MIN_PX, _FLOW_FINE_WARPS)
+_DEFAULTS = (_FLOW_ITERS, _HS_FUSED_MIN_PX, _FLOW_FINE_WARPS, _FLOW_LEVELS)
 
 
 def set_flow_knobs(iters: int | None = None, fused_min_px: int | None = None,
                    pallas_min_dim: int | None = None,
-                   fine_warps: int | None = None):
+                   fine_warps: int | None = None,
+                   levels: int | None = None):
     """Set the flow-solver knobs mid-process (config/CLI plumbing); clears
     jit caches so traces that baked the old values cannot go stale."""
     global _FLOW_ITERS, _HS_FUSED_MIN_PX, _PALLAS_MIN_DIM, _FLOW_FINE_WARPS
+    global _FLOW_LEVELS
     changed = False
+    if levels is not None and int(levels) != _FLOW_LEVELS:
+        if levels < 0:
+            raise ValueError(
+                f"flow levels must be >= 0 (0 = caller default): {levels}")
+        _FLOW_LEVELS = int(levels)
+        changed = True
     if iters is not None and int(iters) != _FLOW_ITERS:
         if iters < 0:
             raise ValueError(f"flow iters must be >= 0 (0 = auto): {iters}")
@@ -340,6 +356,10 @@ def variational_flow(
     the extrapolated error is LARGE, which only strengthens the
     down-weighting that the variance exists to provide.
 
+    levels: pyramid depth cap (also bounded by ``min_size``); the
+    process-wide knob ``set_flow_knobs(levels=...)`` / MESHRECON_FLOW_LEVELS
+    overrides a non-zero value here when set (0 = keep the caller's value).
+
     engine: "auto" (Pallas kernels on TPU, XLA elsewhere), "pallas", "xla".
     solver: "cheb" (default, the production fast path) runs
     Chebyshev-accelerated sweeps; "jacobi" runs ``iters`` plain fused
@@ -364,6 +384,7 @@ def variational_flow(
         # the single finest-level warp below it buys bench 28 -> 34.9
         # Mpix/s/chip. MESHRECON_FLOW_ITERS / --flow-iters 20 restores.
         iters = _FLOW_ITERS or (14 if solver == "cheb" else 60)
+    levels = _FLOW_LEVELS or levels
     prev = jnp.asarray(prev, jnp.float32)
     next_ = jnp.asarray(next_, jnp.float32)
     alpha2 = float(alpha * alpha)

@@ -124,6 +124,7 @@ class Config:
     raster_tile_w: int = 0   # raster tile cols/grid step (multiple of 128)
     flow_iters: int = 0      # relaxation sweeps/warp (0 = solver default)
     flow_fine_warps: int = 0  # warp iterations at the finest level only
+    flow_levels: int = 0     # pyramid depth (0 = default 6)
     hs_fused_min_px: int = 0  # stack-px floor for the fused band kernel
     variance_mode: str = ""   # "" = default; rewarp|taylor (fused.py)
     checkpoint_dir: Optional[str] = None
@@ -345,6 +346,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "(0 = default 1; 2 restores the pre-round-4 "
                         "double warp); the finest warp+solve pair is the "
                         "costliest flow stage")
+    p.add_argument("--flow-levels", type=int, default=0,
+                   help="flow pyramid depth (0 = default 6). The pipeline's "
+                        "flows run against rendered predictions with "
+                        "few-pixel residuals; shallower pyramids skip "
+                        "coarse levels that only matter for large "
+                        "displacements (quality-gate before adopting)")
     p.add_argument("--hs-fused-min-px", type=int, default=0,
                    help="stack-pixel floor above which a pyramid level's "
                         "relaxation runs the fused Pallas band kernel "
@@ -369,11 +376,12 @@ def apply_kernel_knobs(config) -> None:
     binned.set_tile_dims(
         getattr(config, "raster_tile_h", 0) or binned.DEFAULT_TILE_H,
         getattr(config, "raster_tile_w", 0) or binned.DEFAULT_TILE_W)
-    d_it, d_mp, d_fw = variational._DEFAULTS
+    d_it, d_mp, d_fw, d_lv = variational._DEFAULTS
     variational.set_flow_knobs(
         iters=getattr(config, "flow_iters", 0) or d_it,
         fused_min_px=getattr(config, "hs_fused_min_px", 0) or d_mp,
-        fine_warps=getattr(config, "flow_fine_warps", 0) or d_fw)
+        fine_warps=getattr(config, "flow_fine_warps", 0) or d_fw,
+        levels=getattr(config, "flow_levels", 0) or d_lv)
 
     from meshrecon.pipeline import fused
 
@@ -527,6 +535,7 @@ def _config_for_file(args, in_file: str, out_file: str,
         raster_tile_w=args.raster_tile_w,
         flow_iters=args.flow_iters,
         flow_fine_warps=args.flow_fine_warps,
+        flow_levels=args.flow_levels,
         hs_fused_min_px=args.hs_fused_min_px,
         variance_mode=args.variance_mode,
     )

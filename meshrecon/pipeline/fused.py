@@ -215,14 +215,15 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
         else:
             rewarped = jax.vmap(jax.vmap(flow_remap))(flows2, mixed_all)
     var = compare(frames_main[:, None], rewarped)  # (B, K, H, W)
-    flows = jnp.concatenate(
-        [flows2, var[..., None], jnp.zeros_like(var)[..., None]], axis=-1
-    )
 
+    # channel PLANES straight into the triangulator — no (B,K,H,W,4)
+    # concat (a pure HBM round trip + a dead zeros pad channel; the
+    # CV_32FC4 layout survives only at the public API, flow.cpp:37-41)
     out = jax.vmap(
-        lambda fl, cm, sc, sv, d: triangulate_pixels(fl, cm, sc, sv, d,
-                                                     sampling=sampling)
-    )(flows, cam_mains, side_cams, side_valid, depth_final)
+        lambda fx, fy, vv, cm, sc, sv, d: triangulate_pixels(
+            (fx, fy, vv), cm, sc, sv, d, sampling=sampling)
+    )(flows2[..., 0], flows2[..., 1], var,
+      cam_mains, side_cams, side_valid, depth_final)
     normals = jax.vmap(estimate_normals)(out["point4"], out["valid"],
                                          out["pdf"], centers, centers_valid,
                                          n_side)

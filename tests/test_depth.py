@@ -158,6 +158,30 @@ def test_triangulate_matches_scalar_reference(rng):
     assert np.median(rel) < 0.1  # pdf agrees within ~10% in log space
 
 
+def test_triangulate_planes_form_bitexact(rng):
+    """The (fx, fy, variance) channel-plane form (the fused pipeline's
+    layout — skips the CV_32FC4 pack) is bit-identical to the array form."""
+    h, w, k = 12, 16, 2
+    main = make_camera(eye=(0, 0, 5), near=1.0, far=30.0)
+    sides = np.stack(
+        [
+            make_camera(eye=(1.0, 0.2, 5), near=1.0, far=30.0),
+            make_camera(eye=(-0.8, -0.5, 5), near=1.0, far=30.0),
+        ]
+    )
+    depth = plane_depth_map(main, -3.0, h, w)
+    flows = rng.normal(scale=0.4, size=(k, h, w, 4)).astype(np.float32)
+    flows[..., 2] = rng.uniform(0.5, 3.0, size=(k, h, w))
+    flows[..., 3] = 0
+    sv = np.ones(k, bool)
+
+    a = triangulate_pixels(flows, main, sides, sv, depth)
+    b = triangulate_pixels(
+        (flows[..., 0], flows[..., 1], flows[..., 2]), main, sides, sv, depth)
+    for key in ("point4", "pdf", "valid"):
+        np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]))
+
+
 def test_triangulate_recovers_true_plane():
     """End-to-end estimator check: flows computed analytically between an
     estimated plane (the depth map) and a true plane must pull depths onto

@@ -75,6 +75,10 @@ CONFIGS = {
     "trim2tay": {"poisson_trim": 2.0, "variance_mode": "taylor"},
     "trim2cons3tay": {"poisson_trim": 2.0, "consensus_rounds": 3,
                       "variance_mode": "taylor"},
+    # shallow flow pyramid (flows run against rendered predictions; the
+    # deep levels exist for large displacements) — perf lever, gate first
+    "trim2lv4": {"poisson_trim": 2.0, "flow_levels": 4},
+    "trim2lv3": {"poisson_trim": 2.0, "flow_levels": 3},
 }
 
 

@@ -13,7 +13,7 @@ declarative step list on the command line:
       'attrib:seeds=3,5;scale=1'
 
 Steps (options after ':', ';'-separated key=val):
-  bench       headline bench.py     [tile_h= tile_w= iters= min_px= fw=]
+  bench       headline bench.py  [tile_h= tile_w= iters= min_px= fw= lv= b=]
   verify      on-TPU kernel equality sweep (tools/verify_tpu.py)
   breakdown   per-stage fused-update timing [h= w= k= reps= b= solver=]
   raster      raster tile/face sweep [chunks=8,16 batched=1]
@@ -56,13 +56,16 @@ def _apply_knobs(opts) -> list[str]:
         set_tile_dims(int(th) if th else None, int(tw) if tw else None)
         applied.append(f"tile={th or 'keep'}x{tw or 'keep'}")
     it, mp, fw = opts.get("iters"), opts.get("min_px"), opts.get("fw")
-    if it or mp or fw:
+    lv = opts.get("lv")
+    if it or mp or fw or lv:
         from meshrecon.flow.variational import set_flow_knobs
 
         set_flow_knobs(iters=int(it) if it else None,
                        fused_min_px=int(float(mp)) if mp else None,
-                       fine_warps=int(fw) if fw else None)
-        applied.append(f"flow={it or 'keep'}/{mp or 'keep'}/fw{fw or '-'}")
+                       fine_warps=int(fw) if fw else None,
+                       levels=int(lv) if lv else None)
+        applied.append(
+            f"flow={it or 'keep'}/{mp or 'keep'}/fw{fw or '-'}/lv{lv or '-'}")
     var = opts.get("var")
     if var:
         from meshrecon.pipeline.fused import set_variance_mode
@@ -78,11 +81,18 @@ def run_step(name: str, opts: dict) -> int:
     print(f"=== {tag} ({time.strftime('%H:%M:%S')})", flush=True)
     if name == "bench":
         import importlib
+        import os
 
         import bench
 
+        if opts.get("b"):
+            os.environ["MESHRECON_BENCH_B"] = opts["b"]
         importlib.reload(bench)  # re-times under the current knobs
-        return bench.main() or 0
+        try:
+            return bench.main() or 0
+        finally:
+            os.environ.pop("MESHRECON_BENCH_B", None) if opts.get("b") \
+                else None
     if name == "verify":
         import verify_tpu
 
