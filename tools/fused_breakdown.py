@@ -80,22 +80,25 @@ def main():
             if upto == "flow":
                 return depth_final, flows2
 
+            # mirror the production variance path exactly (fused.py):
+            # bicubic tile-warp at the relaxed-budget radii, then compare
             if F._sampling_engine() == "pallas":
                 from meshrecon.flow.tile_warp import tile_warp_flow_batched
-                rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4)
+                rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4,
+                                                  r_row=6, r_col=8)
             else:
                 rewarped = jax.vmap(jax.vmap(F.flow_remap))(flows2, mixed_all)
+            if upto == "rewarp":
+                return depth_final, flows2, rewarped
             var = F.compare(frames_main[:, None], rewarped)
-            flows = jnp.concatenate(
-                [flows2, var[..., None], jnp.zeros_like(var)[..., None]],
-                axis=-1)
             if upto == "var":
-                return depth_final, flows
+                return depth_final, flows2, var
 
             out = jax.vmap(
-                lambda fl, cm, sc, sv, d: F.triangulate_pixels(
-                    fl, cm, sc, sv, d, sampling="taylor")
-            )(flows, cam_mains, side_cams, side_valid, depth_final)
+                lambda fx, fy, vv, cm, sc, sv, d: F.triangulate_pixels(
+                    (fx, fy, vv), cm, sc, sv, d, sampling="taylor")
+            )(flows2[..., 0], flows2[..., 1], var,
+              cam_mains, side_cams, side_valid, depth_final)
             if upto == "tri":
                 return out
             normals = jax.vmap(F.estimate_normals)(
@@ -105,7 +108,7 @@ def main():
         return batched
 
     prev = 0.0
-    for name in ["depth0", "scan", "flow", "var", "tri", "all"]:
+    for name in ["depth0", "scan", "flow", "rewarp", "var", "tri", "all"]:
         fn = stage_fn(name)
 
         def red(eps, *a):
