@@ -281,6 +281,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="trim Poisson faces farther than this many grid "
                         "cells from any input point (screened-Poisson "
                         "--trim analog; default 2, 0 disables)")
+    p.add_argument("--preset", choices=("quality",), default=None,
+                   help="named lever bundle. 'quality' = the measured-best "
+                        "full-res preset (BASELINE.md round 4): 2-draw "
+                        "seed ensemble + 3 consensus-trim rounds on top of "
+                        "the default support trim — p90 target met on "
+                        "every studied seed. Explicit flags win over the "
+                        "preset; costs ~2x device compute (or a 2nd chip "
+                        "via --scene-devices 2)")
     p.add_argument("--ensemble-seeds", default=None, metavar="S1,S2,...",
                    help="reconstruct the point cloud under each of these "
                         "camera-draw seeds and mesh the union (averages out "
@@ -491,6 +499,13 @@ def _config_for_file(args, in_file: str, out_file: str,
                 gray, exposure = gray
 
     verbosity = 99 if args.hyper_verbose else (2 if args.verbose else 0)
+    if args.preset == "quality":
+        # measured-best full-res preset (BASELINE.md round 4): 2-draw
+        # ensemble union + iterated-consensus trim. Explicit flags win.
+        if args.consensus_rounds == 0:
+            args.consensus_rounds = 3
+        if not args.ensemble_seeds:
+            args.ensemble_seeds = f"{args.seed},{args.seed + 10}"
     return Config(
         track=track,
         frames=None if gray is None else np.asarray(gray, np.float32),

@@ -251,3 +251,23 @@ def test_e2e_through_decoded_clip_320x240(tmp_path):
     mesh = read_mesh(str(out))
     assert len(mesh.faces) > 100
     assert np.isfinite(mesh.vertices).all()
+
+
+def test_preset_quality_maps_levers(tmp_path):
+    """--preset quality = 2-draw ensemble + consensus trim (BASELINE.md
+    round-4 measured-best); explicit flags must win over the preset."""
+    yaml = _write_scene(tmp_path, n_cams=2)
+    _write_clip(tmp_path / "clip.avi", 2)
+    cfg = config_from_args([yaml, "--preset", "quality", "--seed", "7"])
+    assert cfg.consensus_rounds == 3
+    assert cfg.ensemble_seeds == (7, 17)
+    assert cfg.poisson_trim == 2.0  # the default trim rides along
+
+    cfg = config_from_args([yaml, "--preset", "quality", "--seed", "7",
+                            "--consensus-rounds", "1",
+                            "--ensemble-seeds", "4,5,6"])
+    assert cfg.consensus_rounds == 1
+    assert cfg.ensemble_seeds == (4, 5, 6)
+
+    cfg = config_from_args([yaml])
+    assert cfg.consensus_rounds == 0 and cfg.ensemble_seeds == ()
