@@ -184,40 +184,151 @@ def _warp_tile_kernel(wh, ww, taps, sub, by_ref, bx_ref,
             out_ref[s * TH:(s + 1) * TH] = out
 
 
-@functools.partial(
-    jax.jit, static_argnames=("r_row", "r_col", "taps", "interpret")
-)
-def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
-                     r_col: int = R_COL, taps: int = 2,
-                     interpret: bool = False):
-    """Resample ``src`` at continuous (scol, srow) per output pixel.
+def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a,
+                       by_ref, bx_ref, py_ref, px_ref, srca_ref, srcb_ref,
+                       outa_ref, outb_ref, wina, winb, acca, accb,
+                       sema, semb):
+    """Dual-source variant of :func:`_warp_tile_kernel`: sample TWO images
+    through ONE coordinate field in one grid walk.
 
-    src: (H, W) float32 source image; scol, srow: (Ho, Wo) float32 sample
-    coordinates in source pixel units. Returns (Ho, Wo) float32. taps=2 is
-    bilinear (matches ``fragment.bilinear_sample`` incl. border clamp to f32
-    rounding); taps=4 is Keys bicubic a=-0.75 (matches
-    ``remap.bicubic_sample``). Valid wherever the within-tile spread of
-    (srow - row, scol - col) is <= (r_row, r_col); larger residuals clamp
-    toward the window edge.
+    The projective-texturing stage needs exactly this (fragment.py): the
+    shadow map (nearest) and the side frame (bilinear) are both sampled at
+    the same reprojection coordinates. Two stacked single-source passes pay
+    the coordinate/base/grid machinery twice; here the window DMAs of both
+    sources overlap, the residual fields and (for ``nearest_a=False``) the
+    tap weights are computed once, and only the slice+FMA accumulation
+    doubles.
 
-    valid (optional, (Ho, Wo) bool): pixels whose coordinates are
-    meaningful. Invalid pixels (e.g. background fragments projected to
-    arbitrary positions) are EXCLUDED from the per-tile base estimation so
-    they cannot blow a tile's residual budget; their own samples are
-    undefined (callers mask them downstream).
+    nearest_a: sample source A at the ROUNDED coordinates (GL_NEAREST
+    shadow-sampler semantics, shader.frag:17-18) — its tap weights become
+    one-hot at the integral residuals, reproducing ``nearest_sample``
+    exactly. With ``nearest_a=False`` source A shares source B's bilinear
+    weights (one weight product per tap serves both FMAs).
     """
-    src = jnp.asarray(src, jnp.float32)
-    h, w = src.shape
-    ho, wo = scol.shape
+    ti = pl.program_id(0)
+    tj = pl.program_id(1)
+    ntx = pl.num_programs(1)
+    wh2 = wh + 8
+    ww2 = _round_up(ww, 128) + 128
 
-    # Border handling: do NOT clamp coordinates at the image edge — a hard
-    # clamp flattens the coordinate field where it overhangs the border,
-    # creating an artificial within-tile spread as large as the overhang
-    # (which blew the residual budget of border tiles). Instead let
-    # coordinates run into the edge-replicated source padding below, where
-    # every tap reads the border value — the same result bilinear_sample's
-    # clamp produces, but with the displacement field left smooth. Only
-    # clamp at the pad limits.
+    rems = []
+    dmas = []
+    for s in range(sub):
+        tile = (ti * sub + s) * ntx + tj
+        by_raw = by_ref[tile]
+        bx_raw = bx_ref[tile]
+        by = pl.multiple_of((by_raw // 8) * 8, 8)
+        bx = pl.multiple_of((bx_raw // 128) * 128, 128)
+        rems.append((by_raw - (by_raw // 8) * 8,
+                     bx_raw - (bx_raw // 128) * 128))
+        da = pltpu.make_async_copy(
+            srca_ref.at[pl.ds(by, wh2), pl.ds(bx, ww2)], wina.at[s],
+            sema.at[s])
+        db = pltpu.make_async_copy(
+            srcb_ref.at[pl.ds(by, wh2), pl.ds(bx, ww2)], winb.at[s],
+            semb.at[s])
+        da.start()
+        db.start()
+        dmas.append((da, db))
+
+    half = taps // 2 - 1
+    i_loc = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 0).astype(
+        jnp.float32)
+    j_loc = jax.lax.broadcasted_iota(jnp.int32, (TH, TW), 1).astype(
+        jnp.float32)
+    weight = _hat_weight if taps == 2 else _cubic_weight
+
+    for s in range(sub):
+        rem_y, rem_x = rems[s]
+        py = py_ref[s * TH:(s + 1) * TH]
+        px = px_ref[s * TH:(s + 1) * TH]
+        lo_y, hi_y = float(half), wh - TH - half - 1e-3
+        lo_x, hi_x = float(half), ww - TW - half - 1e-3
+        ry = jnp.clip(py - i_loc, lo_y, hi_y)
+        rx = jnp.clip(px - j_loc, lo_x, hi_x)
+        if nearest_a:
+            # integral residuals: base (by) is integer, so rounding the
+            # window-relative coordinate == rounding the absolute one.
+            # floor(x + 0.5), NOT jnp.round: banker's rounding breaks .5
+            # ties toward even, which differs under integer offsets —
+            # tie direction must not depend on the tile's window base
+            rya = jnp.clip(jnp.floor(py + 0.5) - i_loc, lo_y, hi_y)
+            rxa = jnp.clip(jnp.floor(px + 0.5) - j_loc, lo_x, hi_x)
+
+        da, db = dmas[s]
+        da.wait()
+        db.wait()
+        wa = wina[s]
+        wb = winb[s]
+        roll_y = jnp.mod(wh2 - rem_y, wh2)
+        roll_x = jnp.mod(ww2 - rem_x, ww2)
+        wa = pltpu.roll(pltpu.roll(wa, roll_y, axis=0), roll_x, axis=1)
+        wb = pltpu.roll(pltpu.roll(wb, roll_y, axis=0), roll_x, axis=1)
+
+        n_rows = wh - TH + 1
+        n_cols = ww - TW + 1
+        wys = [weight(ry - dy) for dy in range(n_rows)]
+        wysa = ([weight(rya - dy) for dy in range(n_rows)]
+                if nearest_a else wys)
+        if n_cols >= 20:
+            # residual-span column skipping (see _warp_tile_kernel): the
+            # guard bound covers both residual fields (they differ by the
+            # rounding, <= 0.5)
+            rx_hi = jnp.max(rx) + taps * 0.5 + (0.5 if nearest_a else 0.0)
+            acca[:] = jnp.zeros((TH, TW), jnp.float32)
+            accb[:] = jnp.zeros((TH, TW), jnp.float32)
+            for dx in range(n_cols):
+                @pl.when(dx <= rx_hi)
+                def _col():
+                    wx = weight(rx - dx)
+                    wxa = weight(rxa - dx) if nearest_a else wx
+                    wca = wa[:, dx:dx + TW]
+                    wcb = wb[:, dx:dx + TW]
+                    parta = jnp.zeros((TH, TW), jnp.float32)
+                    partb = jnp.zeros((TH, TW), jnp.float32)
+                    for dy in range(n_rows):
+                        wp = wys[dy] * wx
+                        partb = partb + wp * wcb[dy:dy + TH]
+                        wpa = (wysa[dy] * wxa) if nearest_a else wp
+                        parta = parta + wpa * wca[dy:dy + TH]
+                    acca[:] = acca[:] + parta
+                    accb[:] = accb[:] + partb
+            outa_ref[s * TH:(s + 1) * TH] = acca[:]
+            outb_ref[s * TH:(s + 1) * TH] = accb[:]
+        else:
+            outa = jnp.zeros((TH, TW), jnp.float32)
+            outb = jnp.zeros((TH, TW), jnp.float32)
+            for dx in range(n_cols):
+                wx = weight(rx - dx)
+                wxa = weight(rxa - dx) if nearest_a else wx
+                wca = wa[:, dx:dx + TW]
+                wcb = wb[:, dx:dx + TW]
+                for dy in range(n_rows):
+                    wp = wys[dy] * wx
+                    outb = outb + wp * wcb[dy:dy + TH]
+                    wpa = (wysa[dy] * wxa) if nearest_a else wp
+                    outa = outa + wpa * wca[dy:dy + TH]
+            outa_ref[s * TH:(s + 1) * TH] = outa
+            outb_ref[s * TH:(s + 1) * TH] = outb
+
+
+def _prep_warp_coords(scol, srow, valid, h, w, r_row: int, r_col: int,
+                      taps: int):
+    """Shared XLA-side coordinate machinery of the tile warp: pad the
+    displacement fields, fit the per-tile integer window bases, and produce
+    window-relative sample coordinates. Returns
+    (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp, by, bx, py, px);
+    the caller pads each SOURCE with ((padt, padb), (padl, padr)) edge mode.
+
+    Border handling: do NOT clamp coordinates at the image edge — a hard
+    clamp flattens the coordinate field where it overhangs the border,
+    creating an artificial within-tile spread as large as the overhang
+    (which blew the residual budget of border tiles). Instead coordinates
+    run into the edge-replicated source padding, where every tap reads the
+    border value — the same result bilinear_sample's clamp produces, but
+    with the displacement field left smooth. Only clamp at the pad limits.
+    """
+    ho, wo = scol.shape
     scol = jnp.asarray(scol, jnp.float32)
     srow = jnp.asarray(srow, jnp.float32)
 
@@ -250,8 +361,7 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
     ww2 = _round_up(ww, 128) + 128
     padt, padl = TH - 1 + wh, TW - 1 + ww
     padb, padr = wh2, ww2
-    src_p = jnp.pad(src, ((padt, padb), (padl, padr)), mode="edge")
-    hs, ws = src_p.shape
+    hs, ws = h + padt + padb, w + padl + padr
     # pad-limit clamp (the only clamp; see border note above): both taps of
     # any in-range coordinate stay inside the replicated padding
     srow_p = jnp.clip(srow_p + padt, 1.0, hs - 2.0)
@@ -292,6 +402,39 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
                            (nty, TH, ntx, TW)).reshape(hp, wp)
     py = srow_p - byf
     px = scol_p - bxf
+    return (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp,
+            by, bx, py, px)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("r_row", "r_col", "taps", "interpret")
+)
+def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
+                     r_col: int = R_COL, taps: int = 2,
+                     interpret: bool = False):
+    """Resample ``src`` at continuous (scol, srow) per output pixel.
+
+    src: (H, W) float32 source image; scol, srow: (Ho, Wo) float32 sample
+    coordinates in source pixel units. Returns (Ho, Wo) float32. taps=2 is
+    bilinear (matches ``fragment.bilinear_sample`` incl. border clamp to f32
+    rounding); taps=4 is Keys bicubic a=-0.75 (matches
+    ``remap.bicubic_sample``). Valid wherever the within-tile spread of
+    (srow - row, scol - col) is <= (r_row, r_col); larger residuals clamp
+    toward the window edge.
+
+    valid (optional, (Ho, Wo) bool): pixels whose coordinates are
+    meaningful. Invalid pixels (e.g. background fragments projected to
+    arbitrary positions) are EXCLUDED from the per-tile base estimation so
+    they cannot blow a tile's residual budget; their own samples are
+    undefined (callers mask them downstream).
+    """
+    src = jnp.asarray(src, jnp.float32)
+    h, w = src.shape
+    prep = _prep_warp_coords(scol, srow, valid, h, w, r_row, r_col, taps)
+    (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp,
+     by, bx, py, px) = prep
+    src_p = jnp.pad(src, ((padt, padb), (padl, padr)), mode="edge")
+    ho, wo = scol.shape
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -318,6 +461,121 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
         interpret=interpret,
     )(by.reshape(-1), bx.reshape(-1), py, px, src_p)
     return out[:ho, :wo]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r_row", "r_col", "taps", "nearest_a", "interpret"),
+)
+def tile_warp_sample2(src_a, src_b, scol, srow, valid=None,
+                      r_row: int = R_ROW, r_col: int = R_COL, taps: int = 2,
+                      nearest_a: bool = True, interpret: bool = False):
+    """Sample TWO same-shape sources at ONE coordinate field in one kernel
+    pass (see :func:`_warp_tile_kernel2`). Returns (out_a, out_b).
+
+    src_a is sampled NEAREST (``nearest_a=True``, default — matches
+    ``fragment.nearest_sample``) or with the shared bilinear weights;
+    src_b is always taps-interpolated at the exact coordinates (matches
+    ``fragment.bilinear_sample`` / ``remap.bicubic_sample``).
+    """
+    src_a = jnp.asarray(src_a, jnp.float32)
+    src_b = jnp.asarray(src_b, jnp.float32)
+    h, w = src_b.shape
+    prep = _prep_warp_coords(scol, srow, valid, h, w, r_row, r_col, taps)
+    (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp,
+     by, bx, py, px) = prep
+    pads = ((padt, padb), (padl, padr))
+    srca_p = jnp.pad(src_a, pads, mode="edge")
+    srcb_p = jnp.pad(src_b, pads, mode="edge")
+    ho, wo = scol.shape
+
+    blk = pl.BlockSpec((TH * sub, TW), lambda i, j, *_: (i, j),
+                       memory_space=pltpu.VMEM)
+    win_shape = (sub, wh + 8, _round_up(ww, 128) + 128)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(nty // sub, ntx),
+        in_specs=[blk, blk,
+                  pl.BlockSpec(memory_space=pltpu.HBM),
+                  pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=[blk, blk],
+        scratch_shapes=[
+            pltpu.VMEM(win_shape, jnp.float32),
+            pltpu.VMEM(win_shape, jnp.float32),
+            pltpu.VMEM((TH, TW), jnp.float32),
+            pltpu.VMEM((TH, TW), jnp.float32),
+            pltpu.SemaphoreType.DMA((sub,)),
+            pltpu.SemaphoreType.DMA((sub,)),
+        ],
+    )
+    out_a, out_b = pl.pallas_call(
+        functools.partial(_warp_tile_kernel2, wh, ww, taps, sub, nearest_a),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((hp, wp), jnp.float32)],
+        interpret=interpret,
+    )(by.reshape(-1), bx.reshape(-1), py, px, srca_p, srcb_p)
+    return out_a[:ho, :wo], out_b[:ho, :wo]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("r_row", "r_col", "taps", "nearest_a", "interpret"),
+)
+def tile_warp_sample2_batched(srcs_a, srcs_b, scols, srows, valid=None,
+                              r_row: int = R_ROW, r_col: int = R_COL,
+                              taps: int = 2, nearest_a: bool = True,
+                              interpret: bool = False):
+    """Batched dual-source resample: two (..., H, W) source stacks sampled
+    at ONE (..., H, W) coordinate field -> two (..., H, W) outputs, all in
+    ONE kernel invocation (vertical stacking + guard bands exactly as
+    :func:`tile_warp_sample_batched`)."""
+    lead = srcs_b.shape[:-2]
+    h, w = srcs_b.shape[-2:]
+    srcs_a = srcs_a.reshape((-1, h, w))
+    srcs_b = srcs_b.reshape((-1, h, w))
+    scols = scols.reshape((-1, h, w))
+    srows = srows.reshape((-1, h, w))
+    vflat = None if valid is None else jnp.asarray(valid).reshape((-1, h, w))
+    k = srcs_b.shape[0]
+    if h % TH != 0:
+        # output tiles would straddle images: two stacked single passes
+        # (the fallback path — correctness over speed at odd sizes)
+        both = tile_warp_sample_batched(
+            jnp.concatenate([srcs_a, srcs_b], axis=0),
+            jnp.concatenate(
+                [jnp.floor(scols + 0.5) if nearest_a else scols, scols],
+                axis=0),
+            jnp.concatenate(
+                [jnp.floor(srows + 0.5) if nearest_a else srows, srows],
+                axis=0),
+            valid=None if vflat is None
+            else jnp.concatenate([vflat] * 2, axis=0),
+            r_row=r_row, r_col=r_col, taps=taps, interpret=interpret)
+        return (both[:k].reshape(lead + (h, w)),
+                both[k:].reshape(lead + (h, w)))
+
+    gt, gb = 24, 48  # top/bottom guards; stride stays a multiple of 8
+    stride = gt + h + gb
+
+    def stack(srcs):
+        return jnp.concatenate(
+            [jnp.broadcast_to(srcs[:, :1], (k, gt, w)),
+             srcs,
+             jnp.broadcast_to(srcs[:, -1:], (k, gb, w))], axis=1
+        ).reshape(k * stride, w)
+
+    over = 12.0  # allowed smooth overhang into the replicated guards
+    srow_local = jnp.clip(srows, -over, h - 1 + over)
+    srow = (srow_local + gt
+            + (jnp.arange(k, dtype=jnp.float32) * stride)[:, None, None]
+            ).reshape(k * h, w)
+    out_a, out_b = tile_warp_sample2(
+        stack(srcs_a), stack(srcs_b), scols.reshape(k * h, w), srow,
+        valid=None if vflat is None else vflat.reshape(k * h, w),
+        r_row=r_row, r_col=r_col, taps=taps, nearest_a=nearest_a,
+        interpret=interpret)
+    return out_a.reshape(lead + (h, w)), out_b.reshape(lead + (h, w))
 
 
 def tile_warp_bilinear(src, scol, srow, r_row: int = R_ROW,

@@ -127,6 +127,8 @@ class Config:
     flow_levels: int = 0     # pyramid depth (0 = default 6)
     hs_fused_min_px: int = 0  # stack-px floor for the fused band kernel
     variance_mode: str = ""   # "" = default; rewarp|taylor (fused.py)
+    variance_taps: int = 0    # rewarp interpolation: 0 = default; 2|4
+    shadow_sample: str = ""   # "" = default; nearest|bilinear (fragment.py)
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
     resume: bool = False
@@ -370,6 +372,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "side stack with the final flow (bicubic tile-warp "
                         "kernel); 'taylor' reuses the solver's final warp "
                         "+ gradients (first-order, no second gather pass)")
+    p.add_argument("--variance-taps", type=int, choices=(0, 2, 4), default=0,
+                   help="rewarp interpolation taps: 4 = Keys bicubic "
+                        "(CV_INTER_CUBIC parity, default), 2 = bilinear "
+                        "(~2x smaller kernel enumeration; gate quality)")
+    p.add_argument("--shadow-sample", choices=("nearest", "bilinear"),
+                   default="",
+                   help="shadow-map sampler in the projection kernel: "
+                        "'nearest' = GL_NEAREST parity (default); "
+                        "'bilinear' shares the intensity sample's weights "
+                        "(cheaper; softens the shadow test at depth edges)")
     return p
 
 
@@ -392,9 +404,14 @@ def apply_kernel_knobs(config) -> None:
         levels=getattr(config, "flow_levels", 0) or d_lv)
 
     from meshrecon.pipeline import fused
+    from meshrecon.raster import fragment
 
     fused.set_variance_mode(
-        getattr(config, "variance_mode", "") or fused._DEFAULT_VARIANCE)
+        getattr(config, "variance_mode", "") or fused._DEFAULT_VARIANCE,
+        taps=getattr(config, "variance_taps", 0)
+        or fused._DEFAULT_VARIANCE_TAPS)
+    fragment.set_shadow_sample(
+        getattr(config, "shadow_sample", "") or fragment._DEFAULT_SHADOW)
 
 
 def config_from_args(argv=None) -> Config:
@@ -553,4 +570,6 @@ def _config_for_file(args, in_file: str, out_file: str,
         flow_levels=args.flow_levels,
         hs_fused_min_px=args.hs_fused_min_px,
         variance_mode=args.variance_mode,
+        variance_taps=args.variance_taps,
+        shadow_sample=args.shadow_sample,
     )

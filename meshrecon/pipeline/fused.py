@@ -41,17 +41,34 @@ from meshrecon.raster.fragment import (projected_image,
 _VARIANCE_MODE = os.environ.get("MESHRECON_VARIANCE", "rewarp")
 _DEFAULT_VARIANCE = _VARIANCE_MODE
 
+# Interpolation order of the variance re-warp gather (rewarp mode): 4 =
+# Keys bicubic (CV_INTER_CUBIC parity with util.cpp:390-403's remap), 2 =
+# bilinear — the taps=2 residual enumeration is ~2x smaller (wh 24 -> 16
+# rows at the relaxed r_row=6 budget), and the variance consumer is an L1
+# compare cascade, not the flow targets. Quality-gate before flipping.
+_VARIANCE_TAPS = int(os.environ.get("MESHRECON_VARIANCE_TAPS", "4"))
+_DEFAULT_VARIANCE_TAPS = _VARIANCE_TAPS
 
-def set_variance_mode(mode: str | None = None):
-    """Set the variance-estimate mode mid-process (config/CLI plumbing);
-    clears jit caches so traces that baked the old mode cannot go stale."""
-    global _VARIANCE_MODE
-    if mode is None:
-        return
-    if mode not in ("rewarp", "taylor"):
-        raise ValueError(f"variance mode must be rewarp|taylor: {mode!r}")
-    if mode != _VARIANCE_MODE:
-        _VARIANCE_MODE = mode
+
+def set_variance_mode(mode: str | None = None, taps: int | None = None):
+    """Set the variance-estimate mode / re-warp taps mid-process (config/CLI
+    plumbing); clears jit caches so traces that baked the old values cannot
+    go stale."""
+    global _VARIANCE_MODE, _VARIANCE_TAPS
+    changed = False
+    if mode is not None:
+        if mode not in ("rewarp", "taylor"):
+            raise ValueError(f"variance mode must be rewarp|taylor: {mode!r}")
+        if mode != _VARIANCE_MODE:
+            _VARIANCE_MODE = mode
+            changed = True
+    if taps is not None:
+        if int(taps) not in (2, 4):
+            raise ValueError(f"variance taps must be 2|4: {taps}")
+        if int(taps) != _VARIANCE_TAPS:
+            _VARIANCE_TAPS = int(taps)
+            changed = True
+    if changed:
         jax.clear_caches()
 
 
@@ -210,7 +227,8 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
             from meshrecon.flow.tile_warp import tile_warp_flow_batched
 
             # relaxed final flow: reduced residual budget (variational.py)
-            rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4,
+            rewarped = tile_warp_flow_batched(mixed_all, flows2,
+                                              taps=_VARIANCE_TAPS,
                                               r_row=6, r_col=8)
         else:
             rewarped = jax.vmap(jax.vmap(flow_remap))(flows2, mixed_all)

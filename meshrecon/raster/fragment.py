@@ -24,11 +24,37 @@ Conventions replicated from shader.frag:
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 from meshrecon import BACKGROUND_DEPTH
+from meshrecon.flow.tile_warp import tile_warp_sample2_batched
+
+# Shadow-sampler mode for the dual projection kernel: True = GL_NEAREST
+# (shader.frag:17-18 parity, the default); False = share the intensity
+# sample's bilinear weights (one weight product serves both FMAs — cheaper,
+# but softens the shadow test across depth edges; quality-gate before
+# flipping). Env knob for hardware A/Bs.
+_SHADOW_NEAREST = os.environ.get("MESHRECON_SHADOW_SAMPLE",
+                                 "nearest") != "bilinear"
+_DEFAULT_SHADOW = "nearest" if _SHADOW_NEAREST else "bilinear"
+
+
+def set_shadow_sample(mode: str | None = None):
+    """Set the dual-kernel shadow sampling mode ('nearest'|'bilinear');
+    clears jit caches when the value changes so stale traces cannot serve."""
+    global _SHADOW_NEAREST
+    if mode is None:
+        return
+    if mode not in ("nearest", "bilinear"):
+        raise ValueError(f"shadow sample mode must be nearest|bilinear: "
+                         f"{mode!r}")
+    nearest = mode == "nearest"
+    if nearest != _SHADOW_NEAREST:
+        _SHADOW_NEAREST = nearest
+        jax.clear_caches()
 
 
 def _tpu_backend() -> bool:
@@ -74,9 +100,12 @@ def bilinear_sample(image, col, row):
 
 
 def nearest_sample(image, col, row):
+    # floor(x + 0.5) (round half UP), matching the dual tile-warp kernel's
+    # nearest path: banker's rounding would break .5 ties differently under
+    # the kernel's integer window offsets
     h, w = image.shape
-    c = jnp.clip(jnp.round(col).astype(jnp.int32), 0, w - 1)
-    r = jnp.clip(jnp.round(row).astype(jnp.int32), 0, h - 1)
+    c = jnp.clip(jnp.floor(col + 0.5).astype(jnp.int32), 0, w - 1)
+    r = jnp.clip(jnp.floor(row + 0.5).astype(jnp.int32), 0, h - 1)
     return image[r, c]
 
 
@@ -134,12 +163,12 @@ def projected_image(camera, depth_main, frame, projector, depth_side,
     if engine == "auto":
         engine = "pallas" if _tpu_backend() else "xla"
     if engine == "pallas":
-        from meshrecon.flow.tile_warp import tile_warp_sample
+        from meshrecon.flow.tile_warp import tile_warp_sample2
 
         coord_ok = valid & inframe
-        shadow_z = tile_warp_sample(shadow, jnp.round(scol), jnp.round(srow),
-                                    valid=coord_ok)
-        intensity = tile_warp_sample(frame, scol, srow, valid=coord_ok)
+        shadow_z, intensity = tile_warp_sample2(
+            shadow, frame, scol, srow, valid=coord_ok,
+            nearest_a=_SHADOW_NEAREST)
     else:
         shadow_z = nearest_sample(shadow, scol, srow)
         intensity = bilinear_sample(frame, scol, srow)
@@ -201,8 +230,6 @@ def projected_image_batched(cam_mains, depth_mains, frames, projectors,
     if engine == "auto":
         engine = "pallas" if _tpu_backend() else "xla"
     if engine == "pallas":
-        from meshrecon.flow.tile_warp import tile_warp_sample_batched
-
         # Full residual budget here: unlike the flow solver's relaxed
         # fields, reprojection coordinates jump at depth boundaries and a
         # reduced row budget measurably degraded the downstream flow
@@ -210,21 +237,21 @@ def projected_image_batched(cam_mains, depth_mains, frames, projectors,
         # +0.35 Mpix/s gain — rejected).
         #
         # Both sampling passes share the same coordinate field (shadow is
-        # the nearest sample = bilinear at rounded coords), so they ride
-        # ONE stacked kernel launch over 2*B*K images instead of two
-        # launches — the per-launch + per-grid-step fixed costs halve.
+        # the nearest sample at rounded coords), so they ride ONE
+        # dual-source kernel: one grid walk, one set of window bases and
+        # residual fields, overlapped window DMAs — only the tap
+        # accumulation doubles (tile_warp_sample2_batched; the previous
+        # 2*B*K vertically-stacked single-source launch paid the
+        # coordinate machinery and grid steps twice).
         coord_ok = valid & inframe
         bk = b * k
-        both = tile_warp_sample_batched(
-            jnp.concatenate([shadow.reshape(bk, h, w),
-                             frames.reshape(bk, h, w)], axis=0),
-            jnp.concatenate([jnp.round(scol).reshape(bk, h, w),
-                             scol.reshape(bk, h, w)], axis=0),
-            jnp.concatenate([jnp.round(srow).reshape(bk, h, w),
-                             srow.reshape(bk, h, w)], axis=0),
-            valid=jnp.concatenate([coord_ok.reshape(bk, h, w)] * 2, axis=0))
-        shadow_z = both[:bk].reshape(b, k, h, w)
-        intensity = both[bk:].reshape(b, k, h, w)
+        shadow_z, intensity = tile_warp_sample2_batched(
+            shadow.reshape(bk, h, w), frames.reshape(bk, h, w),
+            scol.reshape(bk, h, w), srow.reshape(bk, h, w),
+            valid=coord_ok.reshape(bk, h, w),
+            nearest_a=_SHADOW_NEAREST)
+        shadow_z = shadow_z.reshape(b, k, h, w)
+        intensity = intensity.reshape(b, k, h, w)
     else:
         shadow_z = jax.vmap(jax.vmap(nearest_sample))(shadow, scol, srow)
         intensity = jax.vmap(jax.vmap(bilinear_sample))(frames, scol, srow)

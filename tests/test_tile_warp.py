@@ -173,3 +173,87 @@ def test_batched_flow_warp_no_cross_image_bleed(img):
         jnp.asarray(imgs), jnp.asarray(flows), taps=2, interpret=True))
     assert np.all(out[0] < 1.0), "black image bled white neighbor values"
     assert np.all(out[1] > 254.0), "white image bled black neighbor values"
+
+
+# --- dual-source kernel (projection stage: shadow + intensity in one pass) ---
+
+
+def test_dual_nearest_bilinear_matches_gathers(img, rng):
+    """nearest_a=True: source A reproduces nearest_sample, source B
+    bilinear_sample, at one shared smooth coordinate field."""
+    from meshrecon.flow.tile_warp import tile_warp_sample2
+    from meshrecon.raster.fragment import nearest_sample
+
+    h, w = img.shape
+    other = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
+    c, r = _grid(h, w)
+    scol = c + 11.0 * np.sin(r / 37.0) + 2.0 * np.sin(c / 61.0)
+    srow = r - 7.5 * np.cos(c / 53.0)
+    out_a, out_b = tile_warp_sample2(other, img, scol, srow, interpret=True)
+    ref_a = np.asarray(nearest_sample(jnp.asarray(other), jnp.asarray(scol),
+                                      jnp.asarray(srow)))
+    np.testing.assert_allclose(np.asarray(out_a), ref_a, rtol=0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out_b), _ref(img, scol, srow),
+                               rtol=0, atol=1e-2)
+
+
+def test_dual_shared_bilinear_weights(img, rng):
+    """nearest_a=False: both sources bilinear at the exact coordinates."""
+    from meshrecon.flow.tile_warp import tile_warp_sample2
+
+    h, w = img.shape
+    other = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
+    c, r = _grid(h, w)
+    scol = c + 6.0 * np.sin(r / 31.0)
+    srow = r + 4.0 * np.cos(c / 41.0)
+    out_a, out_b = tile_warp_sample2(other, img, scol, srow,
+                                     nearest_a=False, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_a), _ref(other, scol, srow),
+                               rtol=0, atol=1e-2)
+    np.testing.assert_allclose(np.asarray(out_b), _ref(img, scol, srow),
+                               rtol=0, atol=1e-2)
+
+
+def test_dual_batched_matches_unbatched(img, rng):
+    from meshrecon.flow.tile_warp import (tile_warp_sample2,
+                                          tile_warp_sample2_batched)
+
+    h, w = img.shape
+    srcs_a = rng.uniform(0, 255, size=(3, h, w)).astype(np.float32)
+    srcs_b = rng.uniform(0, 255, size=(3, h, w)).astype(np.float32)
+    c, r = _grid(h, w)
+    scols = np.stack([c + 5.0 * np.sin(r / (29.0 + 7 * k)) for k in range(3)])
+    srows = np.stack([r - 3.0 * np.cos(c / (43.0 + 5 * k)) for k in range(3)])
+    got_a, got_b = tile_warp_sample2_batched(
+        jnp.asarray(srcs_a), jnp.asarray(srcs_b),
+        jnp.asarray(scols), jnp.asarray(srows), interpret=True)
+    for k in range(3):
+        ref_a, ref_b = tile_warp_sample2(srcs_a[k], srcs_b[k],
+                                         scols[k], srows[k], interpret=True)
+        np.testing.assert_allclose(np.asarray(got_a[k])[16:-16],
+                                   np.asarray(ref_a)[16:-16],
+                                   rtol=0, atol=1e-2, err_msg=f"A k={k}")
+        np.testing.assert_allclose(np.asarray(got_b[k])[16:-16],
+                                   np.asarray(ref_b)[16:-16],
+                                   rtol=0, atol=1e-2, err_msg=f"B k={k}")
+
+
+def test_dual_valid_mask_excludes_outliers(img, rng):
+    """Invalid pixels (garbage coordinates) must not blow a tile's budget."""
+    from meshrecon.flow.tile_warp import tile_warp_sample2
+
+    h, w = img.shape
+    other = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
+    c, r = _grid(h, w)
+    scol = c + 3.0 * np.sin(r / 33.0)
+    srow = r + 2.0 * np.cos(c / 37.0)
+    valid = np.ones((h, w), bool)
+    scol_g = scol.copy()
+    scol_g[5, 5] = 3000.0  # garbage coordinate, masked invalid
+    valid[5, 5] = False
+    out_a, out_b = tile_warp_sample2(other, img, scol_g, srow, valid=valid,
+                                     interpret=True)
+    ref_b = _ref(img, scol, srow)
+    mask = valid
+    np.testing.assert_allclose(np.asarray(out_b)[mask], ref_b[mask],
+                               rtol=0, atol=1e-2)

@@ -84,7 +84,8 @@ def main():
             # bicubic tile-warp at the relaxed-budget radii, then compare
             if F._sampling_engine() == "pallas":
                 from meshrecon.flow.tile_warp import tile_warp_flow_batched
-                rewarped = tile_warp_flow_batched(mixed_all, flows2, taps=4,
+                rewarped = tile_warp_flow_batched(mixed_all, flows2,
+                                                  taps=F._VARIANCE_TAPS,
                                                   r_row=6, r_col=8)
             else:
                 rewarped = jax.vmap(jax.vmap(F.flow_remap))(flows2, mixed_all)

@@ -86,6 +86,16 @@ CONFIGS = {
                        "_ensemble_triple": True},
     "trim2cons3ens2mb8": {"poisson_trim": 2.0, "consensus_rounds": 3,
                           "min_bundles": 8, "_ensemble_pair": True},
+    # variance-rewarp interpolation: bilinear halves the rewarp kernel's
+    # residual enumeration — gate vs the bicubic CV_INTER_CUBIC default
+    "trim2vt2": {"poisson_trim": 2.0, "variance_taps": 2},
+    # bilinear shadow sampling shares the intensity sample's tap weights in
+    # the dual projection kernel (softens the shadow test at depth edges)
+    "trim2shb": {"poisson_trim": 2.0, "shadow_sample": "bilinear"},
+    # quality preset + shallow flow pyramid: does the lv3 perf default
+    # survive under the full ens3 quality machinery?
+    "trim2cons3ens3lv3": {"poisson_trim": 2.0, "consensus_rounds": 3,
+                          "flow_levels": 3, "_ensemble_triple": True},
 }
 
 

@@ -66,12 +66,18 @@ def _apply_knobs(opts) -> list[str]:
                        levels=int(lv) if lv else None)
         applied.append(
             f"flow={it or 'keep'}/{mp or 'keep'}/fw{fw or '-'}/lv{lv or '-'}")
-    var = opts.get("var")
-    if var:
+    var, vtaps = opts.get("var"), opts.get("vtaps")
+    if var or vtaps:
         from meshrecon.pipeline.fused import set_variance_mode
 
-        set_variance_mode(var)
-        applied.append(f"var={var}")
+        set_variance_mode(var or None, taps=int(vtaps) if vtaps else None)
+        applied.append(f"var={var or 'keep'}/t{vtaps or '-'}")
+    shadow = opts.get("shadow")
+    if shadow:
+        from meshrecon.raster.fragment import set_shadow_sample
+
+        set_shadow_sample(shadow)
+        applied.append(f"shadow={shadow}")
     return applied
 
 

@@ -107,6 +107,27 @@ def main():
     check("tile_warp batched[0] vs single", got[0], ref0, 5e-3, interior=8)
     check("tile_warp batched[1] vs single", got[1], ref1, 5e-3, interior=8)
 
+    # --- 2b: dual-source projection kernel (shadow + intensity, one pass) --
+    from meshrecon.flow.tile_warp import (tile_warp_sample2,
+                                          tile_warp_sample2_batched)
+    from meshrecon.raster.fragment import nearest_sample
+
+    other = jnp.asarray(smooth_image(h, w, seed=6))
+    ref_nn = nearest_sample(other, scol, srow)
+    got_a, got_b = tile_warp_sample2(other, imgj, scol, srow)
+    check("dual kernel nearest(A) vs gather", got_a, ref_nn, 5e-3, interior=8)
+    check("dual kernel bilinear(B) vs gather", got_b, ref_bl, 5e-3,
+          interior=8)
+    got_a, got_b = tile_warp_sample2(other, imgj, scol, srow, nearest_a=False)
+    check("dual kernel shared-bilinear(A)", got_a,
+          bilinear_sample(other, scol, srow), 5e-3, interior=8)
+    check("dual kernel shared-bilinear(B)", got_b, ref_bl, 5e-3, interior=8)
+    gb_a, gb_b = tile_warp_sample2_batched(
+        jnp.stack([other, other[::-1]]), stack, scols, srows)
+    check("dual batched[1] A vs single", gb_a[1],
+          nearest_sample(other[::-1], scol, srow), 5e-3, interior=8)
+    check("dual batched[1] B vs single", gb_b[1], ref1, 5e-3, interior=8)
+
     # --- 3: banded VMEM Jacobi vs XLA sweeps -------------------------------
     from meshrecon.flow.pallas_jacobi import hs_jacobi
     from meshrecon.flow.variational import _hs_sweeps, _gradients
