@@ -69,7 +69,7 @@ def _cubic_weight(t, a=-0.75):
     return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
 
 
-def _warp_tile_kernel(wh, ww, taps, sub, by_ref, bx_ref,
+def _warp_tile_kernel(wh, ww, taps, sub, narrow, by_ref, bx_ref,
                       py_ref, px_ref, src_ref, out_ref, win, acc, sem):
     """One grid step = ``sub`` vertically-adjacent output tiles: start ALL
     window DMAs up front (each tile's source window is independent), then
@@ -146,46 +146,73 @@ def _warp_tile_kernel(wh, ww, taps, sub, by_ref, bx_ref,
         # slice + FMA. The naive dy-outer/dx-inner order re-sliced lanes
         # 289 times and ran 29 ms — this order is the difference between
         # losing and beating the gather.
-        #
-        # Residual-span column SKIPPING (pl.when per dx column, guarding
-        # on max(rx) + taps/2) is applied ONLY at wide column budgets:
-        # scalar-core branches disrupt the VPU pipeline enough that the
-        # unconditional static enumeration wins below ~20 columns.
-        # Measured on v5e (K=3 640x480 stack, smooth ~2 px-spread field):
-        # solver r6/r8 0.59 ms unconditional vs 1.03 guarded; projection
-        # r14/r14 1.09 vs 1.18; but the plane-sweep budget r14/r24 1.62
-        # vs 1.27 — the guard only earns its branches when most of a wide
-        # enumeration is dead. (A first cut guarding every (dy, dx) tap
-        # with the accumulator in VMEM scratch was 2.8x WORSE overall:
-        # per-tap branches + a scratch load/store per tap instead of
-        # vector registers.)
-        wys = [weight(ry - dy) for dy in range(wh - TH + 1)]
+        n_rows = wh - TH + 1
         n_cols = ww - TW + 1
-        if n_cols >= 20:
-            rx_hi = jnp.max(rx) + taps * 0.5
-            acc[:] = jnp.zeros((TH, TW), jnp.float32)
-            for dx in range(n_cols):
-                @pl.when(dx <= rx_hi)
-                def _col():
+
+        def enumerate_taps(nr, nc, guard_cols):
+            # Residual-span column SKIPPING (pl.when per dx column,
+            # guarding on max(rx) + taps/2) is applied ONLY at wide column
+            # budgets: scalar-core branches disrupt the VPU pipeline enough
+            # that the unconditional static enumeration wins below ~20
+            # columns. Measured on v5e (K=3 640x480 stack, smooth ~2
+            # px-spread field): solver r6/r8 0.59 ms unconditional vs 1.03
+            # guarded; projection r14/r14 1.09 vs 1.18; but the plane-sweep
+            # budget r14/r24 1.62 vs 1.27 — the guard only earns its
+            # branches when most of a wide enumeration is dead. (A first
+            # cut guarding every (dy, dx) tap with the accumulator in VMEM
+            # scratch was 2.8x WORSE overall: per-tap branches + a scratch
+            # load/store per tap instead of vector registers.)
+            wys = [weight(ry - dy) for dy in range(nr)]
+            if guard_cols:
+                rx_hi = jnp.max(rx) + taps * 0.5
+                acc[:] = jnp.zeros((TH, TW), jnp.float32)
+                for dx in range(nc):
+                    @pl.when(dx <= rx_hi)
+                    def _col():
+                        wx = weight(rx - dx)
+                        wcol = w[:, dx:dx + TW]
+                        part = jnp.zeros((TH, TW), jnp.float32)
+                        for dy in range(nr):
+                            part = part + (wys[dy] * wx) * wcol[dy:dy + TH]
+                        acc[:] = acc[:] + part
+                out_ref[s * TH:(s + 1) * TH] = acc[:]
+            else:
+                out = jnp.zeros((TH, TW), jnp.float32)
+                for dx in range(nc):
                     wx = weight(rx - dx)
                     wcol = w[:, dx:dx + TW]
-                    part = jnp.zeros((TH, TW), jnp.float32)
-                    for dy in range(wh - TH + 1):
-                        part = part + (wys[dy] * wx) * wcol[dy:dy + TH]
-                    acc[:] = acc[:] + part
-            out_ref[s * TH:(s + 1) * TH] = acc[:]
+                    for dy in range(nr):
+                        out = out + (wys[dy] * wx) * wcol[dy:dy + TH]
+                out_ref[s * TH:(s + 1) * TH] = out
+
+        # Narrow/wide dual path: the per-tile window base is the tile's own
+        # MINIMAL displacement, so residuals span exactly the within-tile
+        # spread — a few pixels on smooth fields, the full budget only at
+        # depth/motion discontinuities. When every nonzero-weight tap
+        # provably fits a (narrow, narrow) enumeration (tap weight support
+        # is |t| < taps/2, so max residual <= narrow - taps/2 suffices),
+        # run that small static loop instead of the full budget — EXACT:
+        # the skipped terms are identically zero. Two scalar branches per
+        # tile pick the specialization.
+        nr_n, nc_n = min(narrow, n_rows), min(narrow, n_cols)
+        if narrow and (nr_n < n_rows or nc_n < n_cols):
+            fits = ((jnp.max(ry) <= nr_n - taps * 0.5)
+                    & (jnp.max(rx) <= nc_n - taps * 0.5))
+
+            @pl.when(fits)
+            def _narrow():
+                enumerate_taps(nr_n, nc_n, False)
+
+            @pl.when(jnp.logical_not(fits))
+            def _wide():
+                enumerate_taps(n_rows, n_cols, n_cols >= 20)
         else:
-            out = jnp.zeros((TH, TW), jnp.float32)
-            for dx in range(n_cols):
-                wx = weight(rx - dx)
-                wcol = w[:, dx:dx + TW]
-                for dy in range(wh - TH + 1):
-                    out = out + (wys[dy] * wx) * wcol[dy:dy + TH]
-            out_ref[s * TH:(s + 1) * TH] = out
+            enumerate_taps(n_rows, n_cols, n_cols >= 20)
 
 
-def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a,
-                       by_ref, bx_ref, py_ref, px_ref, srca_ref, srcb_ref,
+def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow,
+                       by_ref, bx_ref, py_ref, px_ref, pya_ref, pxa_ref,
+                       srca_ref, srcb_ref,
                        outa_ref, outb_ref, wina, winb, acca, accb,
                        sema, semb):
     """Dual-source variant of :func:`_warp_tile_kernel`: sample TWO images
@@ -247,13 +274,13 @@ def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a,
         ry = jnp.clip(py - i_loc, lo_y, hi_y)
         rx = jnp.clip(px - j_loc, lo_x, hi_x)
         if nearest_a:
-            # integral residuals: base (by) is integer, so rounding the
-            # window-relative coordinate == rounding the absolute one.
-            # floor(x + 0.5), NOT jnp.round: banker's rounding breaks .5
-            # ties toward even, which differs under integer offsets —
-            # tie direction must not depend on the tile's window base
-            rya = jnp.clip(jnp.floor(py + 0.5) - i_loc, lo_y, hi_y)
-            rxa = jnp.clip(jnp.floor(px + 0.5) - j_loc, lo_x, hi_x)
+            # the wrapper rounds the RAW coordinates (pre-offset) so these
+            # residuals are exactly integral — one-hot weights hit the same
+            # texel as fragment.nearest_sample at every .5 tie (rounding py
+            # here instead flipped ties through f32 reassociation of the
+            # pad/base offsets, caught by the on-TPU equality sweep)
+            rya = jnp.clip(pya_ref[s * TH:(s + 1) * TH] - i_loc, lo_y, hi_y)
+            rxa = jnp.clip(pxa_ref[s * TH:(s + 1) * TH] - j_loc, lo_x, hi_x)
 
         da, db = dmas[s]
         da.wait()
@@ -267,58 +294,90 @@ def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a,
 
         n_rows = wh - TH + 1
         n_cols = ww - TW + 1
-        wys = [weight(ry - dy) for dy in range(n_rows)]
-        wysa = ([weight(rya - dy) for dy in range(n_rows)]
-                if nearest_a else wys)
-        if n_cols >= 20:
-            # residual-span column skipping (see _warp_tile_kernel): the
-            # guard bound covers both residual fields (they differ by the
-            # rounding, <= 0.5)
-            rx_hi = jnp.max(rx) + taps * 0.5 + (0.5 if nearest_a else 0.0)
-            acca[:] = jnp.zeros((TH, TW), jnp.float32)
-            accb[:] = jnp.zeros((TH, TW), jnp.float32)
-            for dx in range(n_cols):
-                @pl.when(dx <= rx_hi)
-                def _col():
+
+        def enumerate_taps(nr, nc, guard_cols):
+            wys = [weight(ry - dy) for dy in range(nr)]
+            wysa = ([weight(rya - dy) for dy in range(nr)]
+                    if nearest_a else wys)
+            if guard_cols:
+                # residual-span column skipping (see _warp_tile_kernel):
+                # the guard bound covers both residual fields (they differ
+                # by the rounding, <= 0.5)
+                rx_hi = (jnp.max(rx) + taps * 0.5
+                         + (0.5 if nearest_a else 0.0))
+                acca[:] = jnp.zeros((TH, TW), jnp.float32)
+                accb[:] = jnp.zeros((TH, TW), jnp.float32)
+                for dx in range(nc):
+                    @pl.when(dx <= rx_hi)
+                    def _col():
+                        wx = weight(rx - dx)
+                        wxa = weight(rxa - dx) if nearest_a else wx
+                        wca = wa[:, dx:dx + TW]
+                        wcb = wb[:, dx:dx + TW]
+                        parta = jnp.zeros((TH, TW), jnp.float32)
+                        partb = jnp.zeros((TH, TW), jnp.float32)
+                        for dy in range(nr):
+                            wp = wys[dy] * wx
+                            partb = partb + wp * wcb[dy:dy + TH]
+                            wpa = (wysa[dy] * wxa) if nearest_a else wp
+                            parta = parta + wpa * wca[dy:dy + TH]
+                        acca[:] = acca[:] + parta
+                        accb[:] = accb[:] + partb
+                outa_ref[s * TH:(s + 1) * TH] = acca[:]
+                outb_ref[s * TH:(s + 1) * TH] = accb[:]
+            else:
+                outa = jnp.zeros((TH, TW), jnp.float32)
+                outb = jnp.zeros((TH, TW), jnp.float32)
+                for dx in range(nc):
                     wx = weight(rx - dx)
                     wxa = weight(rxa - dx) if nearest_a else wx
                     wca = wa[:, dx:dx + TW]
                     wcb = wb[:, dx:dx + TW]
-                    parta = jnp.zeros((TH, TW), jnp.float32)
-                    partb = jnp.zeros((TH, TW), jnp.float32)
-                    for dy in range(n_rows):
+                    for dy in range(nr):
                         wp = wys[dy] * wx
-                        partb = partb + wp * wcb[dy:dy + TH]
+                        outb = outb + wp * wcb[dy:dy + TH]
                         wpa = (wysa[dy] * wxa) if nearest_a else wp
-                        parta = parta + wpa * wca[dy:dy + TH]
-                    acca[:] = acca[:] + parta
-                    accb[:] = accb[:] + partb
-            outa_ref[s * TH:(s + 1) * TH] = acca[:]
-            outb_ref[s * TH:(s + 1) * TH] = accb[:]
+                        outa = outa + wpa * wca[dy:dy + TH]
+                outa_ref[s * TH:(s + 1) * TH] = outa
+                outb_ref[s * TH:(s + 1) * TH] = outb
+
+        # narrow/wide dual path, exactly as _warp_tile_kernel; both residual
+        # fields must fit
+        nr_n, nc_n = min(narrow, n_rows), min(narrow, n_cols)
+        if narrow and (nr_n < n_rows or nc_n < n_cols):
+            my = jnp.maximum(jnp.max(ry), jnp.max(rya)) if nearest_a \
+                else jnp.max(ry)
+            mx = jnp.maximum(jnp.max(rx), jnp.max(rxa)) if nearest_a \
+                else jnp.max(rx)
+            fits = ((my <= nr_n - taps * 0.5)
+                    & (mx <= nc_n - taps * 0.5))
+
+            @pl.when(fits)
+            def _narrow():
+                enumerate_taps(nr_n, nc_n, False)
+
+            @pl.when(jnp.logical_not(fits))
+            def _wide():
+                enumerate_taps(n_rows, n_cols, n_cols >= 20)
         else:
-            outa = jnp.zeros((TH, TW), jnp.float32)
-            outb = jnp.zeros((TH, TW), jnp.float32)
-            for dx in range(n_cols):
-                wx = weight(rx - dx)
-                wxa = weight(rxa - dx) if nearest_a else wx
-                wca = wa[:, dx:dx + TW]
-                wcb = wb[:, dx:dx + TW]
-                for dy in range(n_rows):
-                    wp = wys[dy] * wx
-                    outb = outb + wp * wcb[dy:dy + TH]
-                    wpa = (wysa[dy] * wxa) if nearest_a else wp
-                    outa = outa + wpa * wca[dy:dy + TH]
-            outa_ref[s * TH:(s + 1) * TH] = outa
-            outb_ref[s * TH:(s + 1) * TH] = outb
+            enumerate_taps(n_rows, n_cols, n_cols >= 20)
 
 
 def _prep_warp_coords(scol, srow, valid, h, w, r_row: int, r_col: int,
-                      taps: int):
+                      taps: int, scol2=None, srow2=None):
     """Shared XLA-side coordinate machinery of the tile warp: pad the
     displacement fields, fit the per-tile integer window bases, and produce
     window-relative sample coordinates. Returns
-    (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp, by, bx, py, px);
-    the caller pads each SOURCE with ((padt, padb), (padl, padr)) edge mode.
+    (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp, by, bx, py, px,
+    py2, px2); the caller pads each SOURCE with ((padt, padb), (padl, padr))
+    edge mode.
+
+    scol2/srow2 (optional): a SECOND coordinate field sharing the first's
+    window bases (the dual kernel's rounded nearest-sampler coordinates —
+    integral raw values stay exactly integral through the integer pad/base
+    offsets, so in-kernel weights are exactly one-hot; rounding the
+    offset-shifted py instead flipped .5 ties through f32 reassociation,
+    caught by the on-TPU equality sweep). py2/px2 are None when not given.
 
     Border handling: do NOT clamp coordinates at the image edge — a hard
     clamp flattens the coordinate field where it overhangs the border,
@@ -402,15 +461,43 @@ def _prep_warp_coords(scol, srow, valid, h, w, r_row: int, r_col: int,
                            (nty, TH, ntx, TW)).reshape(hp, wp)
     py = srow_p - byf
     px = scol_p - bxf
+    py2 = px2 = None
+    if scol2 is not None:
+        gy2 = jnp.pad(jnp.asarray(srow2, jnp.float32) - rows_o, pad2,
+                      mode="edge")
+        gx2 = jnp.pad(jnp.asarray(scol2, jnp.float32) - cols_o, pad2,
+                      mode="edge")
+        srow2_p = jnp.clip(gy2 + jnp.arange(hp, dtype=jnp.float32)[:, None]
+                           + padt, 1.0, hs - 2.0)
+        scol2_p = jnp.clip(gx2 + jnp.arange(wp, dtype=jnp.float32)[None, :]
+                           + padl, 1.0, ws - 2.0)
+        py2 = srow2_p - byf
+        px2 = scol2_p - bxf
     return (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp,
-            by, bx, py, px)
+            by, bx, py, px, py2, px2)
+
+
+_NARROW_DEFAULT = int(__import__("os").environ.get(
+    "MESHRECON_WARP_NARROW", "-1"))  # A/B knob: 0 disables the narrow path
+
+
+def _narrow_size(narrow: int, taps: int) -> int:
+    """Resolve the narrow-path enumeration size: -1 = auto (6 for bilinear,
+    8 for bicubic — the bicubic support eats taps/2 = 2 of the span), 0 =
+    disabled, else the given size."""
+    if narrow == -1:
+        narrow = _NARROW_DEFAULT
+    if narrow == -1:
+        return 6 if taps == 2 else 8
+    return narrow
 
 
 @functools.partial(
-    jax.jit, static_argnames=("r_row", "r_col", "taps", "interpret")
+    jax.jit,
+    static_argnames=("r_row", "r_col", "taps", "narrow", "interpret"),
 )
 def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
-                     r_col: int = R_COL, taps: int = 2,
+                     r_col: int = R_COL, taps: int = 2, narrow: int = -1,
                      interpret: bool = False):
     """Resample ``src`` at continuous (scol, srow) per output pixel.
 
@@ -432,7 +519,7 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
     h, w = src.shape
     prep = _prep_warp_coords(scol, srow, valid, h, w, r_row, r_col, taps)
     (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp,
-     by, bx, py, px) = prep
+     by, bx, py, px, _, _) = prep
     src_p = jnp.pad(src, ((padt, padb), (padl, padr)), mode="edge")
     ho, wo = scol.shape
 
@@ -455,7 +542,8 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_warp_tile_kernel, wh, ww, taps, sub),
+        functools.partial(_warp_tile_kernel, wh, ww, taps, sub,
+                          _narrow_size(narrow, taps)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         interpret=interpret,
@@ -465,11 +553,14 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("r_row", "r_col", "taps", "nearest_a", "interpret"),
+    static_argnames=("r_row", "r_col", "taps", "nearest_a", "narrow",
+                     "interpret"),
 )
 def tile_warp_sample2(src_a, src_b, scol, srow, valid=None,
                       r_row: int = R_ROW, r_col: int = R_COL, taps: int = 2,
-                      nearest_a: bool = True, interpret: bool = False):
+                      nearest_a: bool = True, narrow: int = -1,
+                      scol_a=None, srow_a=None,
+                      interpret: bool = False):
     """Sample TWO same-shape sources at ONE coordinate field in one kernel
     pass (see :func:`_warp_tile_kernel2`). Returns (out_a, out_b).
 
@@ -481,9 +572,22 @@ def tile_warp_sample2(src_a, src_b, scol, srow, valid=None,
     src_a = jnp.asarray(src_a, jnp.float32)
     src_b = jnp.asarray(src_b, jnp.float32)
     h, w = src_b.shape
-    prep = _prep_warp_coords(scol, srow, valid, h, w, r_row, r_col, taps)
+    # nearest-sampler coordinates: round the RAW inputs (exact integers in
+    # f32) so the kernel's one-hot weights hit the same texel as
+    # fragment.nearest_sample at every .5 tie (see _prep_warp_coords);
+    # scol_a/srow_a let the batched wrapper round BEFORE its stride
+    # offsets (rounding after would re-expose the tie to f32 rounding)
+    scol_r = (jnp.asarray(scol_a, jnp.float32) if scol_a is not None
+              else jnp.floor(jnp.asarray(scol, jnp.float32) + 0.5))
+    srow_r = (jnp.asarray(srow_a, jnp.float32) if srow_a is not None
+              else jnp.floor(jnp.asarray(srow, jnp.float32) + 0.5))
+    prep = _prep_warp_coords(scol, srow, valid, h, w, r_row, r_col, taps,
+                             scol2=scol_r if nearest_a else None,
+                             srow2=srow_r if nearest_a else None)
     (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp,
-     by, bx, py, px) = prep
+     by, bx, py, px, pya, pxa) = prep
+    if pya is None:
+        pya, pxa = py, px  # unused by the kernel when nearest_a=False
     pads = ((padt, padb), (padl, padr))
     srca_p = jnp.pad(src_a, pads, mode="edge")
     srcb_p = jnp.pad(src_b, pads, mode="edge")
@@ -495,7 +599,7 @@ def tile_warp_sample2(src_a, src_b, scol, srow, valid=None,
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(nty // sub, ntx),
-        in_specs=[blk, blk,
+        in_specs=[blk, blk, blk, blk,
                   pl.BlockSpec(memory_space=pltpu.HBM),
                   pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=[blk, blk],
@@ -509,12 +613,13 @@ def tile_warp_sample2(src_a, src_b, scol, srow, valid=None,
         ],
     )
     out_a, out_b = pl.pallas_call(
-        functools.partial(_warp_tile_kernel2, wh, ww, taps, sub, nearest_a),
+        functools.partial(_warp_tile_kernel2, wh, ww, taps, sub, nearest_a,
+                          _narrow_size(narrow, taps)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32),
                    jax.ShapeDtypeStruct((hp, wp), jnp.float32)],
         interpret=interpret,
-    )(by.reshape(-1), bx.reshape(-1), py, px, srca_p, srcb_p)
+    )(by.reshape(-1), bx.reshape(-1), py, px, pya, pxa, srca_p, srcb_p)
     return out_a[:ho, :wo], out_b[:ho, :wo]
 
 
@@ -566,14 +671,20 @@ def tile_warp_sample2_batched(srcs_a, srcs_b, scols, srows, valid=None,
         ).reshape(k * stride, w)
 
     over = 12.0  # allowed smooth overhang into the replicated guards
+    offs = (jnp.arange(k, dtype=jnp.float32) * stride)[:, None, None]
     srow_local = jnp.clip(srows, -over, h - 1 + over)
-    srow = (srow_local + gt
-            + (jnp.arange(k, dtype=jnp.float32) * stride)[:, None, None]
-            ).reshape(k * h, w)
+    srow = (srow_local + gt + offs).reshape(k * h, w)
+    # nearest-sampler coords: round LOCALLY, then shift by the exact
+    # integer offsets — rounding the shifted field would re-expose .5
+    # ties to f32 rounding of (coord + offset)
+    srow_a = (jnp.floor(srow_local + 0.5) + gt + offs).reshape(k * h, w)
+    scol_a = jnp.floor(scols + 0.5).reshape(k * h, w)
     out_a, out_b = tile_warp_sample2(
         stack(srcs_a), stack(srcs_b), scols.reshape(k * h, w), srow,
         valid=None if vflat is None else vflat.reshape(k * h, w),
         r_row=r_row, r_col=r_col, taps=taps, nearest_a=nearest_a,
+        scol_a=scol_a if nearest_a else None,
+        srow_a=srow_a if nearest_a else None,
         interpret=interpret)
     return out_a.reshape(lead + (h, w)), out_b.reshape(lead + (h, w))
 

@@ -257,3 +257,45 @@ def test_dual_valid_mask_excludes_outliers(img, rng):
     mask = valid
     np.testing.assert_allclose(np.asarray(out_b)[mask], ref_b[mask],
                                rtol=0, atol=1e-2)
+
+
+def test_narrow_wide_branch_exact(img):
+    """A field that is nearly constant in most tiles but jumps inside a few
+    must be exact on BOTH specializations (narrow path skips only
+    provably-zero taps; jump tiles take the full budget)."""
+    h, w = img.shape
+    c, r = _grid(h, w)
+    scol = c + 3.3
+    srow = r + 2.7
+    # a 12-px displacement step through the middle rows: tiles straddling
+    # the step exceed the narrow span and must take the wide path
+    scol = scol + np.where((r > 40) & (r <= 48), 9.0, 0.0)
+    out = tile_warp_bilinear(img, scol, srow, interpret=True)
+    ref = _ref(img, scol, srow)
+    # rows away from the jump are bit-tight; the jump rows land within the
+    # r14 budget here too (spread 9 < 14), so everything matches
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-2)
+
+
+def test_dual_nearest_half_ties(img, rng):
+    """Exact .5 coordinates must pick the same texel as nearest_sample
+    (floor(x+0.5)) — the tie must not depend on tile bases or offsets."""
+    from meshrecon.flow.tile_warp import (tile_warp_sample2,
+                                          tile_warp_sample2_batched)
+    from meshrecon.raster.fragment import nearest_sample
+
+    h, w = img.shape
+    other = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
+    c, r = _grid(h, w)
+    scol = c + 2.5  # every coordinate an exact .5 tie
+    srow = r + 1.5
+    out_a, _ = tile_warp_sample2(other, img, scol, srow, interpret=True)
+    ref_a = np.asarray(nearest_sample(jnp.asarray(other), jnp.asarray(scol),
+                                      jnp.asarray(srow)))
+    np.testing.assert_allclose(np.asarray(out_a), ref_a, rtol=0, atol=1e-3)
+    # batched form: the stride offsets must not disturb the tie either
+    ga, _ = tile_warp_sample2_batched(
+        jnp.stack([other, other]), jnp.stack([img, img]),
+        jnp.stack([scol, scol]), jnp.stack([srow, srow]), interpret=True)
+    np.testing.assert_allclose(np.asarray(ga[0]), ref_a, rtol=0, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(ga[1]), ref_a, rtol=0, atol=1e-3)
