@@ -85,7 +85,7 @@ def main(argv=None):
         from meshrecon.flow.pyramid import compare
         from meshrecon.flow.shiftwarp import shift_warp_bicubic
 
-        kw = {}
+        kw = {"levels": 6}  # arbitrary frame pairs: large displacements
         if knobs["l"]:
             kw["levels"] = int(knobs["l"])
         if knobs["i"]:

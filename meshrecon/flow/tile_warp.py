@@ -185,23 +185,25 @@ def _warp_tile_kernel(wh, ww, taps, sub, narrow, by_ref, bx_ref,
                         out = out + (wys[dy] * wx) * wcol[dy:dy + TH]
                 out_ref[s * TH:(s + 1) * TH] = out
 
-        # Narrow/wide dual path: the per-tile window base is the tile's own
-        # MINIMAL displacement, so residuals span exactly the within-tile
-        # spread — a few pixels on smooth fields, the full budget only at
-        # depth/motion discontinuities. When every nonzero-weight tap
-        # provably fits a (narrow, narrow) enumeration (tap weight support
-        # is |t| < taps/2, so max residual <= narrow - taps/2 suffices),
-        # run that small static loop instead of the full budget — EXACT:
-        # the skipped terms are identically zero. Two scalar branches per
-        # tile pick the specialization.
-        nr_n, nc_n = min(narrow, n_rows), min(narrow, n_cols)
-        if narrow and (nr_n < n_rows or nc_n < n_cols):
-            fits = ((jnp.max(ry) <= nr_n - taps * 0.5)
-                    & (jnp.max(rx) <= nc_n - taps * 0.5))
+        # Narrow/wide ROW specialization: the per-tile window base is the
+        # tile's own MINIMAL displacement, so residuals span exactly the
+        # within-tile spread. Output tiles are (8, 128): across 8 ROWS a
+        # smooth field spreads a fraction of a pixel, while across 128
+        # LANES even a mildly sloped reprojection field spreads several
+        # pixels — so only the ROW span reliably fits a small budget (a
+        # both-axes fit test fired on almost no projection tile, measured
+        # v5e). When every nonzero-weight row tap provably fits ``narrow``
+        # rows (weight support |t| < taps/2, so max row residual <=
+        # narrow - taps/2 suffices), run the short row enumeration — EXACT,
+        # the skipped terms are identically zero; columns keep the dynamic
+        # rx_hi guard at wide budgets. One scalar branch pair per tile.
+        nr_n = min(narrow, n_rows)
+        if narrow and nr_n < n_rows:
+            fits = jnp.max(ry) <= nr_n - taps * 0.5
 
             @pl.when(fits)
             def _narrow():
-                enumerate_taps(nr_n, nc_n, False)
+                enumerate_taps(nr_n, n_cols, n_cols >= 20)
 
             @pl.when(jnp.logical_not(fits))
             def _wide():
@@ -341,20 +343,17 @@ def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow,
                 outa_ref[s * TH:(s + 1) * TH] = outa
                 outb_ref[s * TH:(s + 1) * TH] = outb
 
-        # narrow/wide dual path, exactly as _warp_tile_kernel; both residual
-        # fields must fit
-        nr_n, nc_n = min(narrow, n_rows), min(narrow, n_cols)
-        if narrow and (nr_n < n_rows or nc_n < n_cols):
+        # narrow/wide ROW specialization, exactly as _warp_tile_kernel;
+        # both residual fields must fit the row budget
+        nr_n = min(narrow, n_rows)
+        if narrow and nr_n < n_rows:
             my = jnp.maximum(jnp.max(ry), jnp.max(rya)) if nearest_a \
                 else jnp.max(ry)
-            mx = jnp.maximum(jnp.max(rx), jnp.max(rxa)) if nearest_a \
-                else jnp.max(rx)
-            fits = ((my <= nr_n - taps * 0.5)
-                    & (mx <= nc_n - taps * 0.5))
+            fits = my <= nr_n - taps * 0.5
 
             @pl.when(fits)
             def _narrow():
-                enumerate_taps(nr_n, nc_n, False)
+                enumerate_taps(nr_n, n_cols, n_cols >= 20)
 
             @pl.when(jnp.logical_not(fits))
             def _wide():

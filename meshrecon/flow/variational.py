@@ -76,12 +76,14 @@ _FLOW_ITERS = int(os.environ.get("MESHRECON_FLOW_ITERS", "0"))
 # fine initialization, so the cut applies only where it pays.
 _FLOW_FINE_WARPS = int(os.environ.get("MESHRECON_FLOW_FINE_WARPS", "0"))
 
-# Pyramid-depth override (0 = the caller's ``levels`` default, 6). The
+# Pyramid-depth override (0 = the caller's ``levels`` default — 3 for
+# the pipeline since round 4, 6 for the public flow API). The
 # pyramid exists to capture LARGE displacements; in the production
 # pipeline every variational solve runs against the RENDERED PREDICTION
 # of the main frame (recon.cpp:82-101 analog), whose residual flow is a
-# few pixels — the deep levels may be pure overhead there. Quality-gated
-# A/B knob, not a validated default.
+# few pixels — the deep levels re-derive a near-zero coarse field.
+# Validated round 4: bench +22%, quality-neutral at full res standalone
+# AND under the quality preset (BASELINE.md).
 _FLOW_LEVELS = int(os.environ.get("MESHRECON_FLOW_LEVELS", "0"))
 
 # import-time values = the process defaults a zero config knob restores
@@ -319,7 +321,7 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla",
 def variational_flow(
     prev,
     next_,
-    levels: int = 6,
+    levels: int = 3,
     iters: int | None = None,
     warps: int = 2,
     alpha: float = 12.0,
@@ -359,6 +361,14 @@ def variational_flow(
     levels: pyramid depth cap (also bounded by ``min_size``); the
     process-wide knob ``set_flow_knobs(levels=...)`` / MESHRECON_FLOW_LEVELS
     overrides a non-zero value here when set (0 = keep the caller's value).
+    Default 3 (round 4): the pipeline's flows run against RENDERED
+    predictions with few-pixel residuals, so the deep levels only re-derive
+    a near-zero coarse field — bench +22% (34.1 -> 41.4 Mpix/s/chip), and
+    quality-neutral at full res both standalone (trim2lv3 within draw
+    noise of trim2 on seeds 3/5) and under the quality preset
+    (trim2cons3ens3lv3 seed-5 0.0820/0.1805 vs 0.0836/0.1787, BASELINE.md
+    round 4). ``--flow-levels 6`` restores; standalone photography-style
+    flows with LARGE displacements (flow/api.py) keep a deep pyramid.
 
     engine: "auto" (Pallas kernels on TPU, XLA elsewhere), "pallas", "xla".
     solver: "cheb" (default, the production fast path) runs

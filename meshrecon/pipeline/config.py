@@ -124,7 +124,7 @@ class Config:
     raster_tile_w: int = 0   # raster tile cols/grid step (multiple of 128)
     flow_iters: int = 0      # relaxation sweeps/warp (0 = solver default)
     flow_fine_warps: int = 0  # warp iterations at the finest level only
-    flow_levels: int = 0     # pyramid depth (0 = default 6)
+    flow_levels: int = 0     # pyramid depth (0 = default 3; round 4)
     hs_fused_min_px: int = 0  # stack-px floor for the fused band kernel
     variance_mode: str = ""   # "" = default; rewarp|taylor (fused.py)
     variance_taps: int = 0    # rewarp interpolation: 0 = default; 2|4
@@ -285,12 +285,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "--trim analog; default 2, 0 disables)")
     p.add_argument("--preset", choices=("quality",), default=None,
                    help="named lever bundle. 'quality' = the measured-best "
-                        "full-res preset (BASELINE.md round 4): 2-draw "
+                        "full-res preset (BASELINE.md round 4): 3-draw "
                         "seed ensemble + 3 consensus-trim rounds on top of "
-                        "the default support trim — p90 target met on "
-                        "every studied seed. Explicit flags win over the "
-                        "preset; costs ~2x device compute (or a 2nd chip "
-                        "via --scene-devices 2)")
+                        "the default support trim — med <= 0.10 r and p90 "
+                        "<= 0.30 r on EVERY studied seed (worst 0.084 / "
+                        "0.180). Explicit flags win over the preset; costs "
+                        "~3x device compute (or 3 chips via "
+                        "--scene-devices 3)")
     p.add_argument("--ensemble-seeds", default=None, metavar="S1,S2,...",
                    help="reconstruct the point cloud under each of these "
                         "camera-draw seeds and mesh the union (averages out "
@@ -357,7 +358,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "double warp); the finest warp+solve pair is the "
                         "costliest flow stage")
     p.add_argument("--flow-levels", type=int, default=0,
-                   help="flow pyramid depth (0 = default 6). The pipeline's "
+                   help="flow pyramid depth (0 = default 3; 6 restores the "
+                        "deep pyramid). The pipeline's "
                         "flows run against rendered predictions with "
                         "few-pixel residuals; shallower pyramids skip "
                         "coarse levels that only matter for large "
@@ -517,12 +519,15 @@ def _config_for_file(args, in_file: str, out_file: str,
 
     verbosity = 99 if args.hyper_verbose else (2 if args.verbose else 0)
     if args.preset == "quality":
-        # measured-best full-res preset (BASELINE.md round 4): 2-draw
-        # ensemble union + iterated-consensus trim. Explicit flags win.
+        # measured-best full-res preset (BASELINE.md round 4): 3-draw
+        # ensemble union + iterated-consensus trim — meets the med <= 0.10
+        # / p90 <= 0.30 sphere-radius target on every studied seed.
+        # Explicit flags win.
         if args.consensus_rounds == 0:
             args.consensus_rounds = 3
         if not args.ensemble_seeds:
-            args.ensemble_seeds = f"{args.seed},{args.seed + 10}"
+            args.ensemble_seeds = (f"{args.seed},{args.seed + 10},"
+                                   f"{args.seed + 20}")
     return Config(
         track=track,
         frames=None if gray is None else np.asarray(gray, np.float32),

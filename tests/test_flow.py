@@ -144,7 +144,10 @@ def test_flow_recovers_large_translation():
     img = smooth_image(240, 320, seed=4)
     for d in (20, 40):
         moved = shift_image(img, d, 0)
-        flow = np.asarray(variational_flow(img, moved))
+        # deep pyramid: large displacements are the standalone-solver
+        # capability this test pins; the PIPELINE default is 3 levels
+        # (flows against rendered predictions, round 4)
+        flow = np.asarray(variational_flow(img, moved, levels=6))
         interior = flow[40:-40, 60:-60]
         err = np.abs(interior[..., 0] - d)
         assert np.median(err) < 1.0, f"shift {d}: med err {np.median(err)}"
@@ -204,7 +207,7 @@ def test_flow_recovers_translation_cheb(solver):
 def test_flow_recovers_large_translation_cheb():
     img = smooth_image(240, 320, seed=4)
     moved = shift_image(img, 40, 0)
-    flow = np.asarray(variational_flow(img, moved, solver="cheb"))
+    flow = np.asarray(variational_flow(img, moved, solver="cheb", levels=6))
     interior = flow[40:-40, 60:-60]
     err = np.abs(interior[..., 0] - 40)
     assert np.median(err) < 1.0, f"med err {np.median(err)}"
@@ -217,8 +220,8 @@ def test_want_residual_matches_true_rewarp():
     error of the last solve increment (sub-pixel by construction)."""
     a = smooth_image(64, 96, seed=3)
     b = shift_image(a, 2, 1)
-    flow_plain = np.asarray(variational_flow(a, b, engine="xla"))
-    flow, rewarped = variational_flow(a, b, engine="xla",
+    flow_plain = np.asarray(variational_flow(a, b, engine="xla", levels=6))
+    flow, rewarped = variational_flow(a, b, engine="xla", levels=6,
                                       want_residual=True)
     np.testing.assert_array_equal(np.asarray(flow), flow_plain)
     true_rewarp = np.asarray(flow_remap(jnp.asarray(flow), jnp.asarray(b)))

@@ -254,13 +254,14 @@ def test_e2e_through_decoded_clip_320x240(tmp_path):
 
 
 def test_preset_quality_maps_levers(tmp_path):
-    """--preset quality = 2-draw ensemble + consensus trim (BASELINE.md
-    round-4 measured-best); explicit flags must win over the preset."""
+    """--preset quality = 3-draw ensemble + consensus trim (BASELINE.md
+    round-4 measured-best — med/p90 target met on every studied seed);
+    explicit flags must win over the preset."""
     yaml = _write_scene(tmp_path, n_cams=2)
     _write_clip(tmp_path / "clip.avi", 2)
     cfg = config_from_args([yaml, "--preset", "quality", "--seed", "7"])
     assert cfg.consensus_rounds == 3
-    assert cfg.ensemble_seeds == (7, 17)
+    assert cfg.ensemble_seeds == (7, 17, 27)
     assert cfg.poisson_trim == 2.0  # the default trim rides along
 
     cfg = config_from_args([yaml, "--preset", "quality", "--seed", "7",

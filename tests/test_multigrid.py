@@ -71,7 +71,9 @@ def test_mg_flow_recovers_large_translation():
     img = smooth_image(240, 320, seed=4)
     for d in (20, 40):
         moved = shift_image(img, d, 0)
-        flow = np.asarray(variational_flow(img, moved, solver="mg"))
+        # deep pyramid: standalone large-displacement capability (the
+        # pipeline default is 3 levels since round 4)
+        flow = np.asarray(variational_flow(img, moved, solver="mg", levels=6))
         interior = flow[40:-40, 60:-60]
         err = np.abs(interior[..., 0] - d)
         assert np.median(err) < 1.0, f"shift {d}: med err {np.median(err)}"
