@@ -203,13 +203,13 @@ def _warp_tile_kernel(wh, ww, taps, sub, narrow, by_ref, bx_ref,
 
             @pl.when(fits)
             def _narrow():
-                enumerate_taps(nr_n, n_cols, n_cols >= 20)
+                enumerate_taps(nr_n, n_cols, n_cols >= _GUARD_COLS)
 
             @pl.when(jnp.logical_not(fits))
             def _wide():
-                enumerate_taps(n_rows, n_cols, n_cols >= 20)
+                enumerate_taps(n_rows, n_cols, n_cols >= _GUARD_COLS)
         else:
-            enumerate_taps(n_rows, n_cols, n_cols >= 20)
+            enumerate_taps(n_rows, n_cols, n_cols >= _GUARD_COLS)
 
 
 def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow,
@@ -353,13 +353,13 @@ def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow,
 
             @pl.when(fits)
             def _narrow():
-                enumerate_taps(nr_n, n_cols, n_cols >= 20)
+                enumerate_taps(nr_n, n_cols, n_cols >= _GUARD_COLS)
 
             @pl.when(jnp.logical_not(fits))
             def _wide():
-                enumerate_taps(n_rows, n_cols, n_cols >= 20)
+                enumerate_taps(n_rows, n_cols, n_cols >= _GUARD_COLS)
         else:
-            enumerate_taps(n_rows, n_cols, n_cols >= 20)
+            enumerate_taps(n_rows, n_cols, n_cols >= _GUARD_COLS)
 
 
 def _prep_warp_coords(scol, srow, valid, h, w, r_row: int, r_col: int,
@@ -478,6 +478,10 @@ def _prep_warp_coords(scol, srow, valid, h, w, r_row: int, r_col: int,
 
 _NARROW_DEFAULT = int(__import__("os").environ.get(
     "MESHRECON_WARP_NARROW", "-1"))  # A/B knob: 0 disables the narrow path
+# Column-count threshold above which the per-dx residual-span guard runs
+# (see the measured tradeoffs in the kernel comment). A/B knob.
+_GUARD_COLS = int(__import__("os").environ.get(
+    "MESHRECON_WARP_GUARD_COLS", "20"))
 
 
 def _narrow_size(narrow: int, taps: int) -> int:

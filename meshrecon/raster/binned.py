@@ -146,23 +146,20 @@ def _raster_kernel(height, width, chunk, slab, tri_ref, lists_ref,
         for tt in range(chunk):
             t = base + tt
             overlap = (
-                (fld(10, t) <= tile_x_max)
-                & (fld(11, t) >= tile_x_min)
-                & (fld(12, t) <= tile_y_max)
-                & (fld(13, t) >= tile_y_min)
+                (fld(12, t) <= tile_x_max)
+                & (fld(13, t) >= tile_x_min)
+                & (fld(14, t) <= tile_y_max)
+                & (fld(15, t) >= tile_y_min)
             )
-            ax, bx, cx = fld(0, t), fld(1, t), fld(2, t)
-            ay, by, cy = fld(3, t), fld(4, t), fld(5, t)
-            az, bz, cz = fld(6, t), fld(7, t), fld(8, t)
-            ia = jnp.where(overlap, fld(9, t), 0.0)
-            e0 = ((cx - bx) * (py - by) - (cy - by) * (px - bx)) * ia
-            e1 = ((ax - cx) * (py - cy) - (ay - cy) * (px - cx)) * ia
-            e2 = ((bx - ax) * (py - ay) - (by - ay) * (px - ax)) * ia
-            zs = e0 * az + e1 * bz + e2 * cz
-            # ia == 0 encodes "skipped or invalid" (e's collapse to 0 then,
-            # which would otherwise read as covered)
-            covered = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-                       & (zs >= -1.0) & (zs <= 1.0) & (jnp.abs(ia) > 0))
+            # affine barycentrics (edge_affine_planes): 2 FMAs per edge;
+            # invalid triangles carry (0, 0, -1) so l0 < 0 everywhere, and
+            # the scalar `overlap` term excludes bbox-missed triangles
+            l0 = fld(0, t) * px + fld(1, t) * py + fld(2, t)
+            l1 = fld(3, t) * px + fld(4, t) * py + fld(5, t)
+            l2 = fld(6, t) * px + fld(7, t) * py + fld(8, t)
+            zs = l0 * fld(9, t) + l1 * fld(10, t) + l2 * fld(11, t)
+            covered = ((l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+                       & (zs >= -1.0) & (zs <= 1.0) & overlap)
             zbuf = jnp.minimum(zbuf, jnp.where(covered, zs, jnp.inf))
         return zbuf
 
@@ -215,27 +212,24 @@ def _two_level_tile_walk(height, width, chunk, supers, ti, tj, fld, list_at,
                 base = c * chunk
                 for tt in range(chunk):
                     t = base + tt
-                    tri_hit = ((fld(10, t) <= tile_x_max)
-                               & (fld(11, t) >= tile_x_min)
-                               & (fld(12, t) <= tile_y_max)
-                               & (fld(13, t) >= tile_y_min))
+                    tri_hit = ((fld(12, t) <= tile_x_max)
+                               & (fld(13, t) >= tile_x_min)
+                               & (fld(14, t) <= tile_y_max)
+                               & (fld(15, t) >= tile_y_min))
 
                     @pl.when(tri_hit)
                     def _tri():
-                        ax, bx, cx = fld(0, t), fld(1, t), fld(2, t)
-                        ay, by, cy = fld(3, t), fld(4, t), fld(5, t)
-                        az, bz, cz = fld(6, t), fld(7, t), fld(8, t)
-                        ia = fld(9, t)
-                        e0 = ((cx - bx) * (py - by)
-                              - (cy - by) * (px - bx)) * ia
-                        e1 = ((ax - cx) * (py - cy)
-                              - (ay - cy) * (px - cx)) * ia
-                        e2 = ((bx - ax) * (py - ay)
-                              - (by - ay) * (px - ax)) * ia
-                        zs = e0 * az + e1 * bz + e2 * cz
-                        covered = ((e0 >= 0) & (e1 >= 0) & (e2 >= 0)
-                                   & (zs >= -1.0) & (zs <= 1.0)
-                                   & (jnp.abs(ia) > 0))
+                        # affine barycentrics (edge_affine_planes): 2 FMAs
+                        # per edge; invalid triangles carry (0, 0, -1) so
+                        # l0 < 0 everywhere (their bbox is inverted too, so
+                        # tri_hit already skips them)
+                        l0 = fld(0, t) * px + fld(1, t) * py + fld(2, t)
+                        l1 = fld(3, t) * px + fld(4, t) * py + fld(5, t)
+                        l2 = fld(6, t) * px + fld(7, t) * py + fld(8, t)
+                        zs = (l0 * fld(9, t) + l1 * fld(10, t)
+                              + l2 * fld(11, t))
+                        covered = ((l0 >= 0) & (l1 >= 0) & (l2 >= 0)
+                                   & (zs >= -1.0) & (zs <= 1.0))
                         zbuf_ref[:] = jnp.minimum(
                             zbuf_ref[:], jnp.where(covered, zs, jnp.inf))
         return carry
@@ -291,7 +285,7 @@ def _raster_kernel2b(height, width, chunk, supers, n_tiles, nch, slab,
 
 # SMEM budget for one camera-chunked batched launch (bytes). The scoped
 # SMEM capacity is 1 MB and ALL scalar-prefetch operands live there
-# (packed triangles 14*slab*4 per camera + flat lists + chunk bboxes);
+# (packed triangles 16*slab*4 per camera + flat lists + chunk bboxes);
 # exceeding it is a hard compile error (measured: 4 cameras at slab=4096
 # with lane-padded 2-D lists wanted 1.50 MB).
 _SMEM_BUDGET = 700 * 1024
@@ -322,7 +316,7 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
             f"supers={supers} (got slab={slab}, chunk={chunk}); trailing "
             "chunks would be silently dropped from every tile list")
     nsup = nch // supers
-    per_cam = 14 * slab * 4 + n_tiles * nsup * 4 + 4 * nch * 4 + n_tiles * 4
+    per_cam = 16 * slab * 4 + n_tiles * nsup * 4 + 4 * nch * 4 + n_tiles * 4
     n_c = max(1, min(n, _SMEM_BUDGET // per_cam))
 
     def setup(camera):
@@ -344,7 +338,11 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
     ok = padc(ok)
     n_slabs = x0.shape[1] // slab
 
-    inv_area = jnp.where(ok & (jnp.abs(area) > 1e-12), 1.0 / area, 0.0)
+    from meshrecon.raster.rasterizer import edge_affine_planes
+
+    # elementwise over the (n, T) camera-major planes
+    (a0, b0, c0, a1, b1, c1, a2, b2, c2) = edge_affine_planes(
+        x0, x1, x2, y0, y1, y2, z0, z1, z2, area, ok)
     big = jnp.float32(3e38)
     xmn = jnp.minimum(jnp.minimum(x0, x1), x2)
     xmx = jnp.maximum(jnp.maximum(x0, x1), x2)
@@ -365,9 +363,9 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
                            + TILE_H - 1)) * (2.0 / height)
 
     packed_all = jnp.concatenate(
-        [x0, x1, x2, y0, y1, y2, z0, z1, z2, inv_area, xmin, xmax,
+        [a0, b0, c0, a1, b1, c1, a2, b2, c2, z0, z1, z2, xmin, xmax,
          ymin, ymax], axis=1,
-    ).reshape(n, 14, n_slabs, slab)
+    ).reshape(n, 16, n_slabs, slab)
 
     def cagg(a, op):
         return op(a.reshape(n, n_slabs, nch, chunk), 3)
@@ -420,7 +418,7 @@ def render_depth_binned_batched(cameras, soup, soup_valid, height, width,
         for s in range(n_slabs):
             lists = lists_all[c0:c0 + nc, s].reshape(-1)
             counts = counts_all[c0:c0 + nc, s].reshape(-1).astype(jnp.int32)
-            packed = packed_all[c0:c0 + nc, :, s, :].reshape(nc, 14 * slab)
+            packed = packed_all[c0:c0 + nc, :, s, :].reshape(nc, 16 * slab)
             zb = pl.pallas_call(
                 kernel,
                 grid_spec=grid_spec,
@@ -521,7 +519,10 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
     ok = padc(ok)
     n_slabs = x0.shape[0] // slab
 
-    inv_area = jnp.where(ok & (jnp.abs(area) > 1e-12), 1.0 / area, 0.0)
+    from meshrecon.raster.rasterizer import edge_affine_planes
+
+    (a0, b0, c0, a1, b1, c1, a2, b2, c2) = edge_affine_planes(
+        x0, x1, x2, y0, y1, y2, z0, z1, z2, area, ok)
     big = jnp.float32(3e38)
     xmn = jnp.minimum(jnp.minimum(x0, x1), x2)
     xmx = jnp.maximum(jnp.maximum(x0, x1), x2)
@@ -546,9 +547,9 @@ def render_depth_binned(camera, soup, soup_valid, height, width,
                            + TILE_H - 1)) * (2.0 / height)
 
     packed_all = jnp.concatenate(
-        [x0, x1, x2, y0, y1, y2, z0, z1, z2,
-         inv_area, xmin, xmax, ymin, ymax]
-    ).reshape(14, n_slabs, slab)
+        [a0, b0, c0, a1, b1, c1, a2, b2, c2, z0, z1, z2,
+         xmin, xmax, ymin, ymax]
+    ).reshape(16, n_slabs, slab)
 
     nch = slab // chunk
 

@@ -213,16 +213,55 @@ def clip_project_planes(camera, soup, soup_valid):
     )
 
 
+def edge_affine_planes(x0, x1, x2, y0, y1, y2, z0, z1, z2, area, ok):
+    """Per-triangle AFFINE barycentric coefficients: the normalized edge
+    functions are ``l_i(p) = A_i*px + B_i*py + C_i`` — two FMAs per edge per
+    pixel instead of re-deriving the vertex differences at every sample
+    (the factored edge form costs ~2x the vector ops in the binned kernel's
+    per-triangle scalar loop). Coefficients carry the 1/area normalization;
+    INVALID triangles get (A0, B0, C0) = (0, 0, -1) so l0 < 0 everywhere —
+    coverage needs no separate validity operand.
+
+    Returns (a0, b0, c0, a1, b1, c1, a2, b2, c2), each (T,). z at a covered
+    pixel is ``l0*z0 + l1*z1 + l2*z2`` exactly as before.
+    """
+    inv_area = jnp.where(ok & (jnp.abs(area) > 1e-12), 1.0 / area, 0.0)
+
+    def edge_coeffs(ax, ay, bx, by):
+        # edge (a -> b): e(p) = (bx-ax)(py-ay) - (by-ay)(px-ax)
+        dx = bx - ax
+        dy = by - ay
+        a = -dy * inv_area
+        b = dx * inv_area
+        c = (dy * ax - dx * ay) * inv_area
+        return a, b, c
+
+    a0, b0, c0 = edge_coeffs(x1, y1, x2, y2)
+    a1, b1, c1 = edge_coeffs(x2, y2, x0, y0)
+    a2, b2, c2 = edge_coeffs(x0, y0, x1, y1)
+    bad = ~ok
+    zero = jnp.zeros_like(c0)
+    a0 = jnp.where(bad, zero, a0)
+    b0 = jnp.where(bad, zero, b0)
+    c0 = jnp.where(bad, -jnp.ones_like(c0), c0)
+    return a0, b0, c0, a1, b1, c1, a2, b2, c2
+
+
 def _coverage_z_planes(x0, x1, x2, y0, y1, y2, z0, z1, z2, area, ok, px, py):
-    """Plane-layout variant of _coverage_z: all triangle data (T,) planes."""
-    e0 = _edge(x1[:, None], y1[:, None], x2[:, None], y2[:, None], px, py)
-    e1 = _edge(x2[:, None], y2[:, None], x0[:, None], y0[:, None], px, py)
-    e2 = _edge(x0[:, None], y0[:, None], x1[:, None], y1[:, None], px, py)
-    inv_area = 1.0 / area
-    l0 = e0 * inv_area[:, None]
-    l1 = e1 * inv_area[:, None]
-    l2 = e2 * inv_area[:, None]
-    covered = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & ok[:, None]
+    """Plane-layout variant of _coverage_z: all triangle data (T,) planes.
+    Evaluates the SAME affine coefficients the binned Pallas kernels consume
+    (edge_affine_planes), so the two raster paths stay numerically aligned
+    at coverage boundaries."""
+    (a0, b0, c0, a1, b1, c1, a2, b2, c2) = edge_affine_planes(
+        x0, x1, x2, y0, y1, y2, z0, z1, z2, area, ok)
+
+    def lin(a, b, c):
+        return a[:, None] * px + b[:, None] * py + c[:, None]
+
+    l0 = lin(a0, b0, c0)
+    l1 = lin(a1, b1, c1)
+    l2 = lin(a2, b2, c2)
+    covered = (l0 >= 0) & (l1 >= 0) & (l2 >= 0)
     zs = l0 * z0[:, None] + l1 * z1[:, None] + l2 * z2[:, None]
     covered &= (zs >= -1.0) & (zs <= 1.0)
     return jnp.where(covered, zs, jnp.inf)
