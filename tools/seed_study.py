@@ -66,6 +66,7 @@ CONFIGS = {
     "trim2it14": {"poisson_trim": 2.0, "flow_iters": 14},
     "trim2fw1it14": {"poisson_trim": 2.0, "flow_fine_warps": 1,
                      "flow_iters": 14},
+    "trim2it12": {"poisson_trim": 2.0, "flow_iters": 12},
     "cons3g192": {"poisson_trim": 2.0, "consensus_rounds": 3,
                   "poisson_grid": 192},
     "trim2cons3ens2": {"poisson_trim": 2.0, "consensus_rounds": 3,
