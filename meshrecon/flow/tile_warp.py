@@ -69,7 +69,32 @@ def _cubic_weight(t, a=-0.75):
     return jnp.where(at <= 1.0, w1, jnp.where(at < 2.0, w2, 0.0))
 
 
-def _warp_tile_kernel(wh, ww, taps, sub, narrow, by_ref, bx_ref,
+def _spec_branches(row_spec, col_spec, nr_n, nc_n, n_rows, n_cols,
+                   fits_r, fits_c, enumerate_taps):
+    """Emit the per-tile specialization branch tree shared by both warp
+    kernels: up to 2x2 enumerations — {narrow, wide} rows x {narrow, wide}
+    columns — selected by one or two scalar predicates per tile. Every
+    branch is EXACT (a fit test only passes when the skipped taps are
+    identically zero); guards-per-column apply only at wide budgets."""
+    rows_opts = ([(nr_n, fits_r), (n_rows, jnp.logical_not(fits_r))]
+                 if row_spec else [(n_rows, None)])
+    cols_opts = ([(nc_n, fits_c), (n_cols, jnp.logical_not(fits_c))]
+                 if col_spec else [(n_cols, None)])
+    for nr, pr in rows_opts:
+        for nc, pc in cols_opts:
+            pred = None
+            for p in (pr, pc):
+                if p is not None:
+                    pred = p if pred is None else jnp.logical_and(pred, p)
+            if pred is None:
+                enumerate_taps(nr, nc, nc >= _GUARD_COLS)
+            else:
+                pl.when(pred)(
+                    functools.partial(enumerate_taps, nr, nc,
+                                      nc >= _GUARD_COLS))
+
+
+def _warp_tile_kernel(wh, ww, taps, sub, narrow, narrow_c, by_ref, bx_ref,
                       py_ref, px_ref, src_ref, out_ref, win, acc, sem):
     """One grid step = ``sub`` vertically-adjacent output tiles: start ALL
     window DMAs up front (each tile's source window is independent), then
@@ -86,6 +111,10 @@ def _warp_tile_kernel(wh, ww, taps, sub, narrow, by_ref, bx_ref,
     XLA wrapper aligns the window base down and passes the remainders; the
     kernel undoes them with two tpu.dynamic_rotate ops — far cheaper than
     widening the static tap enumeration by the alignment slack.
+
+    A tile whose by_ref entry is the -1 dead-tile sentinel (no valid pixel,
+    see _prep_warp_coords) skips its DMA, rolls and enumeration and writes
+    zeros.
     """
     ti = pl.program_id(0)
     tj = pl.program_id(1)
@@ -102,18 +131,20 @@ def _warp_tile_kernel(wh, ww, taps, sub, narrow, by_ref, bx_ref,
     # stacked frames = the whole 1 MB SMEM budget by themselves).
     rems = []
     dmas = []
+    alive = []
     for s in range(sub):
         tile = (ti * sub + s) * ntx + tj
         by_raw = by_ref[tile]
         bx_raw = bx_ref[tile]
-        by = pl.multiple_of((by_raw // 8) * 8, 8)
+        alive.append(by_raw >= 0)
+        by = pl.multiple_of((jnp.maximum(by_raw, 0) // 8) * 8, 8)
         bx = pl.multiple_of((bx_raw // 128) * 128, 128)
         rems.append((by_raw - (by_raw // 8) * 8,
                      bx_raw - (bx_raw // 128) * 128))
         dma = pltpu.make_async_copy(
             src_ref.at[pl.ds(by, wh2), pl.ds(bx, ww2)], win.at[s], sem.at[s],
         )
-        dma.start()
+        pl.when(alive[s])(dma.start)
         dmas.append(dma)
 
     half = taps // 2 - 1
@@ -133,86 +164,91 @@ def _warp_tile_kernel(wh, ww, taps, sub, narrow, by_ref, bx_ref,
         rx = jnp.clip(px_ref[s * TH:(s + 1) * TH] - j_loc, half,
                       ww - TW - half - 1e-3)
 
-        dmas[s].wait()
-        w = win[s]
-        # out[p] = in[p + rem]: roll by (-rem) mod n (same convention the
-        # validated round-1 warp kernel used)
-        w = pltpu.roll(w, jnp.mod(wh2 - rem_y, wh2), axis=0)
-        w = pltpu.roll(w, jnp.mod(ww2 - rem_x, ww2), axis=1)
+        @pl.when(jnp.logical_not(alive[s]))
+        def _dead():
+            out_ref[s * TH:(s + 1) * TH] = jnp.zeros((TH, TW), jnp.float32)
 
-        # Loop structure matters: the lane-axis slice (dx) costs a
-        # cross-vreg shift of the whole window, so hoist it to the OUTER
-        # loop (done once per dx); the inner dy step is a cheap sublane
-        # slice + FMA. The naive dy-outer/dx-inner order re-sliced lanes
-        # 289 times and ran 29 ms — this order is the difference between
-        # losing and beating the gather.
-        n_rows = wh - TH + 1
-        n_cols = ww - TW + 1
+        @pl.when(alive[s])
+        def _alive():
+            dmas[s].wait()
+            w = win[s]
+            # out[p] = in[p + rem]: roll by (-rem) mod n (same convention
+            # the validated round-1 warp kernel used)
+            w = pltpu.roll(w, jnp.mod(wh2 - rem_y, wh2), axis=0)
+            w = pltpu.roll(w, jnp.mod(ww2 - rem_x, ww2), axis=1)
 
-        def enumerate_taps(nr, nc, guard_cols):
-            # Residual-span column SKIPPING (pl.when per dx column,
-            # guarding on max(rx) + taps/2) is applied ONLY at wide column
-            # budgets: scalar-core branches disrupt the VPU pipeline enough
-            # that the unconditional static enumeration wins below ~20
-            # columns. Measured on v5e (K=3 640x480 stack, smooth ~2
-            # px-spread field): solver r6/r8 0.59 ms unconditional vs 1.03
-            # guarded; projection r14/r14 1.09 vs 1.18; but the plane-sweep
-            # budget r14/r24 1.62 vs 1.27 — the guard only earns its
-            # branches when most of a wide enumeration is dead. (A first
-            # cut guarding every (dy, dx) tap with the accumulator in VMEM
-            # scratch was 2.8x WORSE overall: per-tap branches + a scratch
-            # load/store per tap instead of vector registers.)
-            wys = [weight(ry - dy) for dy in range(nr)]
-            if guard_cols:
-                rx_hi = jnp.max(rx) + taps * 0.5
-                acc[:] = jnp.zeros((TH, TW), jnp.float32)
-                for dx in range(nc):
-                    @pl.when(dx <= rx_hi)
-                    def _col():
+            # Loop structure matters: the lane-axis slice (dx) costs a
+            # cross-vreg shift of the whole window, so hoist it to the
+            # OUTER loop (done once per dx); the inner dy step is a cheap
+            # sublane slice + FMA. The naive dy-outer/dx-inner order
+            # re-sliced lanes 289 times and ran 29 ms — this order is the
+            # difference between losing and beating the gather.
+            n_rows = wh - TH + 1
+            n_cols = ww - TW + 1
+
+            def enumerate_taps(nr, nc, guard_cols):
+                # Residual-span column SKIPPING (pl.when per dx column,
+                # guarding on max(rx) + taps/2) is applied ONLY at wide
+                # column budgets: scalar-core branches disrupt the VPU
+                # pipeline enough that the unconditional static enumeration
+                # wins below ~20 columns. Measured on v5e (K=3 640x480
+                # stack, smooth ~2 px-spread field): solver r6/r8 0.59 ms
+                # unconditional vs 1.03 guarded; projection r14/r14 1.09 vs
+                # 1.18; but the plane-sweep budget r14/r24 1.62 vs 1.27 —
+                # the guard only earns its branches when most of a wide
+                # enumeration is dead. (A first cut guarding every (dy, dx)
+                # tap with the accumulator in VMEM scratch was 2.8x WORSE
+                # overall: per-tap branches + a scratch load/store per tap
+                # instead of vector registers.)
+                wys = [weight(ry - dy) for dy in range(nr)]
+                if guard_cols:
+                    rx_hi = jnp.max(rx) + taps * 0.5
+                    acc[:] = jnp.zeros((TH, TW), jnp.float32)
+                    for dx in range(nc):
+                        @pl.when(dx <= rx_hi)
+                        def _col():
+                            wx = weight(rx - dx)
+                            wcol = w[:, dx:dx + TW]
+                            part = jnp.zeros((TH, TW), jnp.float32)
+                            for dy in range(nr):
+                                part = part + (wys[dy] * wx) * wcol[
+                                    dy:dy + TH]
+                            acc[:] = acc[:] + part
+                    out_ref[s * TH:(s + 1) * TH] = acc[:]
+                else:
+                    out = jnp.zeros((TH, TW), jnp.float32)
+                    for dx in range(nc):
                         wx = weight(rx - dx)
                         wcol = w[:, dx:dx + TW]
-                        part = jnp.zeros((TH, TW), jnp.float32)
                         for dy in range(nr):
-                            part = part + (wys[dy] * wx) * wcol[dy:dy + TH]
-                        acc[:] = acc[:] + part
-                out_ref[s * TH:(s + 1) * TH] = acc[:]
-            else:
-                out = jnp.zeros((TH, TW), jnp.float32)
-                for dx in range(nc):
-                    wx = weight(rx - dx)
-                    wcol = w[:, dx:dx + TW]
-                    for dy in range(nr):
-                        out = out + (wys[dy] * wx) * wcol[dy:dy + TH]
-                out_ref[s * TH:(s + 1) * TH] = out
+                            out = out + (wys[dy] * wx) * wcol[dy:dy + TH]
+                    out_ref[s * TH:(s + 1) * TH] = out
 
-        # Narrow/wide ROW specialization: the per-tile window base is the
-        # tile's own MINIMAL displacement, so residuals span exactly the
-        # within-tile spread. Output tiles are (8, 128): across 8 ROWS a
-        # smooth field spreads a fraction of a pixel, while across 128
-        # LANES even a mildly sloped reprojection field spreads several
-        # pixels — so only the ROW span reliably fits a small budget (a
-        # both-axes fit test fired on almost no projection tile, measured
-        # v5e). When every nonzero-weight row tap provably fits ``narrow``
-        # rows (weight support |t| < taps/2, so max row residual <=
-        # narrow - taps/2 suffices), run the short row enumeration — EXACT,
-        # the skipped terms are identically zero; columns keep the dynamic
-        # rx_hi guard at wide budgets. One scalar branch pair per tile.
-        nr_n = min(narrow, n_rows)
-        if narrow and nr_n < n_rows:
-            fits = jnp.max(ry) <= nr_n - taps * 0.5
-
-            @pl.when(fits)
-            def _narrow():
-                enumerate_taps(nr_n, n_cols, n_cols >= _GUARD_COLS)
-
-            @pl.when(jnp.logical_not(fits))
-            def _wide():
-                enumerate_taps(n_rows, n_cols, n_cols >= _GUARD_COLS)
-        else:
-            enumerate_taps(n_rows, n_cols, n_cols >= _GUARD_COLS)
+            # Narrow/wide ROW specialization: the per-tile window base is
+            # the tile's own MINIMAL displacement, so residuals span
+            # exactly the within-tile spread. Output tiles are (8, 128):
+            # across 8 ROWS a smooth field spreads a fraction of a pixel,
+            # while across 128 LANES even a mildly sloped reprojection
+            # field spreads several pixels — so the row span fits a SMALL
+            # budget while the column span gets its own MID-TIER budget
+            # (narrow_c; invalid-pixel coordinate cleaning in
+            # _prep_warp_coords is what makes these fits fire on real
+            # projection fields). When every nonzero-weight tap provably
+            # fits the narrow span (weight support |t| < taps/2, so max
+            # residual <= narrow - taps/2 suffices), run the short
+            # enumeration — EXACT, the skipped terms are identically zero.
+            # One or two scalar branches per tile.
+            nr_n = min(narrow, n_rows) if narrow else n_rows
+            nc_n = min(narrow_c, n_cols) if narrow_c else n_cols
+            row_spec = bool(narrow) and nr_n < n_rows
+            col_spec = bool(narrow_c) and nc_n < n_cols
+            fits_r = (jnp.max(ry) <= nr_n - taps * 0.5) if row_spec else None
+            fits_c = (jnp.max(rx) <= nc_n - taps * 0.5) if col_spec else None
+            _spec_branches(row_spec, col_spec, nr_n, nc_n, n_rows, n_cols,
+                           fits_r, fits_c, enumerate_taps)
 
 
-def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow,
+def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow, narrow_c,
                        by_ref, bx_ref, py_ref, px_ref, pya_ref, pxa_ref,
                        srca_ref, srcb_ref,
                        outa_ref, outb_ref, wina, winb, acca, accb,
@@ -242,11 +278,13 @@ def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow,
 
     rems = []
     dmas = []
+    alive = []
     for s in range(sub):
         tile = (ti * sub + s) * ntx + tj
         by_raw = by_ref[tile]
         bx_raw = bx_ref[tile]
-        by = pl.multiple_of((by_raw // 8) * 8, 8)
+        alive.append(by_raw >= 0)
+        by = pl.multiple_of((jnp.maximum(by_raw, 0) // 8) * 8, 8)
         bx = pl.multiple_of((bx_raw // 128) * 128, 128)
         rems.append((by_raw - (by_raw // 8) * 8,
                      bx_raw - (bx_raw // 128) * 128))
@@ -256,8 +294,12 @@ def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow,
         db = pltpu.make_async_copy(
             srcb_ref.at[pl.ds(by, wh2), pl.ds(bx, ww2)], winb.at[s],
             semb.at[s])
-        da.start()
-        db.start()
+
+        @pl.when(alive[s])
+        def _start():
+            da.start()
+            db.start()
+
         dmas.append((da, db))
 
     half = taps // 2 - 1
@@ -284,82 +326,90 @@ def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow,
             rya = jnp.clip(pya_ref[s * TH:(s + 1) * TH] - i_loc, lo_y, hi_y)
             rxa = jnp.clip(pxa_ref[s * TH:(s + 1) * TH] - j_loc, lo_x, hi_x)
 
-        da, db = dmas[s]
-        da.wait()
-        db.wait()
-        wa = wina[s]
-        wb = winb[s]
-        roll_y = jnp.mod(wh2 - rem_y, wh2)
-        roll_x = jnp.mod(ww2 - rem_x, ww2)
-        wa = pltpu.roll(pltpu.roll(wa, roll_y, axis=0), roll_x, axis=1)
-        wb = pltpu.roll(pltpu.roll(wb, roll_y, axis=0), roll_x, axis=1)
+        @pl.when(jnp.logical_not(alive[s]))
+        def _dead():
+            zero = jnp.zeros((TH, TW), jnp.float32)
+            outa_ref[s * TH:(s + 1) * TH] = zero
+            outb_ref[s * TH:(s + 1) * TH] = zero
 
-        n_rows = wh - TH + 1
-        n_cols = ww - TW + 1
+        @pl.when(alive[s])
+        def _alive():
+            da, db = dmas[s]
+            da.wait()
+            db.wait()
+            wa = wina[s]
+            wb = winb[s]
+            roll_y = jnp.mod(wh2 - rem_y, wh2)
+            roll_x = jnp.mod(ww2 - rem_x, ww2)
+            wa = pltpu.roll(pltpu.roll(wa, roll_y, axis=0), roll_x, axis=1)
+            wb = pltpu.roll(pltpu.roll(wb, roll_y, axis=0), roll_x, axis=1)
 
-        def enumerate_taps(nr, nc, guard_cols):
-            wys = [weight(ry - dy) for dy in range(nr)]
-            wysa = ([weight(rya - dy) for dy in range(nr)]
-                    if nearest_a else wys)
-            if guard_cols:
-                # residual-span column skipping (see _warp_tile_kernel):
-                # the guard bound covers both residual fields (they differ
-                # by the rounding, <= 0.5)
-                rx_hi = (jnp.max(rx) + taps * 0.5
-                         + (0.5 if nearest_a else 0.0))
-                acca[:] = jnp.zeros((TH, TW), jnp.float32)
-                accb[:] = jnp.zeros((TH, TW), jnp.float32)
-                for dx in range(nc):
-                    @pl.when(dx <= rx_hi)
-                    def _col():
+            n_rows = wh - TH + 1
+            n_cols = ww - TW + 1
+
+            def enumerate_taps(nr, nc, guard_cols):
+                wys = [weight(ry - dy) for dy in range(nr)]
+                wysa = ([weight(rya - dy) for dy in range(nr)]
+                        if nearest_a else wys)
+                if guard_cols:
+                    # residual-span column skipping (see _warp_tile_kernel):
+                    # the guard bound covers both residual fields (they
+                    # differ by the rounding, <= 0.5)
+                    rx_hi = (jnp.max(rx) + taps * 0.5
+                             + (0.5 if nearest_a else 0.0))
+                    acca[:] = jnp.zeros((TH, TW), jnp.float32)
+                    accb[:] = jnp.zeros((TH, TW), jnp.float32)
+                    for dx in range(nc):
+                        @pl.when(dx <= rx_hi)
+                        def _col():
+                            wx = weight(rx - dx)
+                            wxa = weight(rxa - dx) if nearest_a else wx
+                            wca = wa[:, dx:dx + TW]
+                            wcb = wb[:, dx:dx + TW]
+                            parta = jnp.zeros((TH, TW), jnp.float32)
+                            partb = jnp.zeros((TH, TW), jnp.float32)
+                            for dy in range(nr):
+                                wp = wys[dy] * wx
+                                partb = partb + wp * wcb[dy:dy + TH]
+                                wpa = (wysa[dy] * wxa) if nearest_a else wp
+                                parta = parta + wpa * wca[dy:dy + TH]
+                            acca[:] = acca[:] + parta
+                            accb[:] = accb[:] + partb
+                    outa_ref[s * TH:(s + 1) * TH] = acca[:]
+                    outb_ref[s * TH:(s + 1) * TH] = accb[:]
+                else:
+                    outa = jnp.zeros((TH, TW), jnp.float32)
+                    outb = jnp.zeros((TH, TW), jnp.float32)
+                    for dx in range(nc):
                         wx = weight(rx - dx)
                         wxa = weight(rxa - dx) if nearest_a else wx
                         wca = wa[:, dx:dx + TW]
                         wcb = wb[:, dx:dx + TW]
-                        parta = jnp.zeros((TH, TW), jnp.float32)
-                        partb = jnp.zeros((TH, TW), jnp.float32)
                         for dy in range(nr):
                             wp = wys[dy] * wx
-                            partb = partb + wp * wcb[dy:dy + TH]
+                            outb = outb + wp * wcb[dy:dy + TH]
                             wpa = (wysa[dy] * wxa) if nearest_a else wp
-                            parta = parta + wpa * wca[dy:dy + TH]
-                        acca[:] = acca[:] + parta
-                        accb[:] = accb[:] + partb
-                outa_ref[s * TH:(s + 1) * TH] = acca[:]
-                outb_ref[s * TH:(s + 1) * TH] = accb[:]
-            else:
-                outa = jnp.zeros((TH, TW), jnp.float32)
-                outb = jnp.zeros((TH, TW), jnp.float32)
-                for dx in range(nc):
-                    wx = weight(rx - dx)
-                    wxa = weight(rxa - dx) if nearest_a else wx
-                    wca = wa[:, dx:dx + TW]
-                    wcb = wb[:, dx:dx + TW]
-                    for dy in range(nr):
-                        wp = wys[dy] * wx
-                        outb = outb + wp * wcb[dy:dy + TH]
-                        wpa = (wysa[dy] * wxa) if nearest_a else wp
-                        outa = outa + wpa * wca[dy:dy + TH]
-                outa_ref[s * TH:(s + 1) * TH] = outa
-                outb_ref[s * TH:(s + 1) * TH] = outb
+                            outa = outa + wpa * wca[dy:dy + TH]
+                    outa_ref[s * TH:(s + 1) * TH] = outa
+                    outb_ref[s * TH:(s + 1) * TH] = outb
 
-        # narrow/wide ROW specialization, exactly as _warp_tile_kernel;
-        # both residual fields must fit the row budget
-        nr_n = min(narrow, n_rows)
-        if narrow and nr_n < n_rows:
-            my = jnp.maximum(jnp.max(ry), jnp.max(rya)) if nearest_a \
-                else jnp.max(ry)
-            fits = my <= nr_n - taps * 0.5
-
-            @pl.when(fits)
-            def _narrow():
-                enumerate_taps(nr_n, n_cols, n_cols >= _GUARD_COLS)
-
-            @pl.when(jnp.logical_not(fits))
-            def _wide():
-                enumerate_taps(n_rows, n_cols, n_cols >= _GUARD_COLS)
-        else:
-            enumerate_taps(n_rows, n_cols, n_cols >= _GUARD_COLS)
+            # narrow/wide row + mid-tier column specialization, exactly as
+            # _warp_tile_kernel; BOTH residual fields must fit a span
+            nr_n = min(narrow, n_rows) if narrow else n_rows
+            nc_n = min(narrow_c, n_cols) if narrow_c else n_cols
+            row_spec = bool(narrow) and nr_n < n_rows
+            col_spec = bool(narrow_c) and nc_n < n_cols
+            fits_r = fits_c = None
+            if row_spec:
+                my = jnp.maximum(jnp.max(ry), jnp.max(rya)) if nearest_a \
+                    else jnp.max(ry)
+                fits_r = my <= nr_n - taps * 0.5
+            if col_spec:
+                mx = jnp.maximum(jnp.max(rx), jnp.max(rxa)) if nearest_a \
+                    else jnp.max(rx)
+                fits_c = mx <= nc_n - taps * 0.5
+            _spec_branches(row_spec, col_spec, nr_n, nc_n, n_rows, n_cols,
+                           fits_r, fits_c, enumerate_taps)
 
 
 def _prep_warp_coords(scol, srow, valid, h, w, r_row: int, r_col: int,
@@ -367,9 +417,23 @@ def _prep_warp_coords(scol, srow, valid, h, w, r_row: int, r_col: int,
     """Shared XLA-side coordinate machinery of the tile warp: pad the
     displacement fields, fit the per-tile integer window bases, and produce
     window-relative sample coordinates. Returns
-    (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp, by, bx, py, px,
-    py2, px2); the caller pads each SOURCE with ((padt, padb), (padl, padr))
-    edge mode.
+    (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp, by_dma, bx, py,
+    px, py2, px2); the caller pads each SOURCE with ((padt, padb),
+    (padl, padr)) edge mode.
+
+    When ``valid`` is given, two extra jobs beyond excluding invalid pixels
+    from the base fit:
+      * invalid pixels' COORDINATES are rewritten to their tile's minimal
+        valid displacement (their samples are undefined by contract, so any
+        in-budget coordinate is legal). Garbage coordinates otherwise
+        saturate the clip bounds and inflate every per-tile residual
+        maximum, forcing the wide row/column enumeration and defeating the
+        in-kernel span guards on exactly the tiles (silhouettes,
+        off-frame regions) that have the least real work.
+      * tiles with NO valid pixel are marked with a ``by_dma = -1``
+        sentinel; the kernel skips their window DMA, rolls and tap
+        enumeration entirely and writes zeros (background tiles are a
+        large fraction of a typical projection target).
 
     scol2/srow2 (optional): a SECOND coordinate field sharing the first's
     window bases (the dual kernel's rounded nearest-sampler coordinates —
@@ -434,15 +498,26 @@ def _prep_warp_coords(scol, srow, valid, h, w, r_row: int, r_col: int,
     gy_t = gy.reshape(nty, TH, ntx, TW)
     gx_t = gx.reshape(nty, TH, ntx, TW)
     half = taps // 2 - 1  # bicubic: shift base so the -1 tap stays inside
+    tile_alive = None
     if valid is not None:
         big = jnp.float32(3e8)
         vmask = jnp.pad(jnp.asarray(valid, bool), pad2)
         v_t = vmask.reshape(nty, TH, ntx, TW)
+        tile_alive = v_t.any(axis=(1, 3))
         gy_min = jnp.where(v_t, gy_t, big).min(axis=(1, 3))
         gx_min = jnp.where(v_t, gx_t, big).min(axis=(1, 3))
         # all-invalid tiles: any in-bounds base works, samples are masked
         gy_min = jnp.where(gy_min > big * 0.5, 0.0, gy_min)
         gx_min = jnp.where(gx_min > big * 0.5, 0.0, gx_min)
+        # rewrite invalid pixels' coordinates to the tile-min displacement
+        # (see docstring): their residual lands in [half, half+1) so they
+        # never widen a tile's row/column span
+        gy_fill = jnp.broadcast_to(gy_min[:, None, :, None],
+                                   (nty, TH, ntx, TW)).reshape(hp, wp)
+        gx_fill = jnp.broadcast_to(gx_min[:, None, :, None],
+                                   (nty, TH, ntx, TW)).reshape(hp, wp)
+        srow_p = jnp.where(vmask, srow_p, gy_fill + rows)
+        scol_p = jnp.where(vmask, scol_p, gx_fill + cols)
     else:
         gy_min = gy_t.min(axis=(1, 3))
         gx_min = gx_t.min(axis=(1, 3))
@@ -470,14 +545,28 @@ def _prep_warp_coords(scol, srow, valid, h, w, r_row: int, r_col: int,
                            + padt, 1.0, hs - 2.0)
         scol2_p = jnp.clip(gx2 + jnp.arange(wp, dtype=jnp.float32)[None, :]
                            + padl, 1.0, ws - 2.0)
+        if tile_alive is not None:
+            # same invalid-pixel rewrite for the nearest-sampler field (its
+            # residuals feed the same in-kernel span tests)
+            srow2_p = jnp.where(vmask, srow2_p, gy_fill + rows)
+            scol2_p = jnp.where(vmask, scol2_p, gx_fill + cols)
         py2 = srow2_p - byf
         px2 = scol2_p - bxf
+    if tile_alive is not None:
+        # dead-tile sentinel: the kernel tests by < 0 and skips DMA + taps
+        by = jnp.where(tile_alive, by, -1)
     return (sub, nty, ntx, wh, ww, padt, padl, padb, padr, hp, wp,
             by, bx, py, px, py2, px2)
 
 
 _NARROW_DEFAULT = int(__import__("os").environ.get(
     "MESHRECON_WARP_NARROW", "-1"))  # A/B knob: 0 disables the narrow path
+# Mid-tier COLUMN specialization size (like the narrow-row path but for the
+# lane axis, where a sloped projection field spreads several pixels over
+# 128 lanes — wider than the row budget but usually well under the full
+# r_col enumeration). A/B knob: 0 disables, -1 auto.
+_NARROW_COLS_DEFAULT = int(__import__("os").environ.get(
+    "MESHRECON_WARP_NARROW_COLS", "-1"))
 # Column-count threshold above which the per-dx residual-span guard runs
 # (see the measured tradeoffs in the kernel comment). A/B knob.
 _GUARD_COLS = int(__import__("os").environ.get(
@@ -495,13 +584,23 @@ def _narrow_size(narrow: int, taps: int) -> int:
     return narrow
 
 
+def _narrow_cols_size(narrow_c: int, taps: int) -> int:
+    """Resolve the mid-tier column enumeration size (-1 auto / 0 off)."""
+    if narrow_c == -1:
+        narrow_c = _NARROW_COLS_DEFAULT
+    if narrow_c == -1:
+        return 9 if taps == 2 else 11
+    return narrow_c
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("r_row", "r_col", "taps", "narrow", "interpret"),
+    static_argnames=("r_row", "r_col", "taps", "narrow", "narrow_cols",
+                     "interpret"),
 )
 def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
                      r_col: int = R_COL, taps: int = 2, narrow: int = -1,
-                     interpret: bool = False):
+                     narrow_cols: int = -1, interpret: bool = False):
     """Resample ``src`` at continuous (scol, srow) per output pixel.
 
     src: (H, W) float32 source image; scol, srow: (Ho, Wo) float32 sample
@@ -546,7 +645,8 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
     )
     out = pl.pallas_call(
         functools.partial(_warp_tile_kernel, wh, ww, taps, sub,
-                          _narrow_size(narrow, taps)),
+                          _narrow_size(narrow, taps),
+                          _narrow_cols_size(narrow_cols, taps)),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((hp, wp), jnp.float32),
         interpret=interpret,
@@ -557,11 +657,12 @@ def tile_warp_sample(src, scol, srow, valid=None, r_row: int = R_ROW,
 @functools.partial(
     jax.jit,
     static_argnames=("r_row", "r_col", "taps", "nearest_a", "narrow",
-                     "interpret"),
+                     "narrow_cols", "interpret"),
 )
 def tile_warp_sample2(src_a, src_b, scol, srow, valid=None,
                       r_row: int = R_ROW, r_col: int = R_COL, taps: int = 2,
                       nearest_a: bool = True, narrow: int = -1,
+                      narrow_cols: int = -1,
                       scol_a=None, srow_a=None,
                       interpret: bool = False):
     """Sample TWO same-shape sources at ONE coordinate field in one kernel
@@ -617,7 +718,8 @@ def tile_warp_sample2(src_a, src_b, scol, srow, valid=None,
     )
     out_a, out_b = pl.pallas_call(
         functools.partial(_warp_tile_kernel2, wh, ww, taps, sub, nearest_a,
-                          _narrow_size(narrow, taps)),
+                          _narrow_size(narrow, taps),
+                          _narrow_cols_size(narrow_cols, taps)),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((hp, wp), jnp.float32),
                    jax.ShapeDtypeStruct((hp, wp), jnp.float32)],

@@ -277,6 +277,71 @@ def test_narrow_wide_branch_exact(img):
     np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-2)
 
 
+def test_dead_tile_skip_writes_zeros(img, rng):
+    """Tiles with NO valid pixel take the sentinel skip path: zeros out,
+    valid tiles bit-identical to the valid-free run."""
+    from meshrecon.flow.tile_warp import tile_warp_sample, tile_warp_sample2
+
+    h, w = img.shape
+    other = rng.uniform(0, 255, size=(h, w)).astype(np.float32)
+    c, r = _grid(h, w)
+    scol = c + 4.0 * np.sin(r / 41.0)
+    srow = r + 2.0 * np.cos(c / 43.0)
+    valid = np.ones((h, w), bool)
+    valid[:16] = False          # two full tile rows dead
+    valid[40:48, :] = False     # one mid tile row dead
+    out = np.asarray(tile_warp_sample(img, scol, srow, valid=valid,
+                                      interpret=True))
+    ref = _ref(img, scol, srow)
+    assert np.all(out[:16] == 0.0) and np.all(out[40:48] == 0.0)
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=0, atol=1e-2)
+    # dual kernel: both outputs zero on dead tiles, exact on valid pixels
+    oa, ob = tile_warp_sample2(other, img, scol, srow, valid=valid,
+                               interpret=True)
+    oa, ob = np.asarray(oa), np.asarray(ob)
+    assert np.all(oa[:16] == 0.0) and np.all(ob[:16] == 0.0)
+    np.testing.assert_allclose(ob[valid], ref[valid], rtol=0, atol=1e-2)
+
+
+def test_partial_tile_invalid_pixels_cleaned(img):
+    """Invalid pixels inside a live tile (garbage coordinates) must not
+    disturb valid pixels' samples — their coordinates are rewritten to the
+    tile minimum on the XLA side."""
+    from meshrecon.flow.tile_warp import tile_warp_sample
+
+    h, w = img.shape
+    c, r = _grid(h, w)
+    scol = c + 1.7
+    srow = r + 0.9
+    valid = np.ones((h, w), bool)
+    scol_g = scol.copy()
+    # scatter garbage through many tiles (stays a PARTIAL-tile case)
+    scol_g[::7, ::13] = -5000.0
+    valid[::7, ::13] = False
+    out = np.asarray(tile_warp_sample(img, scol_g, srow, valid=valid,
+                                      interpret=True))
+    ref = _ref(img, scol, srow)
+    np.testing.assert_allclose(out[valid], ref[valid], rtol=0, atol=1e-2)
+
+
+def test_column_midtier_branch_exact(img):
+    """Per-tile column specialization: fields whose lane-axis spread fits
+    the mid budget in most tiles but not all must be exact on BOTH column
+    enumerations (the fit test only skips identically-zero taps)."""
+    from meshrecon.flow.tile_warp import tile_warp_bilinear
+
+    h, w = img.shape
+    c, r = _grid(h, w)
+    # ~4 px spread per 128 lanes in most tiles -> mid tier fires; a steeper
+    # band (12 px/tile, still under the r14 budget) forces the wide path
+    slope = np.where((c > 48) & (c <= 96), 0.095, 0.033).astype(np.float32)
+    scol = c + np.cumsum(slope, axis=1) - 10.0
+    srow = r + 1.3
+    out = tile_warp_bilinear(img, scol, srow, interpret=True)
+    ref = _ref(img, scol, srow)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=0, atol=1e-2)
+
+
 def test_dual_nearest_half_ties(img, rng):
     """Exact .5 coordinates must pick the same texel as nearest_sample
     (floor(x+0.5)) — the tie must not depend on tile bases or offsets."""
