@@ -99,7 +99,13 @@ def main():
             + jnp.sum(out["pdf"]) + jnp.sum(out["valid"].astype(jnp.float32))
         )
 
-    reps = 25
+    # In-program reps per dispatch. The tunnel's fixed ~30 ms dispatch+fetch
+    # amortizes as 30/reps ms per update — a dev-environment artifact (a
+    # real TPU host dispatches in ~0.1 ms); production pipelines dozens of
+    # camera bundles per iteration, so higher reps is the more faithful
+    # device-throughput protocol. Same-session A/B at 25 vs 50 recorded in
+    # BASELINE.md before flipping the default.
+    reps = int(os.environ.get("MESHRECON_BENCH_REPS", "50"))
 
     def many(*a):
         def body(i, acc):

@@ -573,6 +573,26 @@ _GUARD_COLS = int(__import__("os").environ.get(
     "MESHRECON_WARP_GUARD_COLS", "20"))
 
 
+def set_warp_knobs(narrow: int | None = None, narrow_cols: int | None = None,
+                   guard_cols: int | None = None):
+    """Set the warp-kernel specialization knobs mid-process (A/B plumbing,
+    same contract as raster.set_tile_dims): clears jit caches so traces
+    that baked the old values cannot go stale. -1 = auto, 0 = disabled."""
+    global _NARROW_DEFAULT, _NARROW_COLS_DEFAULT, _GUARD_COLS
+    changed = False
+    if narrow is not None and int(narrow) != _NARROW_DEFAULT:
+        _NARROW_DEFAULT = int(narrow)
+        changed = True
+    if narrow_cols is not None and int(narrow_cols) != _NARROW_COLS_DEFAULT:
+        _NARROW_COLS_DEFAULT = int(narrow_cols)
+        changed = True
+    if guard_cols is not None and int(guard_cols) != _GUARD_COLS:
+        _GUARD_COLS = int(guard_cols)
+        changed = True
+    if changed:
+        jax.clear_caches()
+
+
 def _narrow_size(narrow: int, taps: int) -> int:
     """Resolve the narrow-path enumeration size: -1 = auto (6 for bilinear,
     8 for bicubic — the bicubic support eats taps/2 = 2 of the span), 0 =

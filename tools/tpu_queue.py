@@ -78,6 +78,16 @@ def _apply_knobs(opts) -> list[str]:
 
         set_shadow_sample(shadow)
         applied.append(f"shadow={shadow}")
+    nrows, ncols, gcols = (opts.get("nrows"), opts.get("ncols"),
+                           opts.get("gcols"))
+    if nrows or ncols or gcols:
+        from meshrecon.flow.tile_warp import set_warp_knobs
+
+        set_warp_knobs(narrow=int(nrows) if nrows else None,
+                       narrow_cols=int(ncols) if ncols else None,
+                       guard_cols=int(gcols) if gcols else None)
+        applied.append(f"warp=nr{nrows or '-'}/nc{ncols or '-'}"
+                       f"/g{gcols or '-'}")
     return applied
 
 
@@ -91,14 +101,18 @@ def run_step(name: str, opts: dict) -> int:
 
         import bench
 
-        if opts.get("b"):
-            os.environ["MESHRECON_BENCH_B"] = opts["b"]
+        for k, env in (("b", "MESHRECON_BENCH_B"),
+                       ("reps", "MESHRECON_BENCH_REPS")):
+            if opts.get(k):
+                os.environ[env] = opts[k]
         importlib.reload(bench)  # re-times under the current knobs
         try:
             return bench.main() or 0
         finally:
-            os.environ.pop("MESHRECON_BENCH_B", None) if opts.get("b") \
-                else None
+            for k, env in (("b", "MESHRECON_BENCH_B"),
+                           ("reps", "MESHRECON_BENCH_REPS")):
+                if opts.get(k):
+                    os.environ.pop(env, None)
     if name == "verify":
         import verify_tpu
 

@@ -128,6 +128,25 @@ def main():
           nearest_sample(other[::-1], scol, srow), 5e-3, interior=8)
     check("dual batched[1] B vs single", gb_b[1], ref1, 5e-3, interior=8)
 
+    # --- 2c: valid-masked dual warp (dead-tile skip + coordinate cleaning,
+    # the production projection path) ---------------------------------------
+    vmask = np.ones((h, w), bool)
+    vmask[:32] = False                 # four full dead tile rows
+    vmask[::11, ::17] = False          # scattered invalid pixels, live tiles
+    scol_g = np.asarray(scol).copy()
+    scol_g[~vmask] = 7e4               # garbage coords at invalid pixels
+    va, vb = tile_warp_sample2(other, imgj, jnp.asarray(scol_g), srow,
+                               valid=jnp.asarray(vmask))
+    sel = vmask.copy()
+    sel[:8] = sel[-8:] = False
+    sel[:, :8] = sel[:, -8:] = False
+    check("dual masked A valid px vs gather", np.asarray(va)[sel],
+          np.asarray(ref_nn)[sel], 5e-3)
+    check("dual masked B valid px vs gather", np.asarray(vb)[sel],
+          np.asarray(ref_bl)[sel], 5e-3)
+    check("dual masked dead tiles are zero", np.asarray(vb)[:32],
+          np.zeros((32, w), np.float32), 0.0)
+
     # --- 3: banded VMEM Jacobi vs XLA sweeps -------------------------------
     from meshrecon.flow.pallas_jacobi import hs_jacobi
     from meshrecon.flow.variational import _hs_sweeps, _gradients
