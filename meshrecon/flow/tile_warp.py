@@ -571,6 +571,11 @@ _NARROW_COLS_DEFAULT = int(__import__("os").environ.get(
 # (see the measured tradeoffs in the kernel comment). A/B knob.
 _GUARD_COLS = int(__import__("os").environ.get(
     "MESHRECON_WARP_GUARD_COLS", "20"))
+# import-time (env-resolved) values: what a config sentinel restores, so one
+# study config's override cannot leak into the next (apply_kernel_knobs)
+DEFAULT_NARROW = _NARROW_DEFAULT
+DEFAULT_NARROW_COLS = _NARROW_COLS_DEFAULT
+DEFAULT_GUARD_COLS = _GUARD_COLS
 
 
 def set_warp_knobs(narrow: int | None = None, narrow_cols: int | None = None,

@@ -129,6 +129,11 @@ class Config:
     variance_mode: str = ""   # "" = default; rewarp|taylor (fused.py)
     variance_taps: int = 0    # rewarp interpolation: 0 = default; 2|4
     shadow_sample: str = ""   # "" = default; nearest|bilinear (fragment.py)
+    # warp-kernel specialization spans (tile_warp.py): 0 and -1 are
+    # meaningful values (off / auto), so the "unset" sentinel is -2
+    warp_narrow: int = -2       # row span: -2 default, -1 auto, 0 off, >0 N
+    warp_narrow_cols: int = -2  # mid-tier column span, same convention
+    warp_guard_cols: int = -2   # per-dx guard threshold (-2 default)
     checkpoint_dir: Optional[str] = None
     profile_dir: Optional[str] = None
     resume: bool = False
@@ -378,6 +383,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rewarp interpolation taps: 4 = Keys bicubic "
                         "(CV_INTER_CUBIC parity, default), 2 = bilinear "
                         "(~2x smaller kernel enumeration; gate quality)")
+    p.add_argument("--warp-narrow", type=int, default=-2,
+                   help="warp-kernel narrow ROW span: rows enumerated when "
+                        "a tile's row residuals provably fit (-2 = process "
+                        "default, -1 = auto 6/8, 0 = off, N = span)")
+    p.add_argument("--warp-narrow-cols", type=int, default=-2,
+                   help="warp-kernel mid-tier COLUMN span (lane axis), "
+                        "same convention as --warp-narrow (auto 9/11)")
+    p.add_argument("--warp-guard-cols", type=int, default=-2,
+                   help="column count above which the per-column "
+                        "residual-span guard runs (-2 = default 20; "
+                        "guards below ~20 cost more than they skip)")
     p.add_argument("--shadow-sample", choices=("nearest", "bilinear"),
                    default="",
                    help="shadow-map sampler in the projection kernel: "
@@ -414,6 +430,16 @@ def apply_kernel_knobs(config) -> None:
         or fused._DEFAULT_VARIANCE_TAPS)
     fragment.set_shadow_sample(
         getattr(config, "shadow_sample", "") or fragment._DEFAULT_SHADOW)
+    from meshrecon.flow import tile_warp
+
+    def _warp(knob, default):
+        v = getattr(config, knob, -2)
+        return default if v == -2 else int(v)
+
+    tile_warp.set_warp_knobs(
+        narrow=_warp("warp_narrow", tile_warp.DEFAULT_NARROW),
+        narrow_cols=_warp("warp_narrow_cols", tile_warp.DEFAULT_NARROW_COLS),
+        guard_cols=_warp("warp_guard_cols", tile_warp.DEFAULT_GUARD_COLS))
 
 
 def config_from_args(argv=None) -> Config:
@@ -577,4 +603,7 @@ def _config_for_file(args, in_file: str, out_file: str,
         variance_mode=args.variance_mode,
         variance_taps=args.variance_taps,
         shadow_sample=args.shadow_sample,
+        warp_narrow=args.warp_narrow,
+        warp_narrow_cols=args.warp_narrow_cols,
+        warp_guard_cols=args.warp_guard_cols,
     )
