@@ -38,12 +38,12 @@ def calculate_flow(prev, next_, use_farneback: bool = False):
         flow = farneback_flow(prev, next_, poly_n=poly_n,
                               poly_sigma=poly_sigma, winsize=int(winsize))
     else:
-        # solver default pyramid (3 levels since round 4): this function is
-        # the PIPELINE's flow entry (recon.cpp:96 analog) and must match
-        # the fused path's arithmetic exactly (tests/test_pipeline.py
-        # ::test_fused_matches_unfused). Standalone large-displacement
-        # callers (flow/driver.py CLI) pass a deep pyramid explicitly.
-        flow = variational_flow(prev, next_)
+        # explicit 3-level pyramid: this function is the PIPELINE's flow
+        # entry (recon.cpp:96 analog) and must match the fused path's
+        # arithmetic exactly (tests/test_pipeline.py
+        # ::test_fused_matches_unfused). The library default stays deep
+        # (levels=6); standalone large-displacement callers rely on it.
+        flow = variational_flow(prev, next_, levels=3)
     # variance via the true bicubic warp (flow.cpp:34); a clamped warp would
     # misreport variance exactly where flows are large
     variance = compare(prev, flow_remap(flow, next_))

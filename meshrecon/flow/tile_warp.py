@@ -323,8 +323,14 @@ def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow, narrow_c,
             # texel as fragment.nearest_sample at every .5 tie (rounding py
             # here instead flipped ties through f32 reassociation of the
             # pad/base offsets, caught by the on-TPU equality sweep)
-            rya = jnp.clip(pya_ref[s * TH:(s + 1) * TH] - i_loc, lo_y, hi_y)
-            rxa = jnp.clip(pxa_ref[s * TH:(s + 1) * TH] - j_loc, lo_x, hi_x)
+            # integral clip bounds (floor of the raw field's hi): clipping
+            # an integral residual to the raw non-integral bound would turn
+            # the one-hot weights into a two-texel blend exactly at
+            # budget-saturating tiles (round-4 advisor)
+            hi_ya = float(int(hi_y))
+            hi_xa = float(int(hi_x))
+            rya = jnp.clip(pya_ref[s * TH:(s + 1) * TH] - i_loc, lo_y, hi_ya)
+            rxa = jnp.clip(pxa_ref[s * TH:(s + 1) * TH] - j_loc, lo_x, hi_xa)
 
         @pl.when(jnp.logical_not(alive[s]))
         def _dead():

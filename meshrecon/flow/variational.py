@@ -321,7 +321,7 @@ def _hs_level(prev, next_, u0, v0, alpha2, iters, engine: str = "xla",
 def variational_flow(
     prev,
     next_,
-    levels: int = 3,
+    levels: int = 6,
     iters: int | None = None,
     warps: int = 2,
     alpha: float = 12.0,
@@ -361,14 +361,16 @@ def variational_flow(
     levels: pyramid depth cap (also bounded by ``min_size``); the
     process-wide knob ``set_flow_knobs(levels=...)`` / MESHRECON_FLOW_LEVELS
     overrides a non-zero value here when set (0 = keep the caller's value).
-    Default 3 (round 4): the pipeline's flows run against RENDERED
-    predictions with few-pixel residuals, so the deep levels only re-derive
-    a near-zero coarse field — bench +22% (34.1 -> 41.4 Mpix/s/chip), and
-    quality-neutral at full res both standalone (trim2lv3 within draw
-    noise of trim2 on seeds 3/5) and under the quality preset
-    (trim2cons3ens3lv3 seed-5 0.0820/0.1805 vs 0.0836/0.1787, BASELINE.md
-    round 4). ``--flow-levels 6`` restores; standalone photography-style
-    flows with LARGE displacements (flow/api.py) keep a deep pyramid.
+    The PUBLIC default stays 6 (deep pyramid, full large-displacement
+    recovery — round-4 advisor: library callers must not silently lose it).
+    The PIPELINE call sites (pipeline/fused.py, flow/api.py) pass levels=3
+    explicitly: their flows run against RENDERED predictions with few-pixel
+    residuals, so the deep levels only re-derive a near-zero coarse field —
+    bench +22% (34.1 -> 41.4 Mpix/s/chip), and quality-neutral at full res
+    both standalone (trim2lv3 within draw noise of trim2 on seeds 3/5) and
+    under the quality preset (trim2cons3ens3lv3 seed-5 0.0820/0.1805 vs
+    0.0836/0.1787, BASELINE.md round 4). ``--flow-levels 6`` restores the
+    deep pyramid in the pipeline too.
 
     engine: "auto" (Pallas kernels on TPU, XLA elsewhere), "pallas", "xla".
     solver: "cheb" (default, the production fast path) runs

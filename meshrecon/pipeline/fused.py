@@ -212,12 +212,15 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
         # the re-warped stack to first order in the last solve increment —
         # no second gather pass (variational_flow docstring; the compare()
         # cascade below is identical to the rewarp path)
+        # levels=3 (explicit, not the library default): flows against
+        # RENDERED predictions have few-pixel residuals (variational.py
+        # docstring; bench +22%, quality-neutral full-res)
         flows2, rewarped = variational_flow(frames_main[:, None], mixed_all,
-                                            solver=flow_solver,
+                                            solver=flow_solver, levels=3,
                                             want_residual=True)
     else:
         flows2 = variational_flow(frames_main[:, None], mixed_all,
-                                  solver=flow_solver)
+                                  solver=flow_solver, levels=3)
 
     if rewarped is None:
         # bicubic re-warp for the variance estimate: 16 gathers/pixel cost

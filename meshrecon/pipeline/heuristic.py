@@ -483,13 +483,26 @@ class Heuristic:
         def best_side(main, shot_mask):
             return self._best_side(main, ok, cos_v, dist, cfv_n, shot_mask)
 
+        cap = int(getattr(cfg, "max_sides", 8) or 0)
+        displaced = [0]  # sides evicted to make room for a repair side
+
         def append_pair(main, side, tag):
             pos = next((p for p, (m, _) in enumerate(chosen) if m == main), -1)
             if pos < 0:
                 chosen.append((main, [side]))
                 added[tag] += 1
             elif side not in chosen[pos][1]:
-                chosen[pos][1].append(side)
+                sides_ = chosen[pos][1]
+                if cap > 0 and len(sides_) >= cap:
+                    # the bundle is already at the K cap: REPLACE the
+                    # weakest side (last in threshold-crossing order)
+                    # instead of appending — the caller's post-repair
+                    # truncation would otherwise silently drop the
+                    # parallax-critical repair side (round-4 advisor).
+                    sides_[-1] = side
+                    displaced[0] += 1
+                else:
+                    sides_.append(side)
                 added[tag] += 1
 
         cov0 = cov1 = serv = -1
@@ -547,7 +560,9 @@ class Heuristic:
             print(f"Coverage repair: +{added['coverage']} coverage, "
                   f"+{added['diversity']} diversity pairs "
                   f"({len(chosen)} mains; covered {cov0}->{cov1}"
-                  f" of {serv} servable shots)", flush=True)
+                  f" of {serv} servable shots"
+                  + (f"; {displaced[0]} weakest sides displaced at the "
+                     f"K cap" if displaced[0] else "") + ")", flush=True)
         return chosen
 
     def camera_bundles(self):

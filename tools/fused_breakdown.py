@@ -76,7 +76,7 @@ def main():
                 return depth_final, mixed_all
 
             flows2 = F.variational_flow(frames_main[:, None], mixed_all,
-                                        solver=solver)
+                                        solver=solver, levels=3)
             if upto == "flow":
                 return depth_final, flows2
 
