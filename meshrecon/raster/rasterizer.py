@@ -124,13 +124,19 @@ def clip_project_planes(camera, soup, soup_valid):
     """
     camera = jnp.asarray(camera, jnp.float32)
     soup = jnp.asarray(soup, jnp.float32)
-    hi = jax.lax.Precision.HIGHEST
 
-    # per-vertex clip components as planes: c_r = cam[r, :3] . p + cam[r, 3]
+    # per-vertex clip components as planes: c_r = cam[r, :3] . p + cam[r, 3].
+    # Written as fixed-association elementwise FMAs, NOT jnp.dot: under
+    # jax.vmap (the camera-batched binned wrapper) a dot lowers to a batched
+    # contraction whose accumulation order differs from the single-camera
+    # lowering, and a ~1e-5 vertex perturbation can flip an edge test at a
+    # silhouette pixel (verify_tpu caught a 0.245 depth diff). Elementwise
+    # mul/add broadcast identically under vmap, so batched == single bitwise.
     def clip_comp(row, v):
         p = soup[:, v, :]  # (T, 3) — sliced once; everything after is (T,)
         return (
-            jnp.dot(p, camera[row, :3], precision=hi) + camera[row, 3]
+            p[:, 0] * camera[row, 0] + p[:, 1] * camera[row, 1]
+            + p[:, 2] * camera[row, 2] + camera[row, 3]
         )
 
     cx = [clip_comp(0, v) for v in range(3)]

@@ -246,11 +246,12 @@ def main():
     check("binned two-level vs XLA raster",
           render_depth_binned(cams[0], pad, valid, rh, rw, two_level=True),
           refs[0], 1e-5)
-    # 1e-4: the batched wrapper projects via jax.vmap(clip_project_planes),
-    # whose TPU lowering reassociates the 4x4 transforms (measured max
-    # 1.16e-5 depth diff — f32 rounding, not coverage/logic)
+    # clip_project_planes projects with fixed-association elementwise FMAs
+    # (vmap-stable), so batched == single == XLA reference bitwise; the old
+    # jnp.dot form reassociated under vmap and flipped silhouette edge tests
+    # (0.245 depth diff caught here in round 5).
     check("binned camera-batched vs XLA raster",
-          render_depth_binned_batched(cams, pad, valid, rh, rw), refs, 1e-4)
+          render_depth_binned_batched(cams, pad, valid, rh, rw), refs, 1e-5)
 
     if FAILURES:
         print(f"\nFAILED: {FAILURES}", file=sys.stderr)
