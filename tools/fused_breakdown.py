@@ -4,6 +4,14 @@ Times progressively larger prefixes of the fused program (in-program reps,
 same honest-barrier scheme as perf_breakdown.py) so each stage's MARGINAL
 cost in its real context (vmapped over K, fused with neighbors) is visible.
 
+Alongside each stage it prints XLA's own cost model for the stage prefix
+(bytes accessed + flops, from lowered cost_analysis), so the roofline memo
+can bound every stage by max(bytes/BW, flops/peak) with measured ceilings
+from tools/roofline.py. The dispatch floor is MEASURED per run (a no-op
+scalar jit, best of 5) instead of the old hardcoded 30 ms — through the
+axon tunnel the floor drifts 20-35 ms between minutes, which at reps=10
+was +-1 ms/update of noise on every marginal.
+
 Usage: PYTHONPATH=/root/repo:/root/.axon_site python tools/fused_breakdown.py [H W K reps B solver]
 """
 
@@ -108,7 +116,36 @@ def main():
             return out["point4"], normals, out["pdf"], out["valid"]
         return batched
 
+    # measured dispatch floor (drifts between minutes; best of 5)
+    noop = jax.jit(lambda x: x * 1.0)
+    float(np.asarray(noop(jnp.float32(1.0))))
+    floor = 1e9
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(np.asarray(noop(jnp.float32(1.0))))
+        floor = min(floor, time.perf_counter() - t0)
+    floor *= 1e3
+    print(f"# dispatch floor {floor:.1f} ms", flush=True)
+
+    def stage_cost(fn):
+        """XLA cost model (flops, bytes accessed) for ONE unrolled stage
+        prefix — reps=1, no rep loop, so the numbers are per-update."""
+        def once(*a):
+            return jnp.sum(sum(
+                jnp.sum(x) for x in jax.tree_util.tree_leaves(
+                    fn(jnp.float32(0.0), *a))
+                if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)))
+        try:
+            ca = jax.jit(once).lower(*args).cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            return float(ca.get("flops", 0.0)), float(
+                ca.get("bytes accessed", 0.0))
+        except Exception:
+            return float("nan"), float("nan")
+
     prev = 0.0
+    prev_fl, prev_by = 0.0, 0.0
     for name in ["depth0", "scan", "flow", "rewarp", "var", "tri", "all"]:
         fn = stage_fn(name)
 
@@ -127,14 +164,17 @@ def main():
         float(np.asarray(fjit(*args)))
         tc = time.perf_counter() - t0
         best = 1e9
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             float(np.asarray(fjit(*args)))
             best = min(best, time.perf_counter() - t0)
-        per = (best * 1e3 - 30.0) / reps
+        per = (best * 1e3 - floor) / reps
+        fl, by = stage_cost(fn)
         print(f"upto {name:<6} {per:9.2f} ms  (+{per - prev:7.2f})"
+              f"  dGflop {(fl - prev_fl) / 1e9:7.2f}"
+              f"  dMB {(by - prev_by) / 1e6:8.1f}"
               f"  compile {tc:5.1f} s", flush=True)
-        prev = per
+        prev, prev_fl, prev_by = per, fl, by
 
 
 if __name__ == "__main__":

@@ -15,6 +15,7 @@ declarative step list on the command line:
 Steps (options after ':', ';'-separated key=val):
   bench       headline bench.py  [tile_h= tile_w= iters= min_px= fw= lv= b=]
   verify      on-TPU kernel equality sweep (tools/verify_tpu.py)
+  roofline    measured HBM/VPU/launch-floor bounds (tools/roofline.py)
   breakdown   per-stage fused-update timing [h= w= k= reps= b= solver=]
   raster      raster tile/face sweep [chunks=8,16 batched=1]
   warp        tile-warp kernel micro (tools/warp_micro.py)
@@ -117,6 +118,10 @@ def run_step(name: str, opts: dict) -> int:
         import verify_tpu
 
         return verify_tpu.main() or 0
+    if name == "roofline":
+        import roofline
+
+        return roofline.main() or 0
     if name == "breakdown":
         import fused_breakdown
 
