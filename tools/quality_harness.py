@@ -87,6 +87,13 @@ CONFIGS = {
     "trim-ens2": {"depth_mode": "hybrid", "iteration_count": 2,
                   "sweep_depths": 48, "poisson_trim": 2.0,
                   "ensemble_seeds": (3, 13)},
+    # the flagship `--preset quality` bundle (pipeline/config.py:547-556):
+    # 3-draw seed-ensemble union + 3 consensus-trim rounds on the default
+    # support trim. Gated below with its own per-scene bounds so the
+    # flagship claim has a regression bound (VERDICT r4 item 4c).
+    "quality": {"depth_mode": "hybrid", "iteration_count": 2,
+                "sweep_depths": 48, "poisson_trim": 2.0,
+                "consensus_rounds": 3, "ensemble_seeds": (3, 13, 23)},
 }
 
 # Default-config regression bounds on the MEDIAN at --scale 8 (measured
@@ -97,6 +104,20 @@ SCENE_BOUNDS = {
     "koule-tr": 0.15,
     "koberec-": 0.12,
     "zatisi": 0.20,  # non-primitive still life approximated by a sphere
+}
+
+# Regression bounds for the flagship "quality" preset config at --scale 8
+# (measured round 5 on the v5e, seed 3 + draws (3,13,23): koule
+# 0.0272/0.0655, koberec- 0.0083/0.0269, zatisi 0.0818/0.1579 med/p90;
+# bounds ~2x measured so draw noise cannot flake the gate). Gated on BOTH
+# median and p90 — the preset's claim is a tail claim. zatisi's preset
+# median sits ABOVE its default config: the fixture's sphere fit only
+# approximates the still-life arc, and the 3-draw union covers more of
+# the non-spherical extremities — a metric artifact, bounded all the same.
+QUALITY_BOUNDS = {
+    "koule-tr": (0.055, 0.14),
+    "koberec-": (0.020, 0.060),
+    "zatisi": (0.17, 0.32),
 }
 
 # Per-scene config adjustments: koberec-/zatisi at 1/8 res leave the
@@ -139,7 +160,11 @@ def main(argv=None):
         print(f"{'config':<14}{'faces':>8}{'med_err/r':>11}{'p90_err/r':>11}"
               f"{'seconds':>9}", flush=True)
         for name in args.configs.split(","):
-            kw = dict(iteration_count=1, poisson_grid=64)
+            # small-scale runs pin a coarse Poisson grid + single iteration
+            # for CI speed; full/half-res runs use production defaults so
+            # the numbers are comparable with seed_study rows
+            kw = (dict(iteration_count=1, poisson_grid=64)
+                  if args.scale >= 4 else {})
             kw.update(SCENE_KW.get(scene, {}))
             kw.update(CONFIGS[name])
             cfg = Config(track=track, frames=frames,
@@ -154,6 +179,16 @@ def main(argv=None):
             bound = SCENE_BOUNDS.get(scene, 0.3) * args.tolerance
             if name == "default" and med > bound:
                 failed.append(f"{scene}: default med {med:.4f} > {bound}")
+            if name == "quality":
+                mb, pb = QUALITY_BOUNDS.get(scene, (0.3, 0.6))
+                mb *= args.tolerance
+                pb *= args.tolerance
+                if med > mb:
+                    failed.append(
+                        f"{scene}: quality med {med:.4f} > {mb:.4f}")
+                if p90 > pb:
+                    failed.append(
+                        f"{scene}: quality p90 {p90:.4f} > {pb:.4f}")
     for f in failed:
         print(f"FAIL {f}", file=sys.stderr)
     return 1 if failed else 0

@@ -19,6 +19,7 @@ Steps (options after ':', ';'-separated key=val):
   breakdown   per-stage fused-update timing [h= w= k= reps= b= solver=]
   raster      raster tile/face sweep [chunks=8,16 batched=1]
   warp        tile-warp kernel micro (tools/warp_micro.py)
+  flowmicro   flow-stage knob/level micro (tools/flow_micro.py)
   study       full-res seed study    [configs= seeds= scale=]
   attrib      error attribution      [seeds= scale= trim= sensitivity=1]
   harness     quality harness        [configs= scene= scale=]
@@ -153,6 +154,10 @@ def run_step(name: str, opts: dict) -> int:
         import warp_micro
 
         return warp_micro.main() or 0
+    if name == "flowmicro":
+        import flow_micro
+
+        return flow_micro.main() or 0
     if name == "study":
         import seed_study
 
