@@ -91,18 +91,18 @@ def _sweep_kernel(band, halo, height, stride_h, width, sweeps, alpha2,
         return jnp.where(right if dx > 0 else left, f, r)
 
     def hs_avg(f):
-        # 4 lane rolls instead of 6: the diagonal sum west(fn)+east(fn)
-        # +west(fs)+east(fs) equals west(fn+fs)+east(fn+fs) — the border
-        # select clamps each roll to its own operand, so the edge-clamped
-        # semantics are identical; the reassociation drifts only in the
-        # last ulp (tests/verify-tpu tolerance 1e-3). Lane rolls shuffle
-        # the whole band across vregs and were the costliest op per sweep.
-        fn = shift_rows(f, -1)
-        fs = shift_rows(f, 1)
-        g = fn + fs
-        horiz = shift_cols(f, -1) + shift_cols(f, 1)
-        diag = shift_cols(g, -1) + shift_cols(g, 1)
-        return (g + horiz) * (1.0 / 6.0) + diag * (1.0 / 12.0)
+        # 2 lane rolls instead of 6: with g = north+south and
+        # t = f + g/2, the weighted 8-neighborhood average
+        #   (g + west(f) + east(f))/6 + (west(g) + east(g))/12
+        # factors as (g + west(t) + east(t))/6 — the border select clamps
+        # each roll to its own operand, and clamping t at a border
+        # contributes exactly f + g/2 there, so the edge-clamped semantics
+        # are identical; the reassociation drifts only in the last ulp
+        # (tests/verify-tpu tolerance 1e-3). Lane rolls shuffle the whole
+        # band across vregs and are the costliest op per sweep.
+        g = shift_rows(f, -1) + shift_rows(f, 1)
+        t = f + 0.5 * g
+        return (g + shift_cols(t, -1) + shift_cols(t, 1)) * (1.0 / 6.0)
 
     for cp in copies:
         cp.wait()
@@ -276,15 +276,12 @@ def _fused_sweep_kernel(band, halo, height, stride_h, width, sweeps, alpha2,
         return jnp.where(right if dx > 0 else left, f, r)
 
     def hs_avg(f):
-        # 4 lane rolls instead of 6 (see _sweep_kernel.hs_avg: diagonal
-        # sum factored through fn+fs; edge-clamp identical, last-ulp
-        # reassociation only)
-        fn = shift_rows(f, -1)
-        fs = shift_rows(f, 1)
-        g = fn + fs
-        horiz = shift_cols(f, -1) + shift_cols(f, 1)
-        diag = shift_cols(g, -1) + shift_cols(g, 1)
-        return (g + horiz) * (1.0 / 6.0) + diag * (1.0 / 12.0)
+        # 2 lane rolls instead of 6 (see _sweep_kernel.hs_avg: the
+        # 8-neighborhood average factors through t = f + g/2; edge-clamp
+        # identical, last-ulp reassociation only)
+        g = shift_rows(f, -1) + shift_rows(f, 1)
+        t = f + 0.5 * g
+        return (g + shift_cols(t, -1) + shift_cols(t, 1)) * (1.0 / 6.0)
 
     for cp in copies:
         cp.wait()

@@ -200,6 +200,10 @@ def _warp_tile_kernel(wh, ww, taps, sub, narrow, narrow_c, by_ref, bx_ref,
                 # tap with the accumulator in VMEM scratch was 2.8x WORSE
                 # overall: per-tap branches + a scratch load/store per tap
                 # instead of vector registers.)
+                # the column weight wx is hoisted OUT of the dy loop
+                # (sum_dy (wy*wx)*win == wx * sum_dy wy*win): nr+1 FMAs
+                # per column instead of 2*nr ops — pure reassociation,
+                # last-ulp drift only (test atol 5e-3)
                 wys = [weight(ry - dy) for dy in range(nr)]
                 if guard_cols:
                     rx_hi = jnp.max(rx) + taps * 0.5
@@ -211,17 +215,18 @@ def _warp_tile_kernel(wh, ww, taps, sub, narrow, narrow_c, by_ref, bx_ref,
                             wcol = w[:, dx:dx + TW]
                             part = jnp.zeros((TH, TW), jnp.float32)
                             for dy in range(nr):
-                                part = part + (wys[dy] * wx) * wcol[
-                                    dy:dy + TH]
-                            acc[:] = acc[:] + part
+                                part = part + wys[dy] * wcol[dy:dy + TH]
+                            acc[:] = acc[:] + wx * part
                     out_ref[s * TH:(s + 1) * TH] = acc[:]
                 else:
                     out = jnp.zeros((TH, TW), jnp.float32)
                     for dx in range(nc):
                         wx = weight(rx - dx)
                         wcol = w[:, dx:dx + TW]
+                        part = jnp.zeros((TH, TW), jnp.float32)
                         for dy in range(nr):
-                            out = out + (wys[dy] * wx) * wcol[dy:dy + TH]
+                            part = part + wys[dy] * wcol[dy:dy + TH]
+                        out = out + wx * part
                     out_ref[s * TH:(s + 1) * TH] = out
 
             # Narrow/wide ROW specialization: the per-tile window base is
@@ -370,17 +375,17 @@ def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow, narrow_c,
                         def _col():
                             wx = weight(rx - dx)
                             wxa = weight(rxa - dx) if nearest_a else wx
+                            # wx/wxa hoisted out of the dy loop (see
+                            # _warp_tile_kernel: pure reassociation)
                             wca = wa[:, dx:dx + TW]
                             wcb = wb[:, dx:dx + TW]
                             parta = jnp.zeros((TH, TW), jnp.float32)
                             partb = jnp.zeros((TH, TW), jnp.float32)
                             for dy in range(nr):
-                                wp = wys[dy] * wx
-                                partb = partb + wp * wcb[dy:dy + TH]
-                                wpa = (wysa[dy] * wxa) if nearest_a else wp
-                                parta = parta + wpa * wca[dy:dy + TH]
-                            acca[:] = acca[:] + parta
-                            accb[:] = accb[:] + partb
+                                partb = partb + wys[dy] * wcb[dy:dy + TH]
+                                parta = parta + wysa[dy] * wca[dy:dy + TH]
+                            acca[:] = acca[:] + wxa * parta
+                            accb[:] = accb[:] + wx * partb
                     outa_ref[s * TH:(s + 1) * TH] = acca[:]
                     outb_ref[s * TH:(s + 1) * TH] = accb[:]
                 else:
@@ -391,11 +396,13 @@ def _warp_tile_kernel2(wh, ww, taps, sub, nearest_a, narrow, narrow_c,
                         wxa = weight(rxa - dx) if nearest_a else wx
                         wca = wa[:, dx:dx + TW]
                         wcb = wb[:, dx:dx + TW]
+                        parta = jnp.zeros((TH, TW), jnp.float32)
+                        partb = jnp.zeros((TH, TW), jnp.float32)
                         for dy in range(nr):
-                            wp = wys[dy] * wx
-                            outb = outb + wp * wcb[dy:dy + TH]
-                            wpa = (wysa[dy] * wxa) if nearest_a else wp
-                            outa = outa + wpa * wca[dy:dy + TH]
+                            partb = partb + wys[dy] * wcb[dy:dy + TH]
+                            parta = parta + wysa[dy] * wca[dy:dy + TH]
+                        outa = outa + wxa * parta
+                        outb = outb + wx * partb
                     outa_ref[s * TH:(s + 1) * TH] = outa
                     outb_ref[s * TH:(s + 1) * TH] = outb
 
