@@ -127,12 +127,15 @@ def main():
     noop = jax.jit(lambda x: x * 1.0000001)
     x0 = jax.device_put(np.float32(1.0))
     float(np.asarray(noop(x0)))  # compile
-    t0 = time.perf_counter()
-    floor_rounds = 5
-    for _ in range(floor_rounds):
+    # min over rounds, not mean: a single tunnel latency spike would
+    # inflate a mean floor and overstate device-only throughput
+    dispatch_floor_ms = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
         x0 = noop(x0)
         float(np.asarray(x0))
-    dispatch_floor_ms = (time.perf_counter() - t0) / floor_rounds * 1e3
+        dispatch_floor_ms = min(dispatch_floor_ms,
+                                (time.perf_counter() - t0) * 1e3)
 
     rounds = 3
     t0 = time.perf_counter()
