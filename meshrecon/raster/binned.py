@@ -158,6 +158,8 @@ def _raster_kernel(height, width, chunk, slab, tri_ref, lists_ref,
             l1 = fld(3, t) * px + fld(4, t) * py + fld(5, t)
             l2 = fld(6, t) * px + fld(7, t) * py + fld(8, t)
             zs = l0 * fld(9, t) + l1 * fld(10, t) + l2 * fld(11, t)
+            # shared-edge tie slop rides the affine C coefficients
+            # (rasterizer.EDGE_TIE_SLOP) — the coverage test stays exact
             covered = ((l0 >= 0) & (l1 >= 0) & (l2 >= 0)
                        & (zs >= -1.0) & (zs <= 1.0) & overlap)
             zbuf = jnp.minimum(zbuf, jnp.where(covered, zs, jnp.inf))

@@ -102,6 +102,25 @@ def clip_triangles_near(tri_clip):
     return tris, valid
 
 
+# Shared-edge tie slop, in NDC units: a sample point lying EXACTLY on an
+# edge shared by two triangles must be covered by at least one of them (GL
+# guarantees exactly one via exact integer arithmetic + the top-left
+# rule). Our f32 edge functions evaluate ~ulp-level noise at such ties and
+# both triangles can round negative — measured on the axis-aligned plane
+# fixture: 45 of 53 diagonal sample points holed at 96x128 (the synthetic
+# scenes' symmetric geometry makes exact hits common; real meshes hit them
+# rarely but nonzero). Each edge's plane constant is biased by
+# EDGE_TIE_SLOP * |grad l| — i.e. coverage extends a fixed 6.25e-5 NDC
+# units (0.02 px at 640-wide) past every edge REGARDLESS of triangle size.
+# (A first cut using a fixed slop on the normalized barycentric extended
+# near-clipped screen-spanning triangles by ~0.5 px into steep-z territory
+# and corrupted the near-straddle depth test.) Shared edges then
+# double-cover, which the z-buffer min resolves to the same interpolated z
+# from either side; the bias is baked into the affine C coefficients so
+# the per-pixel coverage test stays l >= 0.
+EDGE_TIE_SLOP = 6.25e-5
+
+
 def _edge(ax, ay, bx, by, px, py):
     """Signed area*2 of triangle (a, b, p); broadcasts over p."""
     return (bx - ax) * (py - ay) - (by - ay) * (px - ax)
@@ -240,6 +259,9 @@ def edge_affine_planes(x0, x1, x2, y0, y1, y2, z0, z1, z2, area, ok):
         a = -dy * inv_area
         b = dx * inv_area
         c = (dy * ax - dx * ay) * inv_area
+        # bake the tie slop into the plane constant: l >= 0 then accepts
+        # true l >= -slop_px * |grad l| (see EDGE_TIE_SLOP_PX above)
+        c = c + EDGE_TIE_SLOP * jnp.sqrt(a * a + b * b)
         return a, b, c
 
     a0, b0, c0 = edge_coeffs(x1, y1, x2, y2)
@@ -308,7 +330,17 @@ def _coverage_z(x, y, z, area, ok, px, py):
     l0 = e0 * inv_area[:, None]
     l1 = e1 * inv_area[:, None]
     l2 = e2 * inv_area[:, None]
-    covered = (l0 >= 0) & (l1 >= 0) & (l2 >= 0) & ok[:, None]
+    # per-edge tie slop (|grad l_i| = |edge_i| / |area|, NDC units),
+    # matching edge_affine_planes' biased C coefficients at the boundaries
+
+    def slop(ax, ay, bx, by):
+        return (EDGE_TIE_SLOP * jnp.abs(inv_area)
+                * jnp.hypot(bx - ax, by - ay))[:, None]
+
+    covered = ((l0 >= -slop(x[:, 1], y[:, 1], x[:, 2], y[:, 2]))
+               & (l1 >= -slop(x[:, 2], y[:, 2], x[:, 0], y[:, 0]))
+               & (l2 >= -slop(x[:, 0], y[:, 0], x[:, 1], y[:, 1]))
+               & ok[:, None])
     zs = l0 * z[:, 0, None] + l1 * z[:, 1, None] + l2 * z[:, 2, None]
     # GL also clips fragments to the [-1, 1] depth range
     covered &= (zs >= -1.0) & (zs <= 1.0)

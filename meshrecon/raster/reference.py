@@ -28,6 +28,9 @@ def _clip_poly_near(poly):
     return out
 
 
+from meshrecon.raster.rasterizer import EDGE_TIE_SLOP
+
+
 def render_depth_reference(camera, triangles, height, width):
     """triangles: (T, 3, 3) world-space. Returns (H, W) NDC depth, bg 1.0."""
     camera = np.asarray(camera, dtype=np.float64)
@@ -61,7 +64,13 @@ def _raster_tri(zbuf, verts, height, width):
             l0 = ((x[2] - x[1]) * (py - y[1]) - (y[2] - y[1]) * (px - x[1])) / area
             l1 = ((x[0] - x[2]) * (py - y[2]) - (y[0] - y[2]) * (px - x[2])) / area
             l2 = 1.0 - l0 - l1
-            if l0 < 0 or l1 < 0 or l2 < 0:
+            # shared-edge tie slop (NDC units), same rule as the
+            # production paths (rasterizer.EDGE_TIE_SLOP): exact-tie
+            # sample points must not be holed by rounding on both sides
+            s0 = EDGE_TIE_SLOP * np.hypot(x[2] - x[1], y[2] - y[1]) / abs(area)
+            s1 = EDGE_TIE_SLOP * np.hypot(x[0] - x[2], y[0] - y[2]) / abs(area)
+            s2 = EDGE_TIE_SLOP * np.hypot(x[1] - x[0], y[1] - y[0]) / abs(area)
+            if l0 < -s0 or l1 < -s1 or l2 < -s2:
                 continue
             zp = l0 * z[0] + l1 * z[1] + l2 * z[2]
             if -1.0 <= zp <= 1.0 and zp < zbuf[r, c]:

@@ -203,3 +203,34 @@ def test_dilate3x3():
 # (the round-1 whole-soup Pallas raster kernel and its test were deleted in
 # round 3: superseded by the binned kernels in raster/binned.py, which carry
 # their own equality tests in tests/test_binned_raster.py)
+
+
+def test_shared_edge_ties_not_holed():
+    """Sample points lying EXACTLY on an edge shared by two triangles must
+    be covered by at least one of them (GL: exact arithmetic + top-left
+    rule). The f32 edge functions round ~ulp noise at such ties and both
+    triangles used to reject: an axis-aligned quad split on its diagonal
+    holed 45 of 53 diagonal sample points at 96x128. EDGE_EPS closes the
+    ties; this renders that exact fixture and asserts a hole-free
+    interior."""
+    from meshrecon import BACKGROUND_DEPTH
+
+    e = 4.0
+    quad = jnp.asarray(
+        [
+            [[-e, -e, 0.0], [e, -e, 0.0], [e, e, 0.0]],
+            [[-e, -e, 0.0], [e, e, 0.0], [-e, e, 0.0]],
+        ],
+        jnp.float32,
+    )
+    cam = make_camera(fov=1.1, near=1.0, far=40.0, eye=(0, 0, 16))
+    dm = np.asarray(render_depth(cam, quad, jnp.ones(2, bool), 96, 128))
+    v = dm != BACKGROUND_DEPTH
+    rs, cs = np.where(v)
+    interior = np.zeros_like(v)
+    # interior of the covered bbox, eroded by 1 px so silhouette-boundary
+    # coverage conventions stay out of the assertion
+    interior[rs.min() + 1:rs.max(), cs.min() + 1:cs.max()] = True
+    holes = interior & ~v
+    assert holes.sum() == 0, (
+        f"{holes.sum()} interior holes at {np.argwhere(holes)[:5]}")
