@@ -94,6 +94,15 @@ CONFIGS = {
     "quality": {"depth_mode": "hybrid", "iteration_count": 2,
                 "sweep_depths": 48, "poisson_trim": 2.0,
                 "consensus_rounds": 3, "ensemble_seeds": (3, 13, 23)},
+    # lv2 flow-pyramid gate rows (perf lever: flow 2.02 -> 1.61 ms,
+    # tpu_q5 flowmicro): same configs as default/quality with the
+    # shallower pyramid — compared against their lv3 twins before any
+    # default flip, mirroring how the round-4 lv3 flip was gated
+    "lv2": {"flow_levels": 2},
+    "quality-lv2": {"depth_mode": "hybrid", "iteration_count": 2,
+                    "sweep_depths": 48, "poisson_trim": 2.0,
+                    "consensus_rounds": 3, "ensemble_seeds": (3, 13, 23),
+                    "flow_levels": 2},
 }
 
 # Default-config regression bounds on the MEDIAN at --scale 8 (measured
@@ -107,17 +116,20 @@ SCENE_BOUNDS = {
 }
 
 # Regression bounds for the flagship "quality" preset config at --scale 8
-# (measured round 5 on the v5e, seed 3 + draws (3,13,23): koule
-# 0.0272/0.0655, koberec- 0.0083/0.0269, zatisi 0.0818/0.1579 med/p90;
+# (measured round 5 on the v5e AFTER the raster shared-edge tie-slop fix
+# — the fix fills exact-tie interior holes in depth renders, which makes
+# more probes servable and re-draws the camera policy (koule moved
+# 4622 -> 16816 faces); tpu_q5 session, seed 3 + draws (3,13,23): koule
+# 0.0484/0.1403, koberec- 0.0088/0.0278, zatisi 0.0658/0.2157 med/p90;
 # bounds ~2x measured so draw noise cannot flake the gate). Gated on BOTH
 # median and p90 — the preset's claim is a tail claim. zatisi's preset
-# median sits ABOVE its default config: the fixture's sphere fit only
+# p90 sits above its default config: the fixture's sphere fit only
 # approximates the still-life arc, and the 3-draw union covers more of
 # the non-spherical extremities — a metric artifact, bounded all the same.
 QUALITY_BOUNDS = {
-    "koule-tr": (0.055, 0.14),
+    "koule-tr": (0.097, 0.28),
     "koberec-": (0.020, 0.060),
-    "zatisi": (0.17, 0.32),
+    "zatisi": (0.13, 0.43),
 }
 
 # Per-scene config adjustments: koberec-/zatisi at 1/8 res leave the

@@ -97,6 +97,15 @@ CONFIGS = {
     # survive under the full ens3 quality machinery?
     "trim2cons3ens3lv3": {"poisson_trim": 2.0, "consensus_rounds": 3,
                           "flow_levels": 3, "_ensemble_triple": True},
+    # round-5 unseen-seed study: seed 9 (draws 9/19/29) measured med
+    # 0.1194 — the one unseen seed above the 0.10 target. min_bundles=8
+    # is the densification lever that rescued thin draws in round 4.
+    "trim2cons3ens3mb8": {"poisson_trim": 2.0, "consensus_rounds": 3,
+                          "min_bundles": 8, "_ensemble_triple": True},
+    # lv2 flow pyramid: 2.02 -> 1.61 ms flow stage (tpu_q5 flowmicro)
+    # with a LOWER photometric diff_sum — full-res e2e gate before any
+    # default flip (mirrors the round-4 trim2lv3 gate for the lv3 flip)
+    "trim2lv2": {"poisson_trim": 2.0, "flow_levels": 2},
 }
 
 
