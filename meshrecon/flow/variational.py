@@ -76,6 +76,16 @@ _FLOW_ITERS = int(os.environ.get("MESHRECON_FLOW_ITERS", "0"))
 # fine initialization, so the cut applies only where it pays.
 _FLOW_FINE_WARPS = int(os.environ.get("MESHRECON_FLOW_FINE_WARPS", "0"))
 
+# Coarse-level warp-count override (0 = the caller's ``warps`` default,
+# 2). Each warp at a NON-finest level re-linearizes the data term around
+# the relaxed flow (warp + gradients + a full sweep block); the pipeline's
+# flows run against rendered predictions whose per-level residuals are
+# already sub-pixel after the upsampled initialization, so the second
+# coarse warp mostly re-solves a settled system — the finest level has
+# run 1 warp since round 4 (_FLOW_FINE_WARPS) for exactly this reason.
+# Gate any default flip on the full-res study like the lv3 flip was.
+_FLOW_WARPS = int(os.environ.get("MESHRECON_FLOW_WARPS", "0"))
+
 # Pyramid-depth override (0 = the caller's ``levels`` default — 3 for
 # the pipeline since round 4, 6 for the public flow API). The
 # pyramid exists to capture LARGE displacements; in the production
@@ -89,18 +99,26 @@ _FLOW_LEVELS = int(os.environ.get("MESHRECON_FLOW_LEVELS", "0"))
 # import-time values = the process defaults a zero config knob restores
 # (config.apply_kernel_knobs) — otherwise one study config's override
 # would leak into the next config's run
-_DEFAULTS = (_FLOW_ITERS, _HS_FUSED_MIN_PX, _FLOW_FINE_WARPS, _FLOW_LEVELS)
+_DEFAULTS = (_FLOW_ITERS, _HS_FUSED_MIN_PX, _FLOW_FINE_WARPS, _FLOW_LEVELS,
+             _FLOW_WARPS)
 
 
 def set_flow_knobs(iters: int | None = None, fused_min_px: int | None = None,
                    pallas_min_dim: int | None = None,
                    fine_warps: int | None = None,
-                   levels: int | None = None):
+                   levels: int | None = None,
+                   warps: int | None = None):
     """Set the flow-solver knobs mid-process (config/CLI plumbing); clears
     jit caches so traces that baked the old values cannot go stale."""
     global _FLOW_ITERS, _HS_FUSED_MIN_PX, _PALLAS_MIN_DIM, _FLOW_FINE_WARPS
-    global _FLOW_LEVELS
+    global _FLOW_LEVELS, _FLOW_WARPS
     changed = False
+    if warps is not None and int(warps) != _FLOW_WARPS:
+        if warps < 0:
+            raise ValueError(
+                f"flow warps must be >= 0 (0 = caller default): {warps}")
+        _FLOW_WARPS = int(warps)
+        changed = True
     if levels is not None and int(levels) != _FLOW_LEVELS:
         if levels < 0:
             raise ValueError(
@@ -397,6 +415,7 @@ def variational_flow(
         # Mpix/s/chip. MESHRECON_FLOW_ITERS / --flow-iters 20 restores.
         iters = _FLOW_ITERS or (14 if solver == "cheb" else 60)
     levels = _FLOW_LEVELS or levels
+    warps = _FLOW_WARPS or warps
     prev = jnp.asarray(prev, jnp.float32)
     next_ = jnp.asarray(next_, jnp.float32)
     alpha2 = float(alpha * alpha)

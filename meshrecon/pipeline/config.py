@@ -125,6 +125,7 @@ class Config:
     flow_iters: int = 0      # relaxation sweeps/warp (0 = solver default)
     flow_fine_warps: int = 0  # warp iterations at the finest level only
     flow_levels: int = 0     # pyramid depth (0 = default 3; round 4)
+    flow_warps: int = 0      # warp iterations at NON-finest levels (0 = 2)
     hs_fused_min_px: int = 0  # stack-px floor for the fused band kernel
     variance_mode: str = ""   # "" = default; rewarp|taylor (fused.py)
     variance_taps: int = 0    # rewarp interpolation: 0 = default; 2|4
@@ -369,6 +370,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "few-pixel residuals; shallower pyramids skip "
                         "coarse levels that only matter for large "
                         "displacements (quality-gate before adopting)")
+    p.add_argument("--flow-warps", type=int, default=0,
+                   help="warp iterations at the NON-finest pyramid levels "
+                        "(0 = default 2; 1 skips each coarse level's "
+                        "re-linearization pass — the pipeline's rendered-"
+                        "prediction flows are sub-pixel after the upsampled "
+                        "init, quality-gate before adopting)")
     p.add_argument("--hs-fused-min-px", type=int, default=0,
                    help="stack-pixel floor above which a pyramid level's "
                         "relaxation runs the fused Pallas band kernel "
@@ -414,12 +421,13 @@ def apply_kernel_knobs(config) -> None:
     binned.set_tile_dims(
         getattr(config, "raster_tile_h", 0) or binned.DEFAULT_TILE_H,
         getattr(config, "raster_tile_w", 0) or binned.DEFAULT_TILE_W)
-    d_it, d_mp, d_fw, d_lv = variational._DEFAULTS
+    d_it, d_mp, d_fw, d_lv, d_w = variational._DEFAULTS
     variational.set_flow_knobs(
         iters=getattr(config, "flow_iters", 0) or d_it,
         fused_min_px=getattr(config, "hs_fused_min_px", 0) or d_mp,
         fine_warps=getattr(config, "flow_fine_warps", 0) or d_fw,
-        levels=getattr(config, "flow_levels", 0) or d_lv)
+        levels=getattr(config, "flow_levels", 0) or d_lv,
+        warps=getattr(config, "flow_warps", 0) or d_w)
 
     from meshrecon.pipeline import fused
     from meshrecon.raster import fragment
@@ -599,6 +607,7 @@ def _config_for_file(args, in_file: str, out_file: str,
         flow_iters=args.flow_iters,
         flow_fine_warps=args.flow_fine_warps,
         flow_levels=args.flow_levels,
+        flow_warps=args.flow_warps,
         hs_fused_min_px=args.hs_fused_min_px,
         variance_mode=args.variance_mode,
         variance_taps=args.variance_taps,

@@ -238,3 +238,45 @@ def test_want_residual_matches_true_rewarp():
     # gates whether "taylor" may become the production default.
     cc = np.corrcoef(var_t.ravel(), var_r.ravel())[0, 1]
     assert cc > 0.90, cc
+
+
+def test_flow_warps_knob():
+    """The coarse-warps knob (set_flow_knobs(warps=...) / --flow-warps):
+    warps=1 must still recover a moderate translation (the knob exists to
+    skip the coarse re-linearization pass, not to break the pyramid), and
+    the knob must plumb through set_flow_knobs and restore on 0."""
+    from meshrecon.flow import variational as V
+
+    img = smooth_image(72, 96, seed=4)
+    dx, dy = 3, -2
+    moved = shift_image(img, dx, dy)
+    try:
+        V.set_flow_knobs(warps=1)
+        assert V._FLOW_WARPS == 1
+        flow = np.asarray(variational_flow(img, moved, solver="cheb"))
+    finally:
+        V.set_flow_knobs(warps=0)
+    assert V._FLOW_WARPS == 0
+    interior = flow[12:-12, 12:-12]
+    err = np.hypot(interior[..., 0] - dx, interior[..., 1] - dy)
+    assert np.median(err) < 0.5, f"median flow error {np.median(err)}"
+
+
+def test_flow_warps_config_plumbing(tmp_path):
+    """--flow-warps reaches the solver module through apply_kernel_knobs
+    and a zero knob restores the import-time default."""
+    from meshrecon.flow import variational as V
+    from meshrecon.pipeline.config import Config, apply_kernel_knobs
+
+    # minimal attribute surface: apply_kernel_knobs reads every knob via
+    # getattr(..., default), so a bare instance exercises the defaults path
+    cfg = Config.__new__(Config)
+    try:
+        cfg.flow_warps = 1
+        apply_kernel_knobs(cfg)
+        assert V._FLOW_WARPS == 1
+        cfg.flow_warps = 0
+        apply_kernel_knobs(cfg)
+        assert V._FLOW_WARPS == V._DEFAULTS[4]
+    finally:
+        V.set_flow_knobs(warps=V._DEFAULTS[4])

@@ -66,10 +66,17 @@ def main():
         # sweeps (14 cheb) and fine warps (1)
         ("prod lv3", dict(levels=3)),
         ("lv2", dict(levels=2)),
+        ("lv2 w1", dict(levels=2, warps=1)),
+        ("lv3 w1", dict(levels=3, warps=1)),
         ("lv3 i10", dict(levels=3, iters=10)),
-        ("lv3 i20", dict(levels=3, iters=20)),
         ("xla engine lv3", dict(levels=3, engine="xla")),
     ]
+    # fused-band-kernel floor A/B: route the L1 (240x320, K=3 -> 230k px)
+    # level's relaxation through hs_level_fused instead of the XLA sweep
+    # loop (the floor was set at 5e5 px before the single-chunk fix)
+    from meshrecon.flow.variational import set_flow_knobs
+    minpx_variants = [("lv2 minpx1e5", dict(levels=2)),
+                      ("lv2 w1 minpx1e5", dict(levels=2, warps=1))]
     # production batched form: prev (1,1,H,W) broadcast against next
     # (1,K,H,W) — vmapping the single-image API over K would instead hit
     # pallas vmap lowering rules the production path never exercises
@@ -78,6 +85,13 @@ def main():
                lambda eps, a_, b_, kw=kw: variational_flow(
                    a_[None, None] + eps, b_[None], **kw),
                a, bs)
+    set_flow_knobs(fused_min_px=100000)
+    for name, kw in minpx_variants:
+        timeit(f"flowK3 {name}",
+               lambda eps, a_, b_, kw=kw: variational_flow(
+                   a_[None, None] + eps, b_[None], **kw),
+               a, bs)
+    set_flow_knobs(fused_min_px=500000)
 
     # isolated level costs (single side)
     a1 = jax.device_put(np.asarray(pyr_down(fm[0])))
@@ -112,6 +126,8 @@ def main():
     from meshrecon.flow.remap import flow_remap
     an = np.asarray(a)
     bn = np.asarray(bs[0])
+    # (minpx variants skipped here: the band kernel vs XLA sweep choice
+    # does not change the math, only where it runs — quality == lv2 rows)
     for name, kw in variants:
         fl = np.asarray(variational_flow(a[None, None], bs[:1][None],
                                          **kw))[0, 0]

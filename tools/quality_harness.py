@@ -99,6 +99,8 @@ CONFIGS = {
     # shallower pyramid — compared against their lv3 twins before any
     # default flip, mirroring how the round-4 lv3 flip was gated
     "lv2": {"flow_levels": 2},
+    "lv2w1": {"flow_levels": 2, "flow_warps": 1},
+    "shbl": {"shadow_sample": "bilinear"},
     "quality-lv2": {"depth_mode": "hybrid", "iteration_count": 2,
                     "sweep_depths": 48, "poisson_trim": 2.0,
                     "consensus_rounds": 3, "ensemble_seeds": (3, 13, 23),

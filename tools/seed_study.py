@@ -106,6 +106,15 @@ CONFIGS = {
     # with a LOWER photometric diff_sum — full-res e2e gate before any
     # default flip (mirrors the round-4 trim2lv3 gate for the lv3 flip)
     "trim2lv2": {"poisson_trim": 2.0, "flow_levels": 2},
+    # single warp at the coarse levels too (the finest already runs 1):
+    # each coarse warp re-linearizes an almost-settled system when flows
+    # run against rendered predictions — gate the combined lv2+w1 cut
+    "trim2lv2w1": {"poisson_trim": 2.0, "flow_levels": 2, "flow_warps": 1},
+    # shadow-map sampler: bilinear shares the intensity sample's weights in
+    # the dual projection kernel (drops the second residual/weight set the
+    # GL_NEAREST-parity path carries) — round 4 measured it only conflated
+    # with other knobs; clean full-res gate here
+    "trim2shbl": {"poisson_trim": 2.0, "shadow_sample": "bilinear"},
 }
 
 

@@ -58,16 +58,18 @@ def _apply_knobs(opts) -> list[str]:
         set_tile_dims(int(th) if th else None, int(tw) if tw else None)
         applied.append(f"tile={th or 'keep'}x{tw or 'keep'}")
     it, mp, fw = opts.get("iters"), opts.get("min_px"), opts.get("fw")
-    lv = opts.get("lv")
-    if it or mp or fw or lv:
+    lv, wp = opts.get("lv"), opts.get("w")
+    if it or mp or fw or lv or wp:
         from meshrecon.flow.variational import set_flow_knobs
 
         set_flow_knobs(iters=int(it) if it else None,
                        fused_min_px=int(float(mp)) if mp else None,
                        fine_warps=int(fw) if fw else None,
-                       levels=int(lv) if lv else None)
+                       levels=int(lv) if lv else None,
+                       warps=int(wp) if wp else None)
         applied.append(
-            f"flow={it or 'keep'}/{mp or 'keep'}/fw{fw or '-'}/lv{lv or '-'}")
+            f"flow={it or 'keep'}/{mp or 'keep'}/fw{fw or '-'}/lv{lv or '-'}"
+            f"/w{wp or '-'}")
     var, vtaps = opts.get("var"), opts.get("vtaps")
     if var or vtaps:
         from meshrecon.pipeline.fused import set_variance_mode
