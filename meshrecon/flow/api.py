@@ -38,12 +38,13 @@ def calculate_flow(prev, next_, use_farneback: bool = False):
         flow = farneback_flow(prev, next_, poly_n=poly_n,
                               poly_sigma=poly_sigma, winsize=int(winsize))
     else:
-        # explicit 3-level pyramid: this function is the PIPELINE's flow
-        # entry (recon.cpp:96 analog) and must match the fused path's
-        # arithmetic exactly (tests/test_pipeline.py
+        # explicit 2-level single-warp pyramid: this function is the
+        # PIPELINE's flow entry (recon.cpp:96 analog) and must match the
+        # fused path's arithmetic exactly (tests/test_pipeline.py
         # ::test_fused_matches_unfused). The library default stays deep
-        # (levels=6); standalone large-displacement callers rely on it.
-        flow = variational_flow(prev, next_, levels=3)
+        # (levels=6, warps=2); standalone large-displacement callers rely
+        # on it. Round-5 gate: BASELINE.md "lv2 flow-pyramid gate".
+        flow = variational_flow(prev, next_, levels=2, warps=1)
     # variance via the true bicubic warp (flow.cpp:34); a clamped warp would
     # misreport variance exactly where flows are large
     variance = compare(prev, flow_remap(flow, next_))

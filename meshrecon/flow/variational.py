@@ -57,10 +57,12 @@ _PALLAS_MIN_DIM = int(os.environ.get("MESHRECON_PALLAS_MIN_DIM", "16"))
 # instead of the XLA-fused sweep loop. The restarted-Chebyshev kernel
 # lost to XLA below ~2 Mpix; since the single-chunk fix (one launch, no
 # cc round trip, exact global schedule) the kernel wins already at the
-# 0.92 Mpix bench stack (22.7 vs 20.8 Mpix/s, tpu_queue4) — floor at
-# 5e5 px where launch overhead still dominates. Env knob for A/Bs.
+# 0.92 Mpix bench stack (22.7 vs 20.8 Mpix/s, tpu_queue4), and round 5
+# measured it winning at the 0.23 Mpix L1 stack too (flow 1.23 ->
+# 1.10 ms with the floor at 1e5, tpu_q7 flowmicro) — floor at 1e5 px,
+# below which launch overhead still dominates. Env knob for A/Bs.
 _HS_FUSED_MIN_PX = int(os.environ.get("MESHRECON_HS_FUSED_MIN_PX",
-                                      "500000"))
+                                      "100000"))
 
 # Sweep-count override for on-hardware A/Bs (0 = per-solver default: 20
 # accelerated Chebyshev sweeps / 60 plain Jacobi). The sweeps are the
@@ -379,16 +381,18 @@ def variational_flow(
     levels: pyramid depth cap (also bounded by ``min_size``); the
     process-wide knob ``set_flow_knobs(levels=...)`` / MESHRECON_FLOW_LEVELS
     overrides a non-zero value here when set (0 = keep the caller's value).
-    The PUBLIC default stays 6 (deep pyramid, full large-displacement
-    recovery — round-4 advisor: library callers must not silently lose it).
-    The PIPELINE call sites (pipeline/fused.py, flow/api.py) pass levels=3
-    explicitly: their flows run against RENDERED predictions with few-pixel
-    residuals, so the deep levels only re-derive a near-zero coarse field —
-    bench +22% (34.1 -> 41.4 Mpix/s/chip), and quality-neutral at full res
-    both standalone (trim2lv3 within draw noise of trim2 on seeds 3/5) and
-    under the quality preset (trim2cons3ens3lv3 seed-5 0.0820/0.1805 vs
-    0.0836/0.1787, BASELINE.md round 4). ``--flow-levels 6`` restores the
-    deep pyramid in the pipeline too.
+    The PUBLIC defaults stay 6 levels / 2 warps (deep pyramid, full
+    large-displacement recovery — round-4 advisor: library callers must
+    not silently lose it). The PIPELINE call sites (pipeline/fused.py,
+    flow/api.py) pass levels=2, warps=1 explicitly: their flows run
+    against RENDERED predictions with few-pixel residuals, so deeper
+    levels and coarse re-linearization passes only re-derive a
+    near-settled field. Gated round 4 (levels 6 -> 3: bench +22%,
+    quality-neutral full res) and round 5 (3 -> 2 plus warps 2 -> 1:
+    flow stage 1.94 -> 1.23 ms with a LOWER photometric self-check
+    diff_sum, e2e within draw noise at 1/8 and full res — BASELINE.md
+    "lv2 flow-pyramid gate"). ``--flow-levels 3 --flow-warps 2``
+    restores the round-4 config.
 
     engine: "auto" (Pallas kernels on TPU, XLA elsewhere), "pallas", "xla".
     solver: "cheb" (default, the production fast path) runs

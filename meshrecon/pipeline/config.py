@@ -124,8 +124,8 @@ class Config:
     raster_tile_w: int = 0   # raster tile cols/grid step (multiple of 128)
     flow_iters: int = 0      # relaxation sweeps/warp (0 = solver default)
     flow_fine_warps: int = 0  # warp iterations at the finest level only
-    flow_levels: int = 0     # pyramid depth (0 = default 3; round 4)
-    flow_warps: int = 0      # warp iterations at NON-finest levels (0 = 2)
+    flow_levels: int = 0     # pyramid depth (0 = pipeline default 2; r5)
+    flow_warps: int = 0      # coarse-level warps (0 = pipeline 1/library 2)
     hs_fused_min_px: int = 0  # stack-px floor for the fused band kernel
     variance_mode: str = ""   # "" = default; rewarp|taylor (fused.py)
     variance_taps: int = 0    # rewarp interpolation: 0 = default; 2|4
@@ -364,22 +364,23 @@ def build_parser() -> argparse.ArgumentParser:
                         "double warp); the finest warp+solve pair is the "
                         "costliest flow stage")
     p.add_argument("--flow-levels", type=int, default=0,
-                   help="flow pyramid depth (0 = default 3; 6 restores the "
-                        "deep pyramid). The pipeline's "
-                        "flows run against rendered predictions with "
-                        "few-pixel residuals; shallower pyramids skip "
-                        "coarse levels that only matter for large "
-                        "displacements (quality-gate before adopting)")
+                   help="flow pyramid depth (0 = pipeline default 2; 3 "
+                        "restores the round-4 config, 6 the deep pyramid). "
+                        "The pipeline's flows run against rendered "
+                        "predictions with few-pixel residuals; shallower "
+                        "pyramids skip coarse levels that only matter for "
+                        "large displacements (round-5 gate: BASELINE.md)")
     p.add_argument("--flow-warps", type=int, default=0,
                    help="warp iterations at the NON-finest pyramid levels "
-                        "(0 = default 2; 1 skips each coarse level's "
-                        "re-linearization pass — the pipeline's rendered-"
-                        "prediction flows are sub-pixel after the upsampled "
-                        "init, quality-gate before adopting)")
+                        "(0 = pipeline default 1, library default 2; 2 "
+                        "restores each coarse level's re-linearization "
+                        "pass — the pipeline's rendered-prediction flows "
+                        "are sub-pixel after the upsampled init, round-5 "
+                        "gate: BASELINE.md)")
     p.add_argument("--hs-fused-min-px", type=int, default=0,
                    help="stack-pixel floor above which a pyramid level's "
                         "relaxation runs the fused Pallas band kernel "
-                        "(0 = keep default 5e5)")
+                        "(0 = keep default 1e5)")
     p.add_argument("--variance-mode", choices=("rewarp", "taylor"),
                    default="",
                    help="flow-variance re-warp: 'rewarp' re-gathers the "

@@ -212,15 +212,19 @@ def fused_main_update_batched(soup, soup_valid, cam_mains, frames_main,
         # the re-warped stack to first order in the last solve increment —
         # no second gather pass (variational_flow docstring; the compare()
         # cascade below is identical to the rewarp path)
-        # levels=3 (explicit, not the library default): flows against
-        # RENDERED predictions have few-pixel residuals (variational.py
-        # docstring; bench +22%, quality-neutral full-res)
+        # levels=2, warps=1 (explicit, not the library defaults): flows
+        # against RENDERED predictions have few-pixel residuals
+        # (variational.py docstring) — round-5 gates measured the shallow
+        # single-warp pyramid FASTER (flow 1.94 -> 1.23 ms) with a LOWER
+        # photometric self-check error and e2e quality within draw noise
+        # at 1/8 and full res (BASELINE.md "lv2 flow-pyramid gate";
+        # --flow-levels 3 / --flow-warps 2 restore the round-4 config)
         flows2, rewarped = variational_flow(frames_main[:, None], mixed_all,
-                                            solver=flow_solver, levels=3,
-                                            want_residual=True)
+                                            solver=flow_solver, levels=2,
+                                            warps=1, want_residual=True)
     else:
         flows2 = variational_flow(frames_main[:, None], mixed_all,
-                                  solver=flow_solver, levels=3)
+                                  solver=flow_solver, levels=2, warps=1)
 
     if rewarped is None:
         # bicubic re-warp for the variance estimate: 16 gathers/pixel cost

@@ -50,12 +50,12 @@ def make_scene_mesh(n_scene: int, n_camera: int, n_tile: int = 1,
     return Mesh(grid, ("scene", "camera", "tile"))
 
 
-# flow presets: "full" matches the production pipeline call (levels=3
-# explicit, solver-default sweep count and warps — pipeline/fused.py);
-# "fast" is for dry runs and compile checks
+# flow presets: "full" matches the production pipeline call (levels=2,
+# warps=1 explicit, solver-default sweep count — pipeline/fused.py,
+# round-5 lv2w1 gate); "fast" is for dry runs and compile checks
 _FLOW_PRESETS = {
-    "full": dict(levels=3),
-    "fast": dict(levels=3, iters=20, warps=1),
+    "full": dict(levels=2, warps=1),
+    "fast": dict(levels=2, iters=20, warps=1),
 }
 
 

@@ -62,21 +62,20 @@ def main():
               f" (compile {tc:5.1f}s)", flush=True)
 
     variants = [
-        # production config (fused.py call site): lv3 pyramid, knob-default
-        # sweeps (14 cheb) and fine warps (1)
-        ("prod lv3", dict(levels=3)),
-        ("lv2", dict(levels=2)),
-        ("lv2 w1", dict(levels=2, warps=1)),
+        # production config (fused.py call site, round-5 flip): lv2
+        # single-warp pyramid, knob-default sweeps (14 cheb), fine warp 1,
+        # band-kernel floor 1e5 (L1 rides hs_level_fused)
+        ("prod lv2 w1", dict(levels=2, warps=1)),
+        ("lv2 w2", dict(levels=2)),
+        ("lv3 w2 (r4 default)", dict(levels=3)),
         ("lv3 w1", dict(levels=3, warps=1)),
-        ("lv3 i10", dict(levels=3, iters=10)),
         ("xla engine lv3", dict(levels=3, engine="xla")),
     ]
-    # fused-band-kernel floor A/B: route the L1 (240x320, K=3 -> 230k px)
-    # level's relaxation through hs_level_fused instead of the XLA sweep
-    # loop (the floor was set at 5e5 px before the single-chunk fix)
+    # fused-band-kernel floor A/B: the round-4 floor (5e5) pushed the L1
+    # (240x320, K=3 -> 230k px) level's relaxation back to the XLA sweep
+    # loop (flow 1.10 -> 1.23 ms, tpu_q7)
     from meshrecon.flow.variational import set_flow_knobs
-    minpx_variants = [("lv2 minpx1e5", dict(levels=2)),
-                      ("lv2 w1 minpx1e5", dict(levels=2, warps=1))]
+    minpx_variants = [("prod minpx5e5", dict(levels=2, warps=1))]
     # production batched form: prev (1,1,H,W) broadcast against next
     # (1,K,H,W) — vmapping the single-image API over K would instead hit
     # pallas vmap lowering rules the production path never exercises
@@ -85,13 +84,13 @@ def main():
                lambda eps, a_, b_, kw=kw: variational_flow(
                    a_[None, None] + eps, b_[None], **kw),
                a, bs)
-    set_flow_knobs(fused_min_px=100000)
+    set_flow_knobs(fused_min_px=500000)
     for name, kw in minpx_variants:
         timeit(f"flowK3 {name}",
                lambda eps, a_, b_, kw=kw: variational_flow(
                    a_[None, None] + eps, b_[None], **kw),
                a, bs)
-    set_flow_knobs(fused_min_px=500000)
+    set_flow_knobs(fused_min_px=100000)
 
     # isolated level costs (single side)
     a1 = jax.device_put(np.asarray(pyr_down(fm[0])))

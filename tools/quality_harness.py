@@ -94,17 +94,21 @@ CONFIGS = {
     "quality": {"depth_mode": "hybrid", "iteration_count": 2,
                 "sweep_depths": 48, "poisson_trim": 2.0,
                 "consensus_rounds": 3, "ensemble_seeds": (3, 13, 23)},
-    # lv2 flow-pyramid gate rows (perf lever: flow 2.02 -> 1.61 ms,
-    # tpu_q5 flowmicro): same configs as default/quality with the
-    # shallower pyramid — compared against their lv3 twins before any
-    # default flip, mirroring how the round-4 lv3 flip was gated
-    "lv2": {"flow_levels": 2},
-    "lv2w1": {"flow_levels": 2, "flow_warps": 1},
+    # round-5 flow gate rows: lv2+w1 became the pipeline default after
+    # the tpu_q6/q7 gates (BASELINE.md "lv2 flow-pyramid gate"); lv3w2
+    # restores the round-4 config for regression A/Bs. shbl measured no
+    # perf win (bench 61.5 vs 62.0) — rejected, row kept for the record.
+    "lv3w2": {"flow_levels": 3, "flow_warps": 2},
     "shbl": {"shadow_sample": "bilinear"},
-    "quality-lv2": {"depth_mode": "hybrid", "iteration_count": 2,
-                    "sweep_depths": 48, "poisson_trim": 2.0,
-                    "consensus_rounds": 3, "ensemble_seeds": (3, 13, 23),
-                    "flow_levels": 2},
+    # taylor variance gate: the first-order re-warp eliminates the
+    # bicubic re-gather (~0.55 ms/update, bench 71.0 vs 66.8 at lv2w1
+    # defaults); round-3 rejected it at a small 1/8-res quality cost —
+    # re-gated here under the round-5 kernel stack
+    "taylor": {"variance_mode": "taylor"},
+    "quality-taylor": {"depth_mode": "hybrid", "iteration_count": 2,
+                       "sweep_depths": 48, "poisson_trim": 2.0,
+                       "consensus_rounds": 3, "ensemble_seeds": (3, 13, 23),
+                       "variance_mode": "taylor"},
 }
 
 # Default-config regression bounds on the MEDIAN at --scale 8 (measured

@@ -102,19 +102,19 @@ CONFIGS = {
     # is the densification lever that rescued thin draws in round 4.
     "trim2cons3ens3mb8": {"poisson_trim": 2.0, "consensus_rounds": 3,
                           "min_bundles": 8, "_ensemble_triple": True},
-    # lv2 flow pyramid: 2.02 -> 1.61 ms flow stage (tpu_q5 flowmicro)
-    # with a LOWER photometric diff_sum — full-res e2e gate before any
-    # default flip (mirrors the round-4 trim2lv3 gate for the lv3 flip)
+    # round-5 flow gates (lv2/lv2w1 became the DEFAULT after these rows
+    # measured within draw noise — BASELINE.md "lv2 flow-pyramid gate");
+    # trim2lv3w2 restores the round-4 flow config for regression A/Bs
     "trim2lv2": {"poisson_trim": 2.0, "flow_levels": 2},
-    # single warp at the coarse levels too (the finest already runs 1):
-    # each coarse warp re-linearizes an almost-settled system when flows
-    # run against rendered predictions — gate the combined lv2+w1 cut
     "trim2lv2w1": {"poisson_trim": 2.0, "flow_levels": 2, "flow_warps": 1},
+    "trim2lv3w2": {"poisson_trim": 2.0, "flow_levels": 3, "flow_warps": 2},
     # shadow-map sampler: bilinear shares the intensity sample's weights in
-    # the dual projection kernel (drops the second residual/weight set the
-    # GL_NEAREST-parity path carries) — round 4 measured it only conflated
-    # with other knobs; clean full-res gate here
+    # the dual projection kernel — measured NO perf win (tpu_q7 bench 61.5
+    # vs 62.0), rejected; config kept for the record
     "trim2shbl": {"poisson_trim": 2.0, "shadow_sample": "bilinear"},
+    # taylor variance full-res gate (perf: eliminates the bicubic re-warp,
+    # ~0.55 ms/update; round-3 rejection predates the round-5 kernel stack)
+    "trim2taylor": {"poisson_trim": 2.0, "variance_mode": "taylor"},
 }
 
 
