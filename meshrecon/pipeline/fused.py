@@ -36,9 +36,13 @@ from meshrecon.raster.fragment import (projected_image,
 # util.cpp:332-361's remap-then-compare); "taylor" reuses the flow
 # solver's final warp + gradients for a first-order re-warp (see
 # variational_flow(want_residual=True)) — same compare() cascade on top,
-# no second gather pass (~1.5 ms of the 8.3 ms fused update). Default
-# via env for A/Bs; config/CLI plumbing in pipeline/config.py.
-_VARIANCE_MODE = os.environ.get("MESHRECON_VARIANCE", "rewarp")
+# no second gather pass. Round-5 default = taylor: eliminating the
+# bicubic re-warp saves ~0.7 ms/update (bench 86.2 vs 72.7 total,
+# 102.0 vs 82.3 device Mpix/s) and the round-5 quality gates measured
+# it within draw noise at 1/8-res and full-res (BASELINE.md "taylor
+# variance gate"; PARITY.md divergence 14). `--variance-mode rewarp`
+# (env MESHRECON_VARIANCE) restores the literal remap-then-compare.
+_VARIANCE_MODE = os.environ.get("MESHRECON_VARIANCE", "taylor")
 _DEFAULT_VARIANCE = _VARIANCE_MODE
 
 # Interpolation order of the variance re-warp gather (rewarp mode): 4 =

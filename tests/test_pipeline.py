@@ -284,11 +284,15 @@ def test_fused_matches_unfused(koule_small):
     cb = _bucket(len(c3))
     cp = np.zeros((cb, 3), np.float32); cp[: len(c3)] = c3
     cv_ = np.zeros(cb, bool); cv_[: len(c3)] = True
+    # variance="rewarp" for the same reason as sampling="exact": the
+    # stage-by-stage path below uses the literal-parity calculate_flow
+    # (true bicubic re-warp, flow.cpp:34); the fused default is the
+    # first-order taylor re-warp (PARITY.md divergence 14)
     outf = fused_main_update(
         r.soup, r.soup_valid, cfg.camera(fa),
         jnp.asarray(cfg.frame(fa), jnp.float32), sc_, sf_, sv_, cp, cv_,
         jnp.asarray(len(sides)), height=cfg.height, width=cfg.width,
-        sampling="exact")
+        sampling="exact", variance="rewarp")
     validf = np.asarray(outf["valid"])
     pts_f = np.asarray(outf["point4"])[validf]
     n_f = int(validf.sum())

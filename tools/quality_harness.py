@@ -105,6 +105,15 @@ CONFIGS = {
     # defaults); round-3 rejected it at a small 1/8-res quality cost —
     # re-gated here under the round-5 kernel stack
     "taylor": {"variance_mode": "taylor"},
+    # explicit-rewarp controls: after the round-5 taylor default flip the
+    # bare "default"/"quality" rows measure taylor, so A/Bs must pin the
+    # rewarp side explicitly (a bare default row can also be poisoned by
+    # whatever MESHRECON_VARIANCE the process imported under)
+    "rewarp": {"variance_mode": "rewarp"},
+    "quality-rewarp": {"depth_mode": "hybrid", "iteration_count": 2,
+                       "sweep_depths": 48, "poisson_trim": 2.0,
+                       "consensus_rounds": 3, "ensemble_seeds": (3, 13, 23),
+                       "variance_mode": "rewarp"},
     "quality-taylor": {"depth_mode": "hybrid", "iteration_count": 2,
                        "sweep_depths": 48, "poisson_trim": 2.0,
                        "consensus_rounds": 3, "ensemble_seeds": (3, 13, 23),

@@ -115,6 +115,9 @@ CONFIGS = {
     # taylor variance full-res gate (perf: eliminates the bicubic re-warp,
     # ~0.55 ms/update; round-3 rejection predates the round-5 kernel stack)
     "trim2taylor": {"poisson_trim": 2.0, "variance_mode": "taylor"},
+    # explicit-rewarp control for the post-flip default (round 5 flipped
+    # the pipeline default to taylor; a bare trim2 row now measures taylor)
+    "trim2rewarp": {"poisson_trim": 2.0, "variance_mode": "rewarp"},
 }
 
 
