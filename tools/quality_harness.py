@@ -121,11 +121,13 @@ CONFIGS = {
 }
 
 # Default-config regression bounds on the MEDIAN at --scale 8 (measured
-# this round: koule 0.082, koberec- 0.057, zatisi 0.074; bounds ~2x the
-# measured values — --tolerance multiplies them). Generous vs measured so
-# draw noise cannot flake the gate, tight enough to catch a regression.
+# post-tie-slop + taylor default, tpu_q9/q10: koule 0.113, koberec- 0.049,
+# zatisi 0.064 — the tie-slop fix's denser re-draw moved koule 0.082 ->
+# 0.113, so its bound is re-set at ~2x the current measurement like the
+# others; --tolerance multiplies them). Generous vs measured so draw
+# noise cannot flake the gate, tight enough to catch a regression.
 SCENE_BOUNDS = {
-    "koule-tr": 0.15,
+    "koule-tr": 0.22,
     "koberec-": 0.12,
     "zatisi": 0.20,  # non-primitive still life approximated by a sphere
 }

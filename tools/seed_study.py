@@ -118,6 +118,12 @@ CONFIGS = {
     # explicit-rewarp control for the post-flip default (round 5 flipped
     # the pipeline default to taylor; a bare trim2 row now measures taylor)
     "trim2rewarp": {"poisson_trim": 2.0, "variance_mode": "rewarp"},
+    # pinned-rewarp flagship preset: discriminates taylor-vs-redraw blame
+    # for any post-flip preset regression (draws are seeded, so this and
+    # the bare trim2cons3ens3 row differ ONLY in the variance path)
+    "trim2cons3ens3rw": {"poisson_trim": 2.0, "consensus_rounds": 3,
+                         "_ensemble_triple": True,
+                         "variance_mode": "rewarp"},
 }
 
 
